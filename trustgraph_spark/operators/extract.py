@@ -1,0 +1,310 @@
+"""Triple extraction: mention detection + deterministic post-processing.
+
+Reference semantics (the correctness-critical core, SURVEY.md §2.2):
+
+- kg-extract-definitions (extract/kg/definitions/extract.py:113-259):
+  per chunk, objects ``{entity, definition}``; for each valid object emit
+  (e, rdfs:label, entity-literal) and (e, skos:definition, defn-literal);
+  skip empty/None; 2 EntityContexts per definition (name + definition
+  context, chunk_id = document_id else metadata.id); zero output on zero
+  valid objects.
+- kg-extract-relationships (extract/kg/relationships/extract.py:96-237):
+  objects ``{subject, predicate, object, object-entity}``; mint URIs for
+  s and p always, for o iff object-entity; emit relationship triple plus
+  label triples for s, p, and (iff object-entity) o; skip empty/None.
+
+The LLM boundary is pluggable (the reference tests mock it with golden
+JSONL fixtures — tests/integration/test_kg_extract_store_integration.py:34-66);
+here the default is a deterministic rule-based extractor over the synthetic
+corpus. Extraction runs as ``mapInPandas`` (Arrow-batched, one of the three
+sanctioned Python seams); the triple construction around it is pure
+DataFrame ops — explode/filter/union — so Catalyst owns the plan.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, Protocol
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import (
+    DEFAULT_GRAPH,
+    DEFINITION,
+    OTYPE_LITERAL,
+    OTYPE_URI,
+    RDF_LABEL,
+)
+from ..uris import to_uri_udf
+
+
+class Extractor(Protocol):
+    """Vectorized extraction seam (mocked-LLM contract, FIXTURES.md §3).
+
+    Both methods take a pandas Series of chunk texts and return a Series of
+    ``list[dict]`` — the parsed JSONL objects the reference prompt service
+    would return. A real-LLM implementation plugs in here unchanged.
+    """
+
+    def extract_definitions(self, texts: pd.Series) -> pd.Series: ...
+
+    def extract_relationships(self, texts: pd.Series) -> pd.Series: ...
+
+
+class RuleExtractor:
+    """Deterministic extractor recovering the facts planted by synth.py.
+
+    Mirrors the reference's mocked ``PromptResult`` fixture strategy: the
+    corpus is generated so this rule extractor returns exactly the golden
+    JSONL objects, making P/R measurable without an LLM.
+    """
+
+    DEF_RE = re.compile(r"([^.]+?) is defined as (.+?)\.")
+    REL_RE = re.compile(r"([^.]+?) (uses|contains|extends) ([^.]+?)\.")
+    LITREL_RE = re.compile(r"([^.]+?) produces value ([^.]+?)\.")
+
+    def extract_definitions(self, texts: pd.Series) -> pd.Series:
+        found = texts.fillna("").str.findall(self.DEF_RE)
+        return found.map(
+            lambda ms: [
+                {"entity": e.strip(), "definition": d.strip()} for (e, d) in ms
+            ]
+        )
+
+    def extract_relationships(self, texts: pd.Series) -> pd.Series:
+        t = texts.fillna("")
+        rel = t.str.findall(self.REL_RE)
+        lit = t.str.findall(self.LITREL_RE)
+        return pd.Series(
+            [
+                [
+                    {
+                        "subject": s.strip(),
+                        "predicate": p,
+                        "object": o.strip(),
+                        "object-entity": True,
+                    }
+                    for (s, p, o) in rs
+                ]
+                + [
+                    {
+                        "subject": s.strip(),
+                        "predicate": "produces value",
+                        "object": o.strip(),
+                        "object-entity": False,
+                    }
+                    for (s, o) in ls
+                ]
+                for rs, ls in zip(rel, lit)
+            ],
+            index=t.index,
+        )
+
+
+class FixtureExtractor:
+    """Returns fixed JSONL-shaped objects regardless of text — the direct
+    analog of the reference tests' mocked PromptResult
+    (tests/integration/test_kg_extract_store_integration.py:34-66). Used by
+    the golden-behavior test suite and usable to replay recorded LLM output.
+    """
+
+    def __init__(self, defs=None, rels=None):
+        self._defs = defs or []
+        self._rels = rels or []
+
+    def extract_definitions(self, texts: pd.Series) -> pd.Series:
+        return pd.Series([list(self._defs) for _ in texts], index=texts.index)
+
+    def extract_relationships(self, texts: pd.Series) -> pd.Series:
+        return pd.Series([list(self._rels) for _ in texts], index=texts.index)
+
+
+_DEFS_OUT_SCHEMA = (
+    "chunk_id string, root_id string, collection string, "
+    "entity string, definition string"
+)
+
+_RELS_OUT_SCHEMA = (
+    "chunk_id string, root_id string, collection string, "
+    "subject string, predicate string, object string, object_entity boolean"
+)
+
+
+def extract_definitions(chunks: DataFrame, extractor: Extractor) -> DataFrame:
+    """chunks(chunk_id, root_id, collection, text) -> one row per extracted
+    {entity, definition} object (pre-filter, reference keeps None/empty
+    until the triple-construction filter)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            objs = extractor.extract_definitions(pdf["text"])
+            out = pdf[["chunk_id", "root_id", "collection"]].copy()
+            out["obj"] = objs
+            out = out.explode("obj").dropna(subset=["obj"])
+            if len(out) == 0:
+                yield pd.DataFrame(
+                    columns=["chunk_id", "root_id", "collection", "entity", "definition"]
+                )
+                continue
+            out["entity"] = out["obj"].str.get("entity")
+            out["definition"] = out["obj"].str.get("definition")
+            yield out[["chunk_id", "root_id", "collection", "entity", "definition"]]
+
+    return chunks.select("chunk_id", "root_id", "collection", "text").mapInPandas(
+        gen, schema=_DEFS_OUT_SCHEMA
+    )
+
+
+def extract_relationships(chunks: DataFrame, extractor: Extractor) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["chunk_id", "root_id", "collection", "subject", "predicate",
+                "object", "object_entity"]
+        for pdf in batches:
+            objs = extractor.extract_relationships(pdf["text"])
+            out = pdf[["chunk_id", "root_id", "collection"]].copy()
+            out["obj"] = objs
+            out = out.explode("obj").dropna(subset=["obj"])
+            if len(out) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            out["subject"] = out["obj"].str.get("subject")
+            out["predicate"] = out["obj"].str.get("predicate")
+            out["object"] = out["obj"].str.get("object")
+            # reference default for the agent variant is True; for the
+            # definitions/relationships dialect the key is always present
+            out["object_entity"] = out["obj"].map(
+                lambda d: bool(d.get("object-entity", True))
+            )
+            yield out[cols]
+
+    return chunks.select("chunk_id", "root_id", "collection", "text").mapInPandas(
+        gen, schema=_RELS_OUT_SCHEMA
+    )
+
+
+def _triple_row(collection, s, p, o, otype, chunk_id, root_id):
+    return [
+        collection.alias("collection"),
+        F.lit(DEFAULT_GRAPH).alias("g"),
+        s.alias("s"),
+        p.alias("p"),
+        o.alias("o"),
+        otype.alias("otype"),
+        F.lit("").alias("dtype"),
+        F.lit("").alias("lang"),
+        chunk_id.alias("chunk_id"),
+        root_id.alias("root_id"),
+    ]
+
+
+def definitions_to_triples(defs: DataFrame) -> DataFrame:
+    """Reference post-processing (definitions/extract.py:158-201): per valid
+    object, a label triple and a skos:definition triple. Empty-string and
+    NULL entity/definition rows are skipped (``:163-167``)."""
+    d = defs.where(
+        F.col("entity").isNotNull()
+        & (F.col("entity") != "")
+        & F.col("definition").isNotNull()
+        & (F.col("definition") != "")
+    ).withColumn("s_uri", to_uri_udf(F.col("entity")))
+
+    label = d.select(
+        *_triple_row(
+            F.col("collection"),
+            F.col("s_uri"),
+            F.lit(RDF_LABEL),
+            F.col("entity"),
+            F.lit(OTYPE_LITERAL),
+            F.col("chunk_id"),
+            F.col("root_id"),
+        )
+    )
+    defn = d.select(
+        *_triple_row(
+            F.col("collection"),
+            F.col("s_uri"),
+            F.lit(DEFINITION),
+            F.col("definition"),
+            F.lit(OTYPE_LITERAL),
+            F.col("chunk_id"),
+            F.col("root_id"),
+        )
+    )
+    return label.unionByName(defn)
+
+
+def definitions_entity_contexts(defs: DataFrame) -> DataFrame:
+    """2 EntityContexts per valid definition: name context + definition
+    context (definitions/extract.py:189-201); chunk_id for provenance."""
+    d = defs.where(
+        F.col("entity").isNotNull()
+        & (F.col("entity") != "")
+        & F.col("definition").isNotNull()
+        & (F.col("definition") != "")
+    ).withColumn("entity_uri", to_uri_udf(F.col("entity")))
+    name_ctx = d.select(
+        "collection", "entity_uri", F.col("entity").alias("context"), "chunk_id"
+    )
+    defn_ctx = d.select(
+        "collection", "entity_uri", F.col("definition").alias("context"), "chunk_id"
+    )
+    return name_ctx.unionByName(defn_ctx)
+
+
+def relationships_to_triples(rels: DataFrame) -> DataFrame:
+    """Reference post-processing (relationships/extract.py:140-195):
+    relationship triple + label triples for s and p, plus o's URI/label iff
+    object-entity; literal object otherwise. Empty/None s/p/o skipped."""
+    r = rels.where(
+        F.col("subject").isNotNull()
+        & (F.col("subject") != "")
+        & F.col("predicate").isNotNull()
+        & (F.col("predicate") != "")
+        & F.col("object").isNotNull()
+        & (F.col("object") != "")
+    )
+    # mint all URIs in one projection: single Arrow pass
+    r = r.select(
+        "*",
+        to_uri_udf(F.col("subject")).alias("s_uri"),
+        to_uri_udf(F.col("predicate")).alias("p_uri"),
+        F.when(F.col("object_entity"), to_uri_udf(F.col("object"))).alias("o_uri"),
+    )
+
+    rel = r.select(
+        *_triple_row(
+            F.col("collection"),
+            F.col("s_uri"),
+            F.col("p_uri"),
+            F.when(F.col("object_entity"), F.col("o_uri")).otherwise(F.col("object")),
+            F.when(F.col("object_entity"), F.lit(OTYPE_URI)).otherwise(
+                F.lit(OTYPE_LITERAL)
+            ),
+            F.col("chunk_id"),
+            F.col("root_id"),
+        )
+    )
+    s_label = r.select(
+        *_triple_row(
+            F.col("collection"), F.col("s_uri"), F.lit(RDF_LABEL),
+            F.col("subject"), F.lit(OTYPE_LITERAL),
+            F.col("chunk_id"), F.col("root_id"),
+        )
+    )
+    p_label = r.select(
+        *_triple_row(
+            F.col("collection"), F.col("p_uri"), F.lit(RDF_LABEL),
+            F.col("predicate"), F.lit(OTYPE_LITERAL),
+            F.col("chunk_id"), F.col("root_id"),
+        )
+    )
+    o_label = r.where(F.col("object_entity")).select(
+        *_triple_row(
+            F.col("collection"), F.col("o_uri"), F.lit(RDF_LABEL),
+            F.col("object"), F.lit(OTYPE_LITERAL),
+            F.col("chunk_id"), F.col("root_id"),
+        )
+    )
+    return rel.unionByName(s_label).unionByName(p_label).unionByName(o_label)
