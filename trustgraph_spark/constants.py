@@ -28,15 +28,23 @@ OTYPE_LITERAL = "l"
 OTYPE_TRIPLE = "t"    # RDF-star quoted triple, serialized to JSON
 
 # PROV-O / trustgraph provenance vocabulary
-# (reference: provenance/namespaces.py)
+# (reference: provenance/namespaces.py:8-16, :43-56, :88)
 PROV = "http://www.w3.org/ns/prov#"
 PROV_ENTITY = PROV + "Entity"
 PROV_ACTIVITY = PROV + "Activity"
+PROV_AGENT = PROV + "Agent"
 PROV_WAS_DERIVED_FROM = PROV + "wasDerivedFrom"
 PROV_WAS_GENERATED_BY = PROV + "wasGeneratedBy"
-TG = "http://trustgraph.ai/ns/provenance#"
-TG_SUBGRAPH = TG + "Subgraph"
+PROV_USED = PROV + "used"
+PROV_WAS_ASSOCIATED_WITH = PROV + "wasAssociatedWith"
+PROV_STARTED_AT_TIME = PROV + "startedAtTime"
+TG = "https://trustgraph.ai/ns/"
+TG_SUBGRAPH_TYPE = TG + "Subgraph"
 TG_CONTAINS = TG + "contains"
+TG_COMPONENT_VERSION = TG + "componentVersion"
+TG_LLM_MODEL = TG + "llmModel"
+TG_ONTOLOGY = TG + "ontology"
+TRUSTGRAPH_BASE = "https://trustgraph.ai"
 
 # Default tenant scope used throughout tests
 DEFAULT_COLLECTION = "default"

@@ -1,0 +1,106 @@
+"""Graph materialization: edges manifest, entity-centric quad index, nodes.
+
+Reference: the denormalized Cassandra quad store
+(trustgraph-flow/trustgraph/direct/cassandra_kg.py:531-650). Each stored
+quad yields one manifest row in quads_by_collection (PK-dedup'd,
+:627-639) and role rows S/P/O (+G for named graphs) in quads_by_entity
+(:744-802) — literal objects still get an O row (code at :786-789
+overrides the docstring). In Spark: the Cassandra PK upsert becomes an
+explicit dropDuplicates before append; the role explosion is a single
+explode over a generated role array (one narrow pass, no shuffle); the
+entity-centric access path is a data-layout decision (write
+quads_by_entity partitioned/bucketed by entity), not a custom rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import DEFAULT_GRAPH, RDF_LABEL
+
+QUAD_KEY = ["collection", "g", "s", "p", "o", "otype", "dtype", "lang"]
+
+
+def materialize_edges(triples: DataFrame) -> DataFrame:
+    """Dedup'd quad manifest (M2; Cassandra PK-upsert semantics =
+    dropDuplicates on the full quad key). Drops chunk lineage columns —
+    keep triple_provenance() alongside if per-triple lineage is needed."""
+    return triples.select(*QUAD_KEY).dropDuplicates(QUAD_KEY)
+
+
+def triple_provenance(triples: DataFrame) -> DataFrame:
+    """Per-triple chunk lineage retained pre-dedup: quad key + chunk/root."""
+    return triples.select(*QUAD_KEY, "chunk_id", "root_id").dropDuplicates()
+
+
+def materialize_quads_by_entity(edges: DataFrame) -> DataFrame:
+    """Role explosion (M1, cassandra_kg.py:744-802): every quad emits rows
+    (entity=s, role='S'), (p, 'P'), (o, 'O') — unconditionally, literals
+    included — plus (g, 'G') iff the graph is non-default. 4 rows per
+    default-graph quad, 5 with a named graph (write-amplification invariant
+    tested by the reference's test_entity_centric_write_amplification)."""
+    roles = F.array_compact(
+        F.array(
+            F.struct(F.col("s").alias("entity"), F.lit("S").alias("role")),
+            F.struct(F.col("p").alias("entity"), F.lit("P").alias("role")),
+            F.struct(F.col("o").alias("entity"), F.lit("O").alias("role")),
+            F.when(
+                F.col("g") != DEFAULT_GRAPH,
+                F.struct(F.col("g").alias("entity"), F.lit("G").alias("role")),
+            ),
+        )
+    )
+    return edges.select(
+        "collection",
+        F.explode(roles).alias("er"),
+        "g", "s", "p", "o", "otype", "dtype", "lang",
+    ).select(
+        "collection",
+        F.col("er.entity").alias("entity"),
+        F.col("er.role").alias("role"),
+        "g", "s", "p", "o", "otype", "dtype", "lang",
+    )
+
+
+def materialize_nodes(edges: DataFrame) -> DataFrame:
+    """Distinct URI entities (from s, and o where otype='u') with their
+    rdfs:label (first by lexical order, deterministic) and degree
+    (incident s/o edge count). The label dimension is tiny relative to the
+    fact table; the degree agg is a map-side-combinable groupBy."""
+    s_side = edges.select("collection", F.col("s").alias("entity"))
+    o_side = edges.where(F.col("otype") == "u").select(
+        "collection", F.col("o").alias("entity")
+    )
+    degree = (
+        s_side.union(o_side)
+        .groupBy("collection", "entity")
+        .agg(F.count("*").alias("degree"))
+    )
+    labels = (
+        edges.where(F.col("p") == RDF_LABEL)
+        .groupBy("collection", F.col("s").alias("entity"))
+        .agg(F.min("o").alias("label"))
+    )
+    return degree.join(labels, ["collection", "entity"], "left").select(
+        "collection", "entity", "label", "degree"
+    )
+
+
+def write_amplification_check(edges: DataFrame, quads: DataFrame) -> dict:
+    """Reference invariant: 4 stored rows per default-graph quad (S/P/O role
+    rows + 1 manifest row), 5 with a named graph (+G). Here the manifest row
+    IS the edges row, so quads_by_entity must hold 3*default + 4*named."""
+    agg = edges.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("g") != DEFAULT_GRAPH, 1).otherwise(0)).alias("named"),
+    ).collect()[0]
+    named = agg.named or 0
+    expected_roles = 3 * (agg.n - named) + 4 * named
+    actual = quads.count()
+    return {
+        "expected": expected_roles,
+        "actual": actual,
+        "total_rows_per_default_quad": 4,  # incl. manifest row in edges
+        "ok": expected_roles == actual,
+    }
