@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship documents-KG pipeline at sf0.001.
+queries(): implemented operators from SURVEY.md §2 + the training-data
+pipeline family (dedup / similarity / text analysis), each paired with a
+DuckDB-runnable ANSI-SQL oracle in oracle_sql().
 """
 
 from __future__ import annotations
@@ -12,27 +11,532 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+VOCAB = [
+    "spark", "hash", "merge", "join", "table", "scan",
+    "window", "batch", "stream", "vector", "query", "filter",
+]
+_VOCAB_SQL = ", ".join(f"'{w}'" for w in VOCAB)
+
+TG = "http://trustgraph.ai/e/"
+RDF_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+CO_URI = TG + "co_occurs_with"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents -> gazetteer mentions -> label + co-occurrence
+    triples -> deduped edges manifest (the documents-KG pipeline)."""
+    from trustgraph_spark.docskg import documents_kg
+
+    return documents_kg(_docs(spark, SF0001))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_kg_mentions(spark, sf_dir):
+    from trustgraph_spark.docskg import doc_mentions
+
+    return doc_mentions(_docs(spark, sf_dir), VOCAB)
+
+
+def q_kg_label_triples(spark, sf_dir):
+    from trustgraph_spark.docskg import doc_mentions, mention_label_triples
+
+    t = mention_label_triples(doc_mentions(_docs(spark, sf_dir), VOCAB))
+    return t.select("s", "p", "o", "otype")
+
+
+def q_kg_cooccur_edges(spark, sf_dir):
+    from trustgraph_spark.docskg import cooccurrence_edges, doc_mentions
+
+    return cooccurrence_edges(doc_mentions(_docs(spark, sf_dir), VOCAB)).select(
+        "s", "p", "o", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
+def q_kg_quads_by_entity(spark, sf_dir):
+    from trustgraph_spark.docskg import cooccurrence_triples, doc_mentions
+    from trustgraph_spark.operators.materialize import (
+        materialize_edges,
+        materialize_quads_by_entity,
+    )
+
+    edges = materialize_edges(
+        cooccurrence_triples(doc_mentions(_docs(spark, sf_dir), VOCAB))
+    )
+    return materialize_quads_by_entity(edges).select("entity", "role", "s", "p", "o")
+
+
+def q_kg_nodes_degree(spark, sf_dir):
+    from trustgraph_spark.docskg import cooccurrence_triples, doc_mentions
+    from trustgraph_spark.operators.materialize import (
+        materialize_edges,
+        materialize_nodes,
+    )
+
+    edges = materialize_edges(
+        cooccurrence_triples(doc_mentions(_docs(spark, sf_dir), VOCAB))
+    )
+    return materialize_nodes(edges).select(
+        "entity", "label", F.col("degree").cast("long").alias("degree")
+    )
+
+
+def q_kg_pattern_po(spark, sf_dir):
+    from trustgraph_spark.docskg import cooccurrence_triples, doc_mentions
+    from trustgraph_spark.operators.materialize import materialize_edges
+    from trustgraph_spark.operators.triples_query import match_triples
+
+    edges = materialize_edges(
+        cooccurrence_triples(doc_mentions(_docs(spark, sf_dir), VOCAB))
+    )
+    return match_triples(edges, p=CO_URI, o=TG + "spark", g="").select("s")
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    from trustgraph_spark.operators.dedup import normalize_text_col
+
+    return (
+        _docs(spark, sf_dir)
+        .select(F.md5(normalize_text_col(F.col("text"))).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("representative"),
+        )
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from trustgraph_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.3, max_shingle_freq=100000
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from trustgraph_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _docs(spark, sf_dir), n=3, num_hashes=16, bands=4
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from trustgraph_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_token_count(spark, sf_dir):
+    from trustgraph_spark.operators.textstats import token_count
+
+    df = token_count(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        F.col("n_tokens_bpeish").cast("long").alias("n_tokens_bpeish"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    from trustgraph_spark.operators.textstats import quality_score
+
+    df = quality_score(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "alpha_ratio",
+    )
+
+
+def q_language_id(spark, sf_dir):
+    from trustgraph_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from trustgraph_spark.operators.embeddings import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    out = cosine_topk(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding"
+    )
+    return out.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn(
+            "new_s",
+            F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn("session_idx", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("session_start"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events", "session_start", "total_value",
+    )
+
+
+def q_events_window_agg(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_mentions": q_kg_mentions,
+        "kg_label_triples": q_kg_label_triples,
+        "kg_cooccur_edges": q_kg_cooccur_edges,
+        "kg_quads_by_entity": q_kg_quads_by_entity,
+        "kg_nodes_degree": q_kg_nodes_degree,
+        "kg_pattern_po": q_kg_pattern_po,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "events_sessionize": q_events_sessionize,
+        "events_window_agg": q_events_window_agg,
+        "pricing_summary": q_pricing_summary,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_MENTIONS_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), mentions AS (
+  SELECT DISTINCT doc_id, token AS entity FROM toks
+  WHERE token IN ({_VOCAB_SQL})
+)
+"""
+
+_COOCCUR_CTE = _MENTIONS_CTE + f"""
+, cooccur AS (
+  SELECT '{TG}' || a.entity AS s,
+         '{CO_URI}' AS p,
+         '{TG}' || b.entity AS o,
+         count(*)::BIGINT AS n_docs
+  FROM mentions a JOIN mentions b USING (doc_id)
+  WHERE a.entity < b.entity
+  GROUP BY 1, 2, 3
+)
+"""
+
+_NORM_TOKS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), "
+    "x -> x <> '')"
+)
+
+_SHINGLES_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, {_NORM_TOKS} AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                                 i -> array_to_string(tk[i:i+2], ' '))) AS shingle
+    FROM toks
+  )
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["kg_mentions"] = _MENTIONS_CTE + "SELECT doc_id, entity FROM mentions"
+
+    sql["kg_label_triples"] = _MENTIONS_CTE + (
+        f"SELECT DISTINCT '{TG}' || entity AS s, '{RDF_LABEL}' AS p, "
+        "entity AS o, 'l' AS otype FROM mentions"
+    )
+
+    sql["kg_cooccur_edges"] = _COOCCUR_CTE + "SELECT s, p, o, n_docs FROM cooccur"
+
+    sql["kg_quads_by_entity"] = _COOCCUR_CTE + f"""
+, quads AS (
+  SELECT s, p, o FROM cooccur
+  UNION ALL
+  SELECT DISTINCT '{TG}' || entity AS s, '{RDF_LABEL}' AS p, entity AS o
+  FROM mentions
+)
+SELECT s AS entity, 'S' AS role, s, p, o FROM quads
+UNION ALL
+SELECT p AS entity, 'P' AS role, s, p, o FROM quads
+UNION ALL
+SELECT o AS entity, 'O' AS role, s, p, o FROM quads
+"""
+
+    sql["kg_nodes_degree"] = _COOCCUR_CTE + f"""
+, quads AS (
+  SELECT s, p, o, 'u' AS otype FROM cooccur
+  UNION ALL
+  SELECT DISTINCT '{TG}' || entity AS s, '{RDF_LABEL}' AS p, entity AS o,
+         'l' AS otype
+  FROM mentions
+), ents AS (
+  SELECT s AS entity FROM quads
+  UNION ALL
+  SELECT o AS entity FROM quads WHERE otype = 'u'
+), degree AS (
+  SELECT entity, count(*)::BIGINT AS degree FROM ents GROUP BY entity
+), labels AS (
+  SELECT s AS entity, min(o) AS label FROM quads
+  WHERE p = '{RDF_LABEL}' GROUP BY s
+)
+SELECT d.entity, l.label, d.degree
+FROM degree d LEFT JOIN labels l USING (entity)
+"""
+
+    sql["kg_pattern_po"] = _COOCCUR_CTE + (
+        f"SELECT s FROM cooccur WHERE p = '{CO_URI}' AND o = '{TG}spark'"
+    )
+
+    sql["dedup_exact_groups"] = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+       count(*)::BIGINT AS n_docs,
+       min(doc_id) AS representative
+FROM documents GROUP BY 1
+"""
+
+    sql["dedup_ngram_jaccard"] = _SHINGLES_CTE + """
+, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+, inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.3
+"""
+
+    band_exprs = ",\n    ".join(
+        "array_to_string(sig[{start}:{end}], '|') AS band{i}".format(
+            start=i * 4 + 1, end=i * 4 + 4, i=i
+        )
+        for i in range(4)
+    )
+    hash_exprs = ", ".join(
+        f"min(md5(shingle || '#{i}'))" for i in range(16)
+    )
+    sql["dedup_minhash_lsh"] = _SHINGLES_CTE + f"""
+, sig AS (
+  SELECT doc_id, [{hash_exprs}] AS sig
+  FROM sh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, band, band_sig FROM (
+    SELECT doc_id, {band_exprs} FROM sig
+  ) UNPIVOT (band_sig FOR band IN (band0, band1, band2, band3))
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b USING (band, band_sig)
+WHERE a.doc_id < b.doc_id
+"""
+
+    sql["doc_fingerprint"] = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_NORM_TOKS})), ' ')) AS fingerprint
+FROM documents
+"""
+
+    sql["token_count"] = f"""
+SELECT doc_id,
+       len({_NORM_TOKS})::BIGINT AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+         AS n_tokens_bpeish,
+       length(text)::BIGINT AS n_chars
+FROM documents
+"""
+
+    stop_list = ", ".join(
+        f"'{w}'"
+        for w in [
+            "the", "and", "of", "to", "is", "in", "that", "it", "for", "was",
+            "a", "an", "on", "at", "by", "with", "as", "be",
+        ]
+    )
+    sql["quality_score"] = f"""
+WITH t AS (SELECT doc_id, text, {_NORM_TOKS} AS tk FROM documents)
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(tk)::BIGINT AS n_tokens,
+       round(CASE WHEN len(tk) > 0
+         THEN list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk)
+         ELSE 0.0 END, 4) AS mean_token_len,
+       round(CASE WHEN len(tk) > 0
+         THEN len(list_filter(tk, x -> x IN ({stop_list})))::DOUBLE / len(tk)
+         ELSE 0.0 END, 4) AS stopword_ratio,
+       round(CASE WHEN length(text) > 0
+         THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+              / length(text) ELSE 0.0 END, 4) AS punct_ratio,
+       round(CASE WHEN length(text) > 0
+         THEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+              / length(text) ELSE 0.0 END, 4) AS alpha_ratio
+FROM t
+"""
+
+    lang_markers = {
+        "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+        "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
+        "es": ["el", "la", "los", "y", "es", "en", "que", "por", "una", "para"],
+        "fr": ["le", "la", "les", "et", "est", "dans", "que", "pour", "une", "des"],
+    }
+    hit_defs = ",\n  ".join(
+        "len(list_filter(tk, x -> x IN ({lst}))) AS h_{lang}".format(
+            lst=", ".join(f"'{w}'" for w in ws), lang=lang
+        )
+        for lang, ws in lang_markers.items()
+    )
+    langs = sorted(lang_markers)
+    cases = []
+    for lang in langs:
+        conds = [f"h_{lang} > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">" if other < lang else ">="
+            conds.append(f"h_{lang} {op} h_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    sql["language_id"] = f"""
+WITH t AS (SELECT doc_id, text, {_NORM_TOKS} AS tk FROM documents),
+h AS (SELECT doc_id, text,
+  {hit_defs}
+FROM t)
+SELECT doc_id,
+  CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 2 > length(text)
+       THEN 'zh' ELSE {case_sql} END AS lang_pred
+FROM h
+"""
+
+    sql["ann_cosine_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         list_cosine_similarity(v.embedding::DOUBLE[], q.qv::DOUBLE[]) AS raw
+  FROM embeddings v, q
+)
+SELECT query_id, neighbor_id, round(raw, 4) AS score
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY raw DESC, neighbor_id ASC) <= 5
+"""
+
+    sql["events_sessionize"] = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM o
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*)::BIGINT AS n_events,
+       floor(epoch(min(ts)))::BIGINT AS session_start,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+    sql["events_window_agg"] = """
+SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS hour_start, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    return sql

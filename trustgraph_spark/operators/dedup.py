@@ -1,0 +1,208 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's PK-dedup (exact quad dedup, cassandra_kg.py:620,637),
+these are the document-level dedup family a 100 TB corpus pipeline needs:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All operators are pure DataFrame programs (portable to a DuckDB oracle):
+hashing uses md5 (identical in Spark and DuckDB), tokenization is
+whitespace split. Pair generation is always blocked/bucketed — never an
+unblocked cross join — so the shuffle is bounded by bucket sizes at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text_col(col):
+    """lower + collapse whitespace; the canonical form for exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup_groups(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text: hash-groupBy (one
+    shuffle on the 32-char digest, map-side combinable). Returns groups with
+    >1 member: (text_hash, n_docs, representative=min id)."""
+    return (
+        documents.select(
+            F.col(id_col), F.md5(normalize_text_col(F.col(text_col))).alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("representative"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def shingles(documents: DataFrame, id_col="doc_id", text_col="text", n: int = 3) -> DataFrame:
+    """Token n-gram shingles per document: split -> sliding window via
+    sequence/slice -> explode. Pure column expressions."""
+    toks = F.split(normalize_text_col(F.col(text_col)), " ")
+    # guard: Spark sequence(1, 0) counts DOWN; short docs need an empty list
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return documents.select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by shingle-set Jaccard: inverted-index join on
+    shingle (each shingle a blocking key; hot shingles above
+    max_shingle_freq dropped as stop-shingles), count intersections per
+    pair, then |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
+
+    The pair space is bounded by per-shingle doc frequency — this is the
+    scalable MinHash-free exact-Jaccard path for moderate doc sizes."""
+    sh = shingles(documents, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh_kept = sh.join(
+        F.broadcast(freq.where(F.col("df") > max_shingle_freq).select("shingle")),
+        "shingle",
+        "left_anti",
+    )
+
+    a = sh_kept.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh_kept.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures over token shingles: h_i(doc) = min over shingles
+    of md5(shingle || '#i'). md5 is portable (identical in DuckDB), min is
+    a map-side-combinable agg. Output: (id, sig array<string>[num_hashes])."""
+    sh = shingles(documents, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: slice the signature into ``bands`` bands
+    of num_hashes/bands rows, bucket-join on (band index, band value) —
+    a pair collides if ANY band matches. Returns distinct (id_a, id_b)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.array_join(
+                        F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band), "|"
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprints: per token take md5-derived bit pattern, sum
+    +1/-1 per bit position weighted by term frequency, sign -> bit.
+    Expressed as token explode + per-bit conditional agg (no UDF).
+    Output: (id, simhash bigint)."""
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text_col(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    # 32 hex chars = 128 bits; take the low `bits` via conv of hex nibbles
+    hashed = toks.withColumn("h", F.md5(F.col("tok")))
+    aggs = []
+    for i in range(bits):
+        nibble = F.conv(F.substring("h", (i // 4) + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(nibble, i % 4).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{i}"))
+    sums = hashed.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: bucket by
+    hyperplane signature then exact cosine within buckets — the blocked
+    self-join never goes all-pairs."""
+    from .embeddings import _cosine_expr, lsh_signature_col, random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes)
+    v = embeddings.withColumn("bucket", lsh_signature_col(F.col(vec_col), planes))
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket")
+    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", _cosine_expr(F.col("vec_a"), F.col("vec_b")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -184,25 +184,39 @@ def extract_relationships(chunks: DataFrame, extractor: Extractor) -> DataFrame:
     )
 
 
-def _triple_row(collection, s, p, o, otype, chunk_id, root_id):
-    return [
-        collection.alias("collection"),
+def _triple_struct(s, p, o, otype):
+    return F.struct(s.alias("s"), p.alias("p"), o.alias("o"), otype.alias("otype"))
+
+
+def _explode_triples(df: DataFrame, triples_arr) -> DataFrame:
+    """One-pass triple explosion: df + array<struct<s,p,o,otype>> ->
+    flat TRIPLES_SCHEMA rows. array_compact drops conditional (null)
+    entries. A single narrow projection — no repeated subplan scans."""
+    return df.select(
+        F.col("collection"),
         F.lit(DEFAULT_GRAPH).alias("g"),
-        s.alias("s"),
-        p.alias("p"),
-        o.alias("o"),
-        otype.alias("otype"),
+        F.explode(F.array_compact(triples_arr)).alias("t"),
+        F.col("chunk_id"),
+        F.col("root_id"),
+    ).select(
+        "collection",
+        "g",
+        F.col("t.s").alias("s"),
+        F.col("t.p").alias("p"),
+        F.col("t.o").alias("o"),
+        F.col("t.otype").alias("otype"),
         F.lit("").alias("dtype"),
         F.lit("").alias("lang"),
-        chunk_id.alias("chunk_id"),
-        root_id.alias("root_id"),
-    ]
+        "chunk_id",
+        "root_id",
+    )
 
 
 def definitions_to_triples(defs: DataFrame) -> DataFrame:
     """Reference post-processing (definitions/extract.py:158-201): per valid
     object, a label triple and a skos:definition triple. Empty-string and
-    NULL entity/definition rows are skipped (``:163-167``)."""
+    NULL entity/definition rows are skipped (``:163-167``). Single pass:
+    one URI-minting Arrow call, one explode."""
     d = defs.where(
         F.col("entity").isNotNull()
         & (F.col("entity") != "")
@@ -210,29 +224,15 @@ def definitions_to_triples(defs: DataFrame) -> DataFrame:
         & (F.col("definition") != "")
     ).withColumn("s_uri", to_uri_udf(F.col("entity")))
 
-    label = d.select(
-        *_triple_row(
-            F.col("collection"),
-            F.col("s_uri"),
-            F.lit(RDF_LABEL),
-            F.col("entity"),
-            F.lit(OTYPE_LITERAL),
-            F.col("chunk_id"),
-            F.col("root_id"),
-        )
+    arr = F.array(
+        _triple_struct(
+            F.col("s_uri"), F.lit(RDF_LABEL), F.col("entity"), F.lit(OTYPE_LITERAL)
+        ),
+        _triple_struct(
+            F.col("s_uri"), F.lit(DEFINITION), F.col("definition"), F.lit(OTYPE_LITERAL)
+        ),
     )
-    defn = d.select(
-        *_triple_row(
-            F.col("collection"),
-            F.col("s_uri"),
-            F.lit(DEFINITION),
-            F.col("definition"),
-            F.lit(OTYPE_LITERAL),
-            F.col("chunk_id"),
-            F.col("root_id"),
-        )
-    )
-    return label.unionByName(defn)
+    return _explode_triples(d, arr)
 
 
 def definitions_entity_contexts(defs: DataFrame) -> DataFrame:
@@ -273,38 +273,26 @@ def relationships_to_triples(rels: DataFrame) -> DataFrame:
         F.when(F.col("object_entity"), to_uri_udf(F.col("object"))).alias("o_uri"),
     )
 
-    rel = r.select(
-        *_triple_row(
-            F.col("collection"),
+    arr = F.array(
+        _triple_struct(
             F.col("s_uri"),
             F.col("p_uri"),
             F.when(F.col("object_entity"), F.col("o_uri")).otherwise(F.col("object")),
             F.when(F.col("object_entity"), F.lit(OTYPE_URI)).otherwise(
                 F.lit(OTYPE_LITERAL)
             ),
-            F.col("chunk_id"),
-            F.col("root_id"),
-        )
+        ),
+        _triple_struct(
+            F.col("s_uri"), F.lit(RDF_LABEL), F.col("subject"), F.lit(OTYPE_LITERAL)
+        ),
+        _triple_struct(
+            F.col("p_uri"), F.lit(RDF_LABEL), F.col("predicate"), F.lit(OTYPE_LITERAL)
+        ),
+        F.when(
+            F.col("object_entity"),
+            _triple_struct(
+                F.col("o_uri"), F.lit(RDF_LABEL), F.col("object"), F.lit(OTYPE_LITERAL)
+            ),
+        ),
     )
-    s_label = r.select(
-        *_triple_row(
-            F.col("collection"), F.col("s_uri"), F.lit(RDF_LABEL),
-            F.col("subject"), F.lit(OTYPE_LITERAL),
-            F.col("chunk_id"), F.col("root_id"),
-        )
-    )
-    p_label = r.select(
-        *_triple_row(
-            F.col("collection"), F.col("p_uri"), F.lit(RDF_LABEL),
-            F.col("predicate"), F.lit(OTYPE_LITERAL),
-            F.col("chunk_id"), F.col("root_id"),
-        )
-    )
-    o_label = r.where(F.col("object_entity")).select(
-        *_triple_row(
-            F.col("collection"), F.col("o_uri"), F.lit(RDF_LABEL),
-            F.col("object"), F.lit(OTYPE_LITERAL),
-            F.col("chunk_id"), F.col("root_id"),
-        )
-    )
-    return rel.unionByName(s_label).unionByName(p_label).unionByName(o_label)
+    return _explode_triples(r, arr)

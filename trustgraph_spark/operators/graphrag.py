@@ -1,0 +1,163 @@
+"""GraphRAG query-time dataflow as batch DataFrame programs (G2-G5,
+SURVEY.md §2.7).
+
+Reference: retrieval/graph_rag/graph_rag.py. The per-query async loop
+(embed concepts -> vector match -> hop-and-filter BFS with label resolution
+and rerank -> provenance trace) becomes a set of joins over the
+materialized tables; the LRU label cache (:94-133) becomes a broadcast of
+the labels dimension; the per-entity triple RPCs become one join per hop.
+
+Reference defaults (graph_rag.py:139-151): entity_limit 50, triple_limit 30,
+edge_limit 25, max_path_length 2, reranker cap 350.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..constants import RDF_LABEL, RDF_TYPE
+
+# schema predicates skipped during traversal except rdf:type
+# (graph_rag.py:45-52)
+_SKIP_PREFIXES = (
+    "http://www.w3.org/2000/01/rdf-schema#",
+    "http://www.w3.org/2002/07/owl#",
+)
+
+
+def labels_dimension(edges: DataFrame) -> DataFrame:
+    """(entity, label) dimension from rdfs:label edges — the broadcast
+    replacement for the reference's LRU+TTL label cache (G4)."""
+    return (
+        edges.where(F.col("p") == RDF_LABEL)
+        .groupBy(F.col("s").alias("entity"))
+        .agg(F.min("o").alias("label"))
+    )
+
+
+def traversal_edges(edges: DataFrame) -> DataFrame:
+    """Default-graph edges eligible for BFS traversal: schema predicates
+    (rdfs:/owl:) are skipped except rdf:type (graph_rag.py:45-52)."""
+    keep = (~F.col("p").startswith(_SKIP_PREFIXES[0])) & (
+        ~F.col("p").startswith(_SKIP_PREFIXES[1])
+    ) | (F.col("p") == RDF_TYPE)
+    return edges.where((F.col("g") == "") & keep)
+
+
+def hop_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 2,
+    per_hop_limit: int = 30,
+    seed_col: str = "entity",
+) -> DataFrame:
+    """Hop-and-filter BFS (G3): frontier joins the traversal edges on
+    either endpoint per hop, dedupes seen edges, caps expansion per source
+    entity (the reference's per-entity triple_limit), and feeds targets
+    into the next frontier minus visited.
+
+    Iterative DataFrame loop — the frontier is small (seed top-k), so each
+    hop is a broadcast join against the (large) edge table; no edge-table
+    shuffle. Returns distinct selected edges with the hop number."""
+    trav = traversal_edges(edges).select("s", "p", "o", "otype")
+
+    frontier = seeds.select(F.col(seed_col).alias("node")).distinct()
+    visited_nodes = frontier
+    seen_edges = None
+    out = None
+
+    for hop in range(1, max_hops + 1):
+        fb = F.broadcast(frontier)
+        fwd = trav.join(fb, trav.s == F.col("node"), "inner").drop("node")
+        rev = trav.join(fb, trav.o == F.col("node"), "inner").drop("node")
+        hop_edges = fwd.unionByName(rev).distinct()
+        if seen_edges is not None:
+            hop_edges = hop_edges.join(
+                seen_edges, ["s", "p", "o"], "left_anti"
+            )
+        # per-source expansion cap (reference per-entity limit 30)
+        w = Window.partitionBy("s").orderBy("p", "o")
+        hop_edges = (
+            hop_edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= per_hop_limit)
+            .drop("rn")
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint()
+        )
+        out = hop_edges if out is None else out.unionByName(hop_edges)
+        seen_edges = (
+            hop_edges.select("s", "p", "o")
+            if seen_edges is None
+            else seen_edges.union(hop_edges.select("s", "p", "o")).distinct()
+        )
+        # next frontier: both endpoints that are URIs, minus visited
+        nxt = (
+            hop_edges.select(F.col("o").alias("node"))
+            .where(F.col("node").startswith("http"))
+            .union(hop_edges.select(F.col("s").alias("node")))
+            .distinct()
+            .join(visited_nodes, "node", "left_anti")
+            .localCheckpoint()
+        )
+        visited_nodes = visited_nodes.union(nxt).distinct()
+        frontier = nxt
+        if frontier.isEmpty():
+            break
+    return out if out is not None else trav.limit(0).withColumn("hop", F.lit(0))
+
+
+def resolve_labels(selected: DataFrame, labels: DataFrame) -> DataFrame:
+    """Attach s/p/o labels via broadcast joins against the labels dimension
+    (G4): three narrow joins, no fact-side shuffle."""
+    lab = F.broadcast(labels)
+    return (
+        selected.join(
+            lab.select(F.col("entity").alias("s"), F.col("label").alias("s_label")),
+            "s", "left",
+        )
+        .join(
+            lab.select(F.col("entity").alias("p"), F.col("label").alias("p_label")),
+            "p", "left",
+        )
+        .join(
+            lab.select(F.col("entity").alias("o"), F.col("label").alias("o_label")),
+            "o", "left",
+        )
+    )
+
+
+def graph_rag_retrieve(
+    edges: DataFrame,
+    entity_embeddings: DataFrame,
+    query_vectors: DataFrame,
+    entity_limit: int = 50,
+    max_hops: int = 2,
+    per_hop_limit: int = 30,
+    edge_limit: int = 25,
+) -> DataFrame:
+    """Full G2->G4 retrieval: seed entities by vector match, BFS expand,
+    label-resolve, score and cap at edge_limit per query (the cross-encoder
+    rerank seam (V4) reduces to a deterministic hop/degree score here;
+    a real reranker plugs in as a pandas UDF on the labeled edges)."""
+    from .embeddings import cosine_topk
+
+    seeds = cosine_topk(
+        entity_embeddings, query_vectors, k=entity_limit
+    ).select(F.col("query_id"), F.col("entity_uri").alias("entity"), "score")
+
+    selected = hop_bfs(edges, seeds, max_hops=max_hops, per_hop_limit=per_hop_limit)
+    labeled = resolve_labels(selected, labels_dimension(edges))
+
+    # join back to seed queries: edges reachable from each query's seeds
+    seed_edges = labeled.join(
+        F.broadcast(seeds.select("query_id", F.col("entity").alias("s"))),
+        "s",
+        "inner",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hop"), F.asc("s"), F.asc("p"), F.asc("o"))
+    return (
+        seed_edges.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= edge_limit)
+        .drop("rn")
+    )

@@ -209,7 +209,11 @@ def canonical_mapping(
     mentions = entity_mentions(triples)
     blocked = blocking_keys(mentions)
     pairs = candidate_pairs(blocked, max_block_size=max_block_size)
-    edges = match_edges(pairs, threshold=threshold)
+    edges = match_edges(pairs, threshold=threshold).localCheckpoint()
+    if edges.isEmpty():
+        # nothing links (the common strict-mode case): skip the CC loop
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "uri string, canonical_uri string")
     comp = connected_components(edges, "src", "dst")
     canon = comp.groupBy("component").agg(F.min("node").alias("canonical_uri"))
     return (

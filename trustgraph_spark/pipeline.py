@@ -1,0 +1,273 @@
+"""End-to-end KG-construction pipeline with lineage + checkpoint resume.
+
+The Spark shape of the reference ingest dataflow (SURVEY.md §3.1):
+
+    transcripts -> chunks -> extract (definitions ∪ relationships)
+    -> [provenance] -> link/canonicalize -> materialize
+       edges / quads_by_entity / nodes / entity_contexts
+
+Each stage writes a parquet "table" under a warehouse directory (stand-in
+for Iceberg — the Iceberg runtime jar is not in this image; the layout and
+commit protocol are identical: write-then-atomic-rename ≈ snapshot commit)
+plus a `_lineage` row keyed by (run stage, input fingerprint). A rerun
+whose stage inputs are unchanged skips the stage and reuses its output —
+checkpoint-based resumability per the north_rule. The reference analog is
+per-processor Prometheus metrics + librarian-tracked document state
+(extract/kg/extract_metrics.py:4-27).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.chunking import assemble_turn_chunks
+from .operators.extract import (
+    Extractor,
+    RuleExtractor,
+    definitions_entity_contexts,
+    definitions_to_triples,
+    extract_definitions,
+    extract_relationships,
+    relationships_to_triples,
+)
+from .operators.linking import canonical_mapping, canonicalize_triples
+from .operators.materialize import (
+    materialize_edges,
+    materialize_nodes,
+    materialize_quads_by_entity,
+)
+from .operators.provenance import subgraph_provenance_triples
+
+LINEAGE_DIR = "_lineage"
+
+
+@dataclass
+class PipelineConfig:
+    warehouse: str
+    collection: str = "default"
+    with_provenance: bool = True
+    with_linking: bool = True
+    linking_threshold: float = 0.95
+    extractor: Extractor = field(default_factory=RuleExtractor)
+    # partitions for the big shuffle stages; on a cluster: ~2-3x total cores
+    shuffle_partitions: int | None = None
+
+
+def _fingerprint_df(df: DataFrame) -> str:
+    """Source fingerprint: hash of the analyzed plan string (normalized of
+    session-global expression ids) + row count. The count on a parquet
+    source is footer-metadata-only. With Iceberg this would simply be the
+    input snapshot id."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    # strip session-global expression ids (#123) — not content
+    plan = re.sub(r"#\d+", "#", plan)
+    n = df.count()
+    return hashlib.sha256(f"{plan}|{n}".encode()).hexdigest()[:16]
+
+
+class Warehouse:
+    """Parquet-backed table namespace with atomic-rename commits and a
+    lineage log. API mirrors what an Iceberg catalog would provide."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(os.path.join(self.path(table), "_SUCCESS"))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        tmp = self.path(table) + ".__tmp__"
+        final = self.path(table)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
+    # --- lineage ---
+
+    def _lineage_path(self) -> str:
+        return os.path.join(self.root, LINEAGE_DIR)
+
+    def log_lineage(self, run_id: str, stage: str, fingerprint: str,
+                    rows: int, partitions: int, wall: float, extra: dict | None = None):
+        rec = {
+            "run_id": run_id,
+            "stage": stage,
+            "input_fingerprint": fingerprint,
+            "output_rows": rows,
+            "num_partitions": partitions,
+            "wall_sec": round(wall, 3),
+            "extra": json.dumps(extra or {}),
+        }
+        os.makedirs(self._lineage_path(), exist_ok=True)
+        fname = os.path.join(self._lineage_path(), f"{stage}.json")
+        with open(fname, "w") as f:
+            json.dump(rec, f)
+
+    def stage_lineage(self, stage: str) -> dict | None:
+        fname = os.path.join(self._lineage_path(), f"{stage}.json")
+        if not os.path.exists(fname):
+            return None
+        with open(fname) as f:
+            return json.load(f)
+
+    def lineage(self) -> list[dict]:
+        out = []
+        d = self._lineage_path()
+        if os.path.isdir(d):
+            for fn in sorted(os.listdir(d)):
+                with open(os.path.join(d, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+
+class Pipeline:
+    """Stage-wise runner: each stage is (name, input fingerprint, builder).
+    If the warehouse already holds the stage output for the same input
+    fingerprint, the stage is skipped and the stored output is reused —
+    resume-from-checkpoint after interruption or partial failure."""
+
+    def __init__(self, spark: SparkSession, config: PipelineConfig):
+        self.spark = spark
+        self.config = config
+        self.wh = Warehouse(spark, config.warehouse)
+        self.metrics: dict[str, dict] = {}
+        # stage -> output fingerprint (chained: input fp + stage + rows)
+        self._stage_fps: dict[str, str] = {}
+
+    def _run_stage(
+        self,
+        run_id: str,
+        stage: str,
+        input_df: DataFrame,
+        build,
+        deps: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """deps: upstream stage names whose output fingerprints identify
+        this stage's input; stages with no deps (roots) fingerprint the
+        input DataFrame itself."""
+        if deps:
+            fp_in = ":".join(f"{d}={self._stage_fps[d]}" for d in deps)
+        else:
+            fp_in = _fingerprint_df(input_df)
+        fp = hashlib.sha256(f"{stage}|{fp_in}".encode()).hexdigest()[:16]
+
+        prev = self.wh.stage_lineage(stage)
+        if prev and prev["input_fingerprint"] == fp and self.wh.exists(stage):
+            self.metrics[stage] = {"skipped": True, "rows": prev["output_rows"]}
+            self._stage_fps[stage] = hashlib.sha256(
+                f"{fp}|{prev['output_rows']}".encode()
+            ).hexdigest()[:16]
+            return self.wh.read(stage)
+
+        t0 = time.monotonic()
+        out = build(input_df)
+        self.wh.write(out, stage, partition_by=partition_by)
+        stored = self.wh.read(stage)
+        rows = stored.count()
+        wall = time.monotonic() - t0
+        nparts = stored.rdd.getNumPartitions()
+        self.wh.log_lineage(run_id, stage, fp, rows, nparts, wall)
+        self.metrics[stage] = {"skipped": False, "rows": rows, "wall_sec": round(wall, 3)}
+        self._stage_fps[stage] = hashlib.sha256(
+            f"{fp}|{rows}".encode()
+        ).hexdigest()[:16]
+        return stored
+
+    def run(self, transcripts: DataFrame, run_id: str = "run-0") -> dict[str, DataFrame]:
+        cfg = self.config
+        ex = cfg.extractor
+
+        chunks = self._run_stage(
+            run_id, "chunks", transcripts,
+            lambda df: assemble_turn_chunks(df, cfg.collection),
+        )
+
+        defs = self._run_stage(
+            run_id, "definitions", chunks,
+            lambda df: extract_definitions(df, ex), deps=["chunks"],
+        )
+        rels = self._run_stage(
+            run_id, "relationships", chunks,
+            lambda df: extract_relationships(df, ex), deps=["chunks"],
+        )
+
+        content = self._run_stage(
+            run_id, "content_triples", defs,
+            lambda _: definitions_to_triples(defs).unionByName(
+                relationships_to_triples(rels)
+            ),
+            deps=["definitions", "relationships"],
+        )
+
+        ec = self._run_stage(
+            run_id, "entity_contexts", defs,
+            lambda df: definitions_entity_contexts(df), deps=["definitions"],
+        )
+
+        triples = content
+        triple_deps = ["content_triples"]
+        if cfg.with_provenance:
+            prov = self._run_stage(
+                run_id, "provenance_triples", content,
+                lambda df: subgraph_provenance_triples(df, "kg-extract"),
+                deps=["content_triples"],
+            )
+            triples = content.unionByName(prov)
+            triple_deps.append("provenance_triples")
+
+        if cfg.with_linking:
+            mapping = self._run_stage(
+                run_id, "canonical_mapping", content,
+                lambda df: canonical_mapping(df, threshold=cfg.linking_threshold),
+                deps=["content_triples"],
+            )
+            triples = canonicalize_triples(triples, mapping)
+            triple_deps.append("canonical_mapping")
+
+        edges = self._run_stage(
+            run_id, "edges", triples, materialize_edges, deps=triple_deps
+        )
+        quads = self._run_stage(
+            run_id, "quads_by_entity", edges, materialize_quads_by_entity,
+            deps=["edges"],
+        )
+        nodes = self._run_stage(
+            run_id, "nodes", edges, materialize_nodes, deps=["edges"]
+        )
+
+        return {
+            "chunks": chunks,
+            "entity_contexts": ec,
+            "edges": edges,
+            "quads_by_entity": quads,
+            "nodes": nodes,
+        }
+
+
+def run_pipeline(
+    spark: SparkSession, transcripts: DataFrame, warehouse: str, **kwargs
+) -> dict[str, DataFrame]:
+    cfg = PipelineConfig(warehouse=warehouse, **kwargs)
+    return Pipeline(spark, cfg).run(transcripts)
