@@ -34,7 +34,7 @@ def test_pipeline_end_to_end(spark, tiny_transcripts, warehouse):
     # per-stage lineage recorded with metrics
     lineage = pipe.wh.lineage()
     stages = {l["stage"] for l in lineage}
-    assert {"chunks", "definitions", "relationships", "content_triples",
+    assert {"chunks", "extractions", "content_triples",
             "edges", "quads_by_entity", "nodes"} <= stages
     assert all(l["output_rows"] >= 0 and l["wall_sec"] >= 0 for l in lineage)
 

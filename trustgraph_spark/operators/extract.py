@@ -157,6 +157,75 @@ def extract_definitions(chunks: DataFrame, extractor: Extractor) -> DataFrame:
     )
 
 
+_ALL_OUT_SCHEMA = (
+    "chunk_id string, root_id string, collection string, kind string, "
+    "entity string, definition string, "
+    "subject string, predicate string, object string, object_entity boolean"
+)
+
+
+def extract_all(chunks: DataFrame, extractor: Extractor) -> DataFrame:
+    """Single-pass extraction: run both extractors over each Arrow batch in
+    ONE mapInPandas scan of the chunks, emitting kind-tagged rows
+    ('def' | 'rel'). Halves the Python/scan cost vs two separate passes;
+    the pipeline splits the persisted output with cheap filters."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["chunk_id", "root_id", "collection", "kind", "entity",
+                "definition", "subject", "predicate", "object", "object_entity"]
+        for pdf in batches:
+            base = pdf[["chunk_id", "root_id", "collection"]]
+
+            d = base.copy()
+            d["obj"] = extractor.extract_definitions(pdf["text"])
+            d = d.explode("obj").dropna(subset=["obj"])
+            if len(d):
+                d["kind"] = "def"
+                d["entity"] = d["obj"].str.get("entity")
+                d["definition"] = d["obj"].str.get("definition")
+                d["subject"] = None
+                d["predicate"] = None
+                d["object"] = None
+                d["object_entity"] = None
+
+            r = base.copy()
+            r["obj"] = extractor.extract_relationships(pdf["text"])
+            r = r.explode("obj").dropna(subset=["obj"])
+            if len(r):
+                r["kind"] = "rel"
+                r["entity"] = None
+                r["definition"] = None
+                r["subject"] = r["obj"].str.get("subject")
+                r["predicate"] = r["obj"].str.get("predicate")
+                r["object"] = r["obj"].str.get("object")
+                r["object_entity"] = r["obj"].map(
+                    lambda o: bool(o.get("object-entity", True))
+                )
+
+            parts = [x[cols] for x in (d, r) if len(x)]
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+            else:
+                yield pd.DataFrame(columns=cols)
+
+    return chunks.select("chunk_id", "root_id", "collection", "text").mapInPandas(
+        gen, schema=_ALL_OUT_SCHEMA
+    )
+
+
+def split_extractions(extractions: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """kind-tagged extraction rows -> (defs, rels) in the per-extractor
+    schemas expected by the triple constructors."""
+    defs = extractions.where(F.col("kind") == "def").select(
+        "chunk_id", "root_id", "collection", "entity", "definition"
+    )
+    rels = extractions.where(F.col("kind") == "rel").select(
+        "chunk_id", "root_id", "collection",
+        "subject", "predicate", "object", "object_entity",
+    )
+    return defs, rels
+
+
 def extract_relationships(chunks: DataFrame, extractor: Extractor) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["chunk_id", "root_id", "collection", "subject", "predicate",

@@ -82,9 +82,12 @@ def materialize_nodes(edges: DataFrame) -> DataFrame:
         .groupBy("collection", F.col("s").alias("entity"))
         .agg(F.min("o").alias("label"))
     )
-    return degree.join(labels, ["collection", "entity"], "left").select(
-        "collection", "entity", "label", "degree"
-    )
+    # labels can be millions of rows (provenance activity labels) — a
+    # broadcast would serialize through the driver; shuffle-hash co-locates
+    # on the same (collection, entity) key as the degree agg instead.
+    return degree.join(
+        labels.hint("shuffle_hash"), ["collection", "entity"], "left"
+    ).select("collection", "entity", "label", "degree")
 
 
 def write_amplification_check(edges: DataFrame, quads: DataFrame) -> dict:

@@ -35,9 +35,9 @@ from .operators.extract import (
     RuleExtractor,
     definitions_entity_contexts,
     definitions_to_triples,
-    extract_definitions,
-    extract_relationships,
+    extract_all,
     relationships_to_triples,
+    split_extractions,
 )
 from .operators.linking import canonical_mapping, canonicalize_triples
 from .operators.materialize import (
@@ -60,6 +60,11 @@ class PipelineConfig:
     extractor: Extractor = field(default_factory=RuleExtractor)
     # partitions for the big shuffle stages; on a cluster: ~2-3x total cores
     shuffle_partitions: int | None = None
+    # True: every stage commits to the warehouse (resumable, the production
+    # default). False: stages persist in memory/disk cache only — the
+    # compute-bound path for throughput benchmarking; lineage/metrics are
+    # still recorded per stage.
+    checkpointing: bool = True
 
 
 def _fingerprint_df(df: DataFrame) -> str:
@@ -173,6 +178,26 @@ class Pipeline:
             fp_in = _fingerprint_df(input_df)
         fp = hashlib.sha256(f"{stage}|{fp_in}".encode()).hexdigest()[:16]
 
+        if not self.config.checkpointing:
+            from pyspark import StorageLevel
+
+            t0 = time.monotonic()
+            out = build(input_df).persist(StorageLevel.MEMORY_AND_DISK)
+            rows = out.count()
+            wall = time.monotonic() - t0
+            # plan barrier: Dataset.union flattens nested Unions EAGERLY at
+            # construction, so a cached stage whose plan root is a Union
+            # would never match its cache entry when unioned downstream —
+            # silently re-executing the extraction UDFs. Filter(true) blocks
+            # the flattening; the optimizer removes it after cache lookup.
+            out = out.where(F.lit(True))
+            self.wh.log_lineage(run_id, stage, fp, rows, out.rdd.getNumPartitions(), wall)
+            self.metrics[stage] = {"skipped": False, "rows": rows, "wall_sec": round(wall, 3)}
+            self._stage_fps[stage] = hashlib.sha256(
+                f"{fp}|{rows}".encode()
+            ).hexdigest()[:16]
+            return out
+
         prev = self.wh.stage_lineage(stage)
         if prev and prev["input_fingerprint"] == fp and self.wh.exists(stage):
             self.metrics[stage] = {"skipped": True, "rows": prev["output_rows"]}
@@ -204,26 +229,23 @@ class Pipeline:
             lambda df: assemble_turn_chunks(df, cfg.collection),
         )
 
-        defs = self._run_stage(
-            run_id, "definitions", chunks,
-            lambda df: extract_definitions(df, ex), deps=["chunks"],
+        extractions = self._run_stage(
+            run_id, "extractions", chunks,
+            lambda df: extract_all(df, ex), deps=["chunks"],
         )
-        rels = self._run_stage(
-            run_id, "relationships", chunks,
-            lambda df: extract_relationships(df, ex), deps=["chunks"],
-        )
+        defs, rels = split_extractions(extractions)
 
         content = self._run_stage(
-            run_id, "content_triples", defs,
+            run_id, "content_triples", extractions,
             lambda _: definitions_to_triples(defs).unionByName(
                 relationships_to_triples(rels)
             ),
-            deps=["definitions", "relationships"],
+            deps=["extractions"],
         )
 
         ec = self._run_stage(
             run_id, "entity_contexts", defs,
-            lambda df: definitions_entity_contexts(df), deps=["definitions"],
+            lambda df: definitions_entity_contexts(df), deps=["extractions"],
         )
 
         triples = content

@@ -52,6 +52,15 @@ def get_spark(
         # at 100 TB the fact side never broadcasts, the dims always should.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
     )
+    # Local-mode shuffle goes through spark.local.dir; all N "executor"
+    # threads share ONE host disk, which serializes shuffle IO and destroys
+    # core-scaling that a real cluster (per-executor disks) would have.
+    # Use the tmpfs when present so shuffle IO scales with memory bandwidth,
+    # like per-executor local SSDs do on a real cluster.
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, str(v))
