@@ -72,6 +72,25 @@ NO_FACT_TEXTS = [
     "",  # empty turn — must produce zero output rows
 ]
 
+# Conversational filler around the planted facts: realistic turn lengths so
+# the extraction cost profile matches real transcripts. Deliberately free of
+# every extractable pattern (no "is defined as", no relationship verbs, no
+# "produces value") so golden parity is unaffected.
+FILLERS = [
+    "Thanks for the earlier clarification, that resolved my confusion about the setup.",
+    "Before we continue, note that the staging environment was refreshed overnight.",
+    "I looked through the logs you sent and most of the warnings appear benign.",
+    "Please also double-check the configuration flags we discussed yesterday.",
+    "As a reminder, the deadline for the migration plan review was moved to Friday.",
+    "The dashboard showed a brief latency spike around noon but it recovered quickly.",
+    "For context, the previous attempt failed because a credential had expired.",
+    "Let me summarize where we stand so the rest of the team can follow along.",
+    "I appreciate the detailed walkthrough, it made the tradeoffs much clearer.",
+    "On an unrelated note, the documentation page for the API was updated today.",
+    "We should capture this decision in the design notes once the call wraps up.",
+    "The test suite finished without regressions after the dependency bump.",
+]
+
 ROLES = ["user", "assistant", "tool", "system"]
 
 
@@ -130,12 +149,20 @@ def synth_transcripts(spark: SparkSession, spec: SynthSpec | None = None) -> Dat
     rel_sentence = F.concat(entity, F.lit(" "), verb, F.lit(" "), entity2, F.lit("."))
     litrel_sentence = F.concat(entity, F.lit(" produces value "), lit_val, F.lit("."))
 
+    filler_a = _pick(FILLERS, h, 4)
+    filler_b = _pick(FILLERS, h, 9)
+    filler_c = _pick(FILLERS, h, 6)
+
+    def wrap(core):
+        return F.concat(filler_a, F.lit(" "), core, F.lit(" "), filler_b,
+                        F.lit(" "), filler_c)
+
     text = (
-        F.when(template < 3, def_sentence)
-        .when(template < 6, rel_sentence)
-        .when(template < 7, litrel_sentence)
+        F.when(template < 3, wrap(def_sentence))
+        .when(template < 6, wrap(rel_sentence))
+        .when(template < 7, wrap(litrel_sentence))
         .when(template < 9, nofact)
-        .otherwise(F.concat(def_sentence, F.lit(" "), rel_sentence))
+        .otherwise(wrap(F.concat(def_sentence, F.lit(" "), rel_sentence)))
     )
 
     role = _pick(ROLES, h, 7)
