@@ -1,0 +1,124 @@
+"""Dedup family + text analysis operators."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from trustgraph_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup_groups,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from trustgraph_spark.operators.textstats import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (4, "completely different content about spark engines and shuffles"),
+        (5, "der hund läuft durch die stadt und ist nicht allein"),
+        (6, "el perro corre por la ciudad y es muy rapido para todos"),
+        (7, "short"),
+        (8, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = exact_dedup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 2
+    assert groups[0].representative == 1
+
+
+def test_shingles_short_doc(docs):
+    sh = shingles(docs, n=3)
+    assert sh.where(F.col("doc_id") == 7).count() == 0  # < 3 tokens
+    assert sh.where(F.col("doc_id") == 8).count() == 0
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    # one substituted token out of 9: 4 shared shingles of 7 -> 4/10
+    assert (1, 3) in pairs and pairs[(1, 3)] == pytest.approx(0.4)
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_recall(docs):
+    # exact dups always collide in every band
+    cands = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in cands
+    # signature determinism
+    s1 = minhash_signatures(docs).where(F.col("doc_id") == 1).collect()[0].sig
+    s2 = minhash_signatures(docs).where(F.col("doc_id") == 2).collect()[0].sig
+    assert s1 == s2
+
+
+def test_simhash_similarity(docs):
+    fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ham_dup = bin(fps[1] ^ fps[3]).count("1")
+    ham_diff = bin(fps[1] ^ fps[4]).count("1")
+    assert ham_dup < ham_diff  # near-dup closer than unrelated
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.5] * 16),
+        (2, [1.0, 0.01, 0.0, 0.5] * 16),  # near dup of 1
+        (3, [-1.0, 1.0, 0.0, -0.5] * 16),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b) for r in
+             embedding_near_dup_pairs(emb, threshold=0.99, dim=64).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_token_count(docs):
+    tc = {r.doc_id: r for r in token_count(docs).collect()}
+    assert tc[1].n_tokens_ws == 9
+    assert tc[7].n_tokens_ws == 1
+    assert tc[8].n_tokens_ws == 0
+
+
+def test_quality_score(docs):
+    qs = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert qs[1].stopword_ratio > 0.2  # 'the' x2, 'over' -> >= 2/9
+    assert qs[8].n_tokens == 0 and qs[8].stopword_ratio == 0.0
+    assert 0 <= qs[4].alpha_ratio <= 1
+
+
+def test_language_id(docs):
+    lid = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert lid[1] == "en"
+    assert lid[5] == "de"
+    assert lid[6] == "es"
+    assert lid[7] == "und"
+
+
+def test_language_id_cjk(spark):
+    df = spark.createDataFrame([(1, "数据处理系统非常快速")], "doc_id long, text string")
+    assert language_id(df).collect()[0].lang_pred == "zh"
+
+
+def test_doc_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]

@@ -1,0 +1,146 @@
+"""Embedding seam, cosine/LSH top-k, GraphRAG batch operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from trustgraph_spark.constants import RDF_LABEL, TRUSTGRAPH_ENTITIES
+from trustgraph_spark.operators.embeddings import (
+    HashEmbedder,
+    cosine_topk,
+    embed_entity_contexts,
+    lsh_topk,
+)
+from trustgraph_spark.operators.graphrag import (
+    graph_rag_retrieve,
+    hop_bfs,
+    labels_dimension,
+    resolve_labels,
+    traversal_edges,
+)
+
+TRIPLES_DDL = (
+    "collection string, g string, s string, p string, o string, "
+    "otype string, dtype string, lang string"
+)
+
+
+def test_hash_embedder_deterministic():
+    e = HashEmbedder(dim=32)
+    v1 = e.embed(pd.Series(["machine learning rocks"]))
+    v2 = e.embed(pd.Series(["machine learning rocks"]))
+    assert np.allclose(v1, v2)
+    assert abs(np.linalg.norm(v1[0]) - 1.0) < 1e-5
+
+
+def test_embed_entity_contexts(spark):
+    ec = spark.createDataFrame(
+        [("default", "http://e/a", "machine learning", "c1")],
+        "collection string, entity_uri string, context string, chunk_id string",
+    )
+    out = embed_entity_contexts(ec).collect()
+    assert len(out) == 1
+    assert len(out[0].vector) == 64
+
+
+def test_cosine_topk_exact(spark):
+    vecs = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0]), ("d", [-1.0, 0.0]),
+        ],
+        "entity_uri string, vector array<float>",
+    )
+    q = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "query_id string, query_vector array<float>"
+    )
+    top = cosine_topk(vecs, q, k=2).collect()
+    ranked = sorted(top, key=lambda r: r.rank)
+    assert [r.entity_uri for r in ranked] == ["a", "b"]
+    assert ranked[0].score == pytest.approx(1.0)
+
+
+def test_lsh_topk_finds_exact_match(spark):
+    rng = np.random.RandomState(0)
+    mat = rng.randn(100, 16).astype(float)
+    rows = [(f"e{i}", [float(x) for x in mat[i]]) for i in range(100)]
+    vecs = spark.createDataFrame(rows, "entity_uri string, vector array<float>")
+    q = spark.createDataFrame(
+        [("q0", [float(x) for x in mat[7]])], "query_id string, query_vector array<float>"
+    )
+    top = lsh_topk(vecs, q, k=3, dim=16, n_planes=6).collect()
+    best = min(top, key=lambda r: r.rank)
+    assert best.entity_uri == "e7"  # identical vector shares every bucket
+
+
+def _graph(spark):
+    e = TRUSTGRAPH_ENTITIES
+    rows = [
+        ("default", "", e + "a", e + "rel", e + "b", "u", "", ""),
+        ("default", "", e + "b", e + "rel", e + "c", "u", "", ""),
+        ("default", "", e + "c", e + "rel", e + "d", "u", "", ""),
+        ("default", "", e + "a", RDF_LABEL, "Node A", "l", "", ""),
+        ("default", "", e + "b", RDF_LABEL, "Node B", "l", "", ""),
+        # rdfs-schema predicate must be skipped in traversal
+        ("default", "", e + "a", "http://www.w3.org/2000/01/rdf-schema#seeAlso", e + "z", "u", "", ""),
+        # named-graph edge must be ignored
+        ("default", "urn:graph:source", e + "a", e + "rel", e + "x", "u", "", ""),
+    ]
+    return spark.createDataFrame(rows, TRIPLES_DDL)
+
+
+def test_traversal_edges_filters(spark):
+    t = traversal_edges(_graph(spark))
+    ps = {r.p for r in t.collect()}
+    assert all("rdf-schema" not in p for p in ps)
+    assert t.where(F.col("o") == TRUSTGRAPH_ENTITIES + "x").count() == 0
+
+
+def test_hop_bfs_two_hops(spark):
+    e = TRUSTGRAPH_ENTITIES
+    seeds = spark.createDataFrame([(e + "a",)], "entity string")
+    out = hop_bfs(_graph(spark), seeds, max_hops=2)
+    edges = {(r.s, r.o, r.hop) for r in out.collect()}
+    assert (e + "a", e + "b", 1) in edges
+    assert (e + "b", e + "c", 2) in edges
+    # 3rd hop edge absent
+    assert not any(o == e + "d" for (_, o, _) in edges)
+
+
+def test_hop_bfs_label_edges_count_as_hop1(spark):
+    e = TRUSTGRAPH_ENTITIES
+    seeds = spark.createDataFrame([(e + "a",)], "entity string")
+    out = hop_bfs(_graph(spark), seeds, max_hops=1)
+    # label triple of a (rdf_label not in skip list? RDF_LABEL IS rdfs: -> skipped)
+    ps = {r.p for r in out.collect()}
+    assert RDF_LABEL not in ps
+
+
+def test_resolve_labels(spark):
+    g = _graph(spark)
+    lab = labels_dimension(g)
+    sel = traversal_edges(g).withColumn("hop", F.lit(1))
+    out = resolve_labels(sel, lab)
+    row = out.where(F.col("s") == TRUSTGRAPH_ENTITIES + "a").collect()[0]
+    assert row.s_label == "Node A"
+    assert row.o_label == "Node B"
+
+
+def test_graph_rag_retrieve_end_to_end(spark):
+    e = TRUSTGRAPH_ENTITIES
+    g = _graph(spark)
+    emb = spark.createDataFrame(
+        [
+            ("default", e + "a", [1.0, 0.0], "c1"),
+            ("default", e + "c", [0.0, 1.0], "c1"),
+        ],
+        "collection string, entity_uri string, vector array<float>, chunk_id string",
+    )
+    q = spark.createDataFrame(
+        [("q1", [1.0, 0.05])], "query_id string, query_vector array<float>"
+    )
+    out = graph_rag_retrieve(g, emb, q, entity_limit=1, max_hops=1, edge_limit=10)
+    rows = out.collect()
+    assert rows, "retrieval returned no edges"
+    assert all(r.query_id == "q1" for r in rows)
+    assert any(r.s == e + "a" and r.o == e + "b" for r in rows)

@@ -1,0 +1,167 @@
+"""Secondary operators: topics, agent dialect, JSONL resilience, row
+validation, reranker, provenance trace, collections, knowledge cores,
+multimodal plumbing."""
+
+import urllib.parse
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from trustgraph_spark.constants import DEFINITION, RDF_LABEL, TRUSTGRAPH_ENTITIES
+from trustgraph_spark.operators.admin import (
+    OverlapReranker,
+    delete_collection,
+    export_knowledge_core,
+    import_knowledge_core,
+    rerank,
+    trace_provenance,
+)
+from trustgraph_spark.operators.extract_extras import (
+    parse_jsonl_py,
+    to_uri_agent_py,
+    topics_to_triples,
+    validate_rows,
+)
+
+
+def test_agent_uri_dialect():
+    """E4: no lowercase/hyphenation (extract/kg/agent/extract.py:114-115)."""
+    assert to_uri_agent_py("Machine Learning") == (
+        TRUSTGRAPH_ENTITIES + urllib.parse.quote("Machine Learning")
+    )
+    assert "Machine%20Learning" in to_uri_agent_py("Machine Learning")
+
+
+def test_topics_triples(spark):
+    t = spark.createDataFrame(
+        [
+            ("c1", "r1", "default", "Graph Theory", "study of graphs"),
+            ("c1", "r1", "default", "", "skipped"),
+            ("c1", "r1", "default", "Empty Def", ""),
+        ],
+        "chunk_id string, root_id string, collection string, topic string, definition string",
+    )
+    rows = topics_to_triples(t).collect()
+    assert len(rows) == 2
+    got = {(r.p, r.o) for r in rows}
+    assert (RDF_LABEL, "Graph Theory") in got
+    assert (DEFINITION, "study of graphs") in got
+
+
+def test_parse_jsonl_resilience():
+    """E9 incl. truncation resilience (prompt_manager.py:97-132; reference
+    test test_prompt_manager.py:446-510)."""
+    text = """```json
+{"entity": "A", "definition": "first"}
+{"entity": "B", "definition": "second"}
+{"entity": "C", "defini
+```"""
+    objs = parse_jsonl_py(text)
+    assert len(objs) == 2
+    assert objs[0]["entity"] == "A"
+    assert parse_jsonl_py("") == []
+    assert parse_jsonl_py("not json at all") == []
+    # non-dict lines skipped
+    assert parse_jsonl_py('["array"]\n{"k": 1}') == [{"k": 1}]
+
+
+def test_validate_rows(spark):
+    fields = [
+        {"name": "name", "type": "string", "primary": True},
+        {"name": "status", "type": "string", "enum_values": ["open", "closed"]},
+    ]
+    objs = spark.createDataFrame(
+        [
+            ('{"name": "x", "status": "open"}',),
+            ('{"name": "", "status": "open"}',),      # missing primary
+            ('{"name": "y", "status": "weird"}',),    # enum violation
+            ('{"name": "z"}',),                        # optional absent -> valid
+        ],
+        "obj_json string",
+    )
+    out = validate_rows(objs, fields).collect()
+    valid = [r["name"] for r in out if r._valid]
+    assert sorted(valid) == ["x", "z"]
+
+
+def test_reranker(spark):
+    cands = spark.createDataFrame(
+        [
+            ("what is spark", "spark is an engine"),
+            ("what is spark", "databases store rows"),
+            ("what is spark", "spark what engine is this"),
+        ],
+        "query string, text string",
+    )
+    top = rerank(cands, limit=2).collect()
+    assert len(top) == 2
+    assert top[0].text == "spark what engine is this" or top[0].score >= top[1].score
+    assert all(r.score > 0 for r in top if r.rank == 1)
+
+
+def test_collections_and_knowledge_core(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [
+            ("tenant_a", "", "s1", "p1", "o1", "u", "", ""),
+            ("tenant_b", "", "s2", "p2", "o2", "u", "", ""),
+        ],
+        "collection string, g string, s string, p string, o string, otype string, dtype string, lang string",
+    )
+    kept = delete_collection(edges, "tenant_a")
+    assert {r.collection for r in kept.collect()} == {"tenant_b"}
+
+    export_knowledge_core(edges, None, str(tmp_path / "core"), "tenant_a")
+    core = import_knowledge_core(spark, str(tmp_path / "core"))
+    rows = core["triples"].collect()
+    assert len(rows) == 1 and rows[0].s == "s1"
+
+
+def test_trace_provenance(spark, tiny_chunks):
+    """Content triple -> subgraph -> chunk derivation chain."""
+    from trustgraph_spark.operators.extract import (
+        RuleExtractor,
+        definitions_to_triples,
+        extract_definitions,
+    )
+    from trustgraph_spark.operators.provenance import subgraph_provenance_triples
+
+    content = definitions_to_triples(extract_definitions(tiny_chunks, RuleExtractor()))
+    prov = subgraph_provenance_triples(content, "kg-extract-definitions")
+    sample = content.limit(1).collect()[0]
+    chain = trace_provenance(
+        content.unionByName(prov), sample.s, sample.p, sample.o
+    ).collect()
+    hops = {r.hop for r in chain}
+    assert 0 in hops  # the containing subgraph
+    assert 1 in hops  # derived-from chunk
+    nodes1 = {r.node for r in chain if r.hop == 1}
+    assert any(n.startswith("urn:chunk:") for n in nodes1)
+
+
+def test_multimodal_features(spark):
+    from trustgraph_spark.multimodal import (
+        extract_media_features,
+        frame_sample_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, 12)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 12
+    assert all(len(r.feature) == 16 for r in feats)
+    # deterministic
+    feats2 = {r.media_id: r.feature for r in extract_media_features(media).collect()}
+    assert feats2["m0"] == [r.feature for r in feats if r.media_id == "m0"][0]
+
+    frames = frame_sample_plan(media, every_ms=1000)
+    per_video = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 5 for r in per_video)  # 5000ms / 1000ms
+
+
+def test_multimodal_strict_decode_raises(spark):
+    from trustgraph_spark.multimodal import extract_media_features, strict_decode, synth_media
+
+    media = synth_media(spark, 3)
+    with pytest.raises(Exception):
+        extract_media_features(media, decode_fn=strict_decode).collect()

@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The decode/feature libraries are not in this container, so the decode step
+is a clearly-marked stub (deterministic fake by default, NotImplementedError
+in strict mode) — but the Spark-side plumbing is real and tested: schema,
+Arrow batch shape, mapInPandas signatures, partition-size control for large
+blobs. A real decoder (PIL/ffmpeg/torchaudio) drops into ``decode_fn``
+without touching the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image / audio / video
+        T.StructField("mime_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),  # opaque blob
+    ]
+)
+
+
+def fake_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: derives a fixed-size
+    feature vector from the payload bytes. STUB — replace with a real
+    image/audio decode when the codec libs are available."""
+    if payload is None:
+        return np.zeros(16, dtype=np.float32)
+    h = hashlib.sha256(payload).digest()
+    return np.frombuffer(h[:64].ljust(64, b"\0"), dtype=np.uint8)[:16].astype(np.float32) / 255.0
+
+
+def strict_decode(payload: bytes, kind: str) -> np.ndarray:
+    raise NotImplementedError(
+        "media decoding requires codec libraries not present in this image; "
+        "plug a real decoder into extract_media_features(decode_fn=...)"
+    )
+
+
+def extract_media_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes, str], np.ndarray] = fake_decode,
+    feature_dim: int = 16,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """payload -> feature vector via mapInPandas. Small Arrow batches
+    (batch_rows) keep per-batch memory bounded for large blobs — set
+    spark.sql.execution.arrow.maxRecordsPerBatch accordingly for real media.
+    Returns (media_id, kind, feature array<float>)."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                part = pdf.iloc[start : start + batch_rows]
+                feats = [
+                    [float(x) for x in decode_fn(p, k)[:feature_dim]]
+                    for p, k in zip(part["payload"], part["kind"])
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": part["media_id"].values,
+                        "kind": part["kind"].values,
+                        "feature": feats,
+                    }
+                )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(gen, out_schema)
+
+
+def frame_sample_plan(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling plumbing: expand each video row into frame
+    timestamps (sequence + explode; the actual frame grab is the decode
+    stub's job). Shows the partitioning shape: one row per (media_id, ts)."""
+    frames = F.sequence(
+        F.lit(0),
+        F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
+        F.lit(every_ms),
+    )
+    return (
+        media.where(F.col("kind") == "video")
+        .select("media_id", F.explode(frames).alias("frame_ts_ms"))
+    )
+
+
+def synth_media(spark, n: int = 32) -> DataFrame:
+    """Deterministic fake media table for tests."""
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 4
+        rows.append(
+            (
+                f"m{i}",
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64 if kind == "image" else None,
+                64 if kind == "image" else None,
+                5000 if kind != "image" else None,
+                bytearray(payload),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

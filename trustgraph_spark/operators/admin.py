@@ -1,0 +1,160 @@
+"""Collection management (M3), knowledge-core export/import (S7/S9),
+provenance trace (G5), and the reranker seam (V4).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..constants import (
+    GRAPH_SOURCE,
+    PROV_WAS_DERIVED_FROM,
+    RDF_TYPE,
+    TG_CONTAINS,
+)
+
+
+# --- M3: collection management ------------------------------------------------
+
+
+def delete_collection(df: DataFrame, collection: str) -> DataFrame:
+    """Reference deletes a collection's partition
+    (storage/triples/cassandra/write.py:193-221); on Iceberg this is a
+    row-level DELETE, on parquet a filtered rewrite. Returns the retained
+    rows (caller rewrites the table)."""
+    return df.where(F.col("collection") != collection)
+
+
+def list_collections(df: DataFrame) -> DataFrame:
+    return df.select("collection").distinct()
+
+
+# --- S7/S9: knowledge cores -----------------------------------------------
+
+
+def export_knowledge_core(
+    edges: DataFrame,
+    entity_embeddings: DataFrame | None,
+    path: str,
+    collection: str,
+    root_id: str | None = None,
+) -> None:
+    """Persist a (collection[, root document]) slice of triples (+ graph
+    embeddings) as a self-contained parquet bundle — the reference's
+    'knowledge core' (storage/knowledge/store.py:19-87, keyed by
+    (workspace, document_id))."""
+    t = edges.where(F.col("collection") == collection)
+    t.write.mode("overwrite").parquet(f"{path}/triples")
+    if entity_embeddings is not None:
+        e = entity_embeddings.where(F.col("collection") == collection)
+        e.write.mode("overwrite").parquet(f"{path}/graph_embeddings")
+
+
+def import_knowledge_core(spark, path: str) -> dict[str, DataFrame]:
+    import os
+
+    out = {"triples": spark.read.parquet(f"{path}/triples")}
+    ge = f"{path}/graph_embeddings"
+    if os.path.exists(ge):
+        out["graph_embeddings"] = spark.read.parquet(ge)
+    return out
+
+
+# --- G5: provenance trace ------------------------------------------------------
+
+
+def trace_provenance(
+    edges: DataFrame,
+    s: str,
+    p: str,
+    o: str,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Selected edge -> containing subgraph via the RDF-star tg:contains row
+    in urn:graph:source, then walk prov:wasDerivedFrom up to max_hops
+    (graph_rag.py:493-613). Returns (hop, node) derivation chain rows."""
+    src = edges.where(F.col("g") == GRAPH_SOURCE)
+    # the serialized quoted triple embeds the exact s/p/o values
+    contains = src.where(
+        (F.col("p") == TG_CONTAINS)
+        & F.col("o").contains(f'"iri": "{s}"')
+        & F.col("o").contains(f'"iri": "{p}"')
+        & (F.col("o").contains(f'"iri": "{o}"') | F.col("o").contains(f'"value": "{o}"'))
+    ).select(F.col("s").alias("node")).distinct()
+
+    derived = src.where(F.col("p") == PROV_WAS_DERIVED_FROM).select(
+        F.col("s").alias("node"), F.col("o").alias("parent")
+    )
+
+    frontier = contains.withColumn("hop", F.lit(0))
+    out = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(F.broadcast(derived).hint("broadcast"), "node")
+            .select(F.col("parent").alias("node"))
+            .distinct()
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return out
+
+
+# --- V4: reranker seam -----------------------------------------------------------
+
+
+class OverlapReranker:
+    """Deterministic stand-in for the flashrank cross-encoder
+    (reranker/flashrank/processor.py:18-71): token-overlap score between
+    query and candidate text. A real cross-encoder plugs into the same
+    vectorized (query, text) -> score contract."""
+
+    def score(self, queries: pd.Series, texts: pd.Series) -> pd.Series:
+        def sc(q, t):
+            qs = set((q or "").lower().split())
+            ts = set((t or "").lower().split())
+            if not qs or not ts:
+                return 0.0
+            return len(qs & ts) / len(qs | ts)
+
+        return pd.Series([sc(q, t) for q, t in zip(queries, texts)], index=queries.index)
+
+
+def rerank(
+    candidates: DataFrame,
+    scorer=None,
+    query_col: str = "query",
+    text_col: str = "text",
+    limit: int = 25,
+    max_input: int = 350,
+) -> DataFrame:
+    """Score (query, text) pairs with the pluggable cross-encoder seam and
+    keep the top `limit` per query (reference caps reranker input at 350
+    and returns edge_limit 25 — graph_rag.py:442-450)."""
+    scorer = scorer or OverlapReranker()
+
+    w_in = Window.partitionBy(query_col).orderBy(F.asc(text_col))
+    capped = (
+        candidates.withColumn("_rn", F.row_number().over(w_in))
+        .where(F.col("_rn") <= max_input)
+        .drop("_rn")
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def score_udf(q: pd.Series, t: pd.Series) -> pd.Series:
+        return scorer.score(q, t)
+
+    scored = capped.withColumn("score", score_udf(F.col(query_col), F.col(text_col)))
+    w = Window.partitionBy(query_col).orderBy(F.desc("score"), F.asc(text_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= limit)
+    )

@@ -68,9 +68,13 @@ def embed_texts(
     per python worker, then applied per Arrow batch — the Spark analog of
     the reference's batch embedding spec
     (docs/tech-specs/embeddings-batch-processing.md)."""
+    from pyspark.sql import types as T
+
     emb = embedder or HashEmbedder()
-    cols = df.columns
-    schema = df.schema.add(out_col, "array<float>")
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.FloatType()), False)]
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = emb  # per-worker instance (unpickled once per task)
