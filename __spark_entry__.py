@@ -247,6 +247,76 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_kg_bgp_two_hop(spark, sf_dir):
+    """SPARQL-algebra BGP over the co-occurrence graph: ?x co ?y . ?y co ?z."""
+    from trustgraph_spark.docskg import cooccurrence_triples, doc_mentions
+    from trustgraph_spark.operators.algebra import Var, bgp
+    from trustgraph_spark.operators.materialize import materialize_edges
+
+    edges = materialize_edges(
+        cooccurrence_triples(doc_mentions(_docs(spark, sf_dir), VOCAB))
+    )
+    sol = bgp(edges, [(Var("x"), CO_URI, Var("y")), (Var("y"), CO_URI, Var("z"))])
+    return sol.select(
+        F.col("x.value").alias("x"),
+        F.col("y.value").alias("y"),
+        F.col("z.value").alias("z"),
+    )
+
+
+def q_simhash16(spark, sf_dir):
+    from trustgraph_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=16).select(
+        "doc_id", F.col("simhash").cast("long").alias("simhash")
+    )
+
+
+def q_minhash_sig4(spark, sf_dir):
+    from trustgraph_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(_docs(spark, sf_dir), n=3, num_hashes=4)
+    return sig.select(
+        "doc_id",
+        *[F.col("sig").getItem(i).alias(f"h{i}") for i in range(4)],
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Multi-join rollup: customer x orders x lineitem x nation; dims
+    broadcast, fact side never shuffles until the final agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def q_top_parts_by_size(spark, sf_dir):
+    """Window top-k per group: 3 most expensive parts per p_size."""
+    from pyspark.sql import Window
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    w = Window.partitionBy("p_size").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("p_size", "p_partkey", "p_retailprice",
+                F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_mentions": q_kg_mentions,
@@ -266,6 +336,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_window_agg": q_events_window_agg,
         "pricing_summary": q_pricing_summary,
+        "kg_bgp_two_hop": q_kg_bgp_two_hop,
+        "simhash16": q_simhash16,
+        "minhash_sig4": q_minhash_sig4,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_parts_by_size": q_top_parts_by_size,
     }
 
 
@@ -525,6 +600,55 @@ FROM s GROUP BY user_id, session_idx
 SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS hour_start, event_type,
        count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
+"""
+
+    sql["kg_bgp_two_hop"] = _COOCCUR_CTE + (
+        "SELECT a.s AS x, a.o AS y, b.o AS z "
+        "FROM cooccur a JOIN cooccur b ON a.o = b.s"
+    )
+
+    # simhash16: per-token md5 nibble bits, +1/-1 weighted sums, sign bits
+    nib = lambda i: (
+        f"(strpos('0123456789abcdef', substring(h, {i // 4 + 1}, 1)) - 1)"
+    )
+    bit_sums = ",\n  ".join(
+        f"sum(CASE WHEN ({nib(i)} >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(16)
+    )
+    fp = " + ".join(f"CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END" for i in range(16))
+    sql["simhash16"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_NORM_TOKS}) AS tok FROM documents
+), hs AS (
+  SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''
+), sums AS (
+  SELECT doc_id,
+  {bit_sums}
+  FROM hs GROUP BY doc_id
+)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums
+"""
+
+    mh = ", ".join(f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(4))
+    sql["minhash_sig4"] = _SHINGLES_CTE + f"SELECT doc_id, {mh} FROM sh GROUP BY doc_id"
+
+    sql["revenue_by_nation"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    sql["top_parts_by_size"] = """
+SELECT p_size, p_partkey, p_retailprice,
+       row_number() OVER (PARTITION BY p_size
+                          ORDER BY p_retailprice DESC, p_partkey ASC)::BIGINT AS rn
+FROM part
+QUALIFY rn <= 3
 """
 
     sql["pricing_summary"] = """

@@ -1,0 +1,87 @@
+"""Physical-plan quality gates: predicate pushdown reaches the parquet
+scan, column pruning works, small dims broadcast, pattern queries stay
+selective. These are the properties that keep the 100 TB plan correct —
+asserted, not assumed."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def edges_parquet(spark, tmp_path_factory):
+    from trustgraph_spark.operators.chunking import assemble_turn_chunks
+    from trustgraph_spark.operators.extract import (
+        RuleExtractor,
+        definitions_to_triples,
+        extract_definitions,
+    )
+    from trustgraph_spark.operators.materialize import materialize_edges
+    from trustgraph_spark.synth import SynthSpec, synth_transcripts
+
+    path = str(tmp_path_factory.mktemp("plans") / "edges")
+    tr = synth_transcripts(spark, SynthSpec(n_convs=20, turns_per_conv=10, hot_factor=2))
+    edges = materialize_edges(
+        definitions_to_triples(
+            extract_definitions(assemble_turn_chunks(tr), RuleExtractor())
+        )
+    )
+    edges.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pattern_query_pushes_filters(spark, edges_parquet):
+    from trustgraph_spark.constants import RDF_LABEL
+    from trustgraph_spark.operators.triples_query import match_triples
+
+    edges = spark.read.parquet(edges_parquet)
+    q = match_triples(edges, p=RDF_LABEL, g="")
+    plan = _plan(q)
+    assert "PushedFilters:" in plan
+    # both equality predicates reach the scan
+    assert "EqualTo(p," in plan.replace(" ", "") or "EqualTo(p" in plan
+    assert "EqualTo(g" in plan
+
+
+def test_column_pruning(spark, edges_parquet):
+    edges = spark.read.parquet(edges_parquet)
+    q = edges.select("s").distinct()
+    plan = _plan(q)
+    # ReadSchema contains only the projected column
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "o:" not in read_schema[0] and "s:string" in read_schema[0]
+
+
+def test_small_dim_broadcasts(spark, edges_parquet):
+    from trustgraph_spark.operators.linking import canonicalize_triples
+
+    edges = spark.read.parquet(edges_parquet)
+    mapping = spark.createDataFrame(
+        [("http://x", "http://y")], "uri string, canonical_uri string"
+    )
+    q = canonicalize_triples(edges, mapping)
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_whole_stage_codegen_on_native_path(spark, edges_parquet):
+    from trustgraph_spark.operators.materialize import materialize_quads_by_entity
+
+    edges = spark.read.parquet(edges_parquet)
+    plan = _plan(materialize_quads_by_entity(edges))
+    # whole-stage codegen spans render as "*(n)" in the executed-plan tree
+    assert "*(1)" in plan
+
+
+def test_bgp_join_not_cartesian(spark, edges_parquet):
+    from trustgraph_spark.constants import RDF_LABEL
+    from trustgraph_spark.operators.algebra import Var, bgp
+
+    edges = spark.read.parquet(edges_parquet)
+    sol = bgp(edges, [(Var("x"), RDF_LABEL, Var("l")),
+                      (Var("x"), "http://www.w3.org/2004/02/skos/core#definition", Var("d"))])
+    plan = _plan(sol)
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan or "BroadcastHashJoin" in plan
