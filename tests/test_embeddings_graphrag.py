@@ -144,3 +144,25 @@ def test_graph_rag_retrieve_end_to_end(spark):
     assert rows, "retrieval returned no edges"
     assert all(r.query_id == "q1" for r in rows)
     assert any(r.s == e + "a" and r.o == e + "b" for r in rows)
+
+
+def test_retrieval_provenance(spark):
+    import json
+
+    from trustgraph_spark.constants import GRAPH_RETRIEVAL
+    from trustgraph_spark.operators.graphrag import retrieval_provenance_triples
+
+    e = TRUSTGRAPH_ENTITIES
+    sel = spark.createDataFrame(
+        [("q1", e + "a", e + "rel", e + "b", "u"), ("q1", e + "b", e + "rel", "lit", "l")],
+        "query_id string, s string, p string, o string, otype string",
+    )
+    prov = retrieval_provenance_triples(sel).collect()
+    assert all(r.g == GRAPH_RETRIEVAL for r in prov)
+    star = [r for r in prov if r.otype == "t"]
+    assert len(star) == 2
+    doc = json.loads(star[0].o)
+    assert set(doc.keys()) == {"s", "p", "o"}
+    # one typed retrieval entity per query
+    typed = [r for r in prov if r.otype == "u"]
+    assert len(typed) == 1

@@ -127,6 +127,45 @@ def resolve_labels(selected: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def retrieval_provenance_triples(
+    selected: DataFrame,
+    query_id_col: str = "query_id",
+    collection: str = "default",
+) -> DataFrame:
+    """G7 explainability emission: per query, a retrieval PROV entity in
+    urn:graph:retrieval with one tg:selectedEdge RDF-star row per selected
+    edge (reference graph_rag.py:667-868, provenance/triples.py:372-833).
+    Deterministic retrieval URIs keyed on the query id."""
+    from ..constants import GRAPH_RETRIEVAL, OTYPE_TRIPLE, OTYPE_URI, PROV_ENTITY, RDF_TYPE, TG
+    from .provenance import quoted_triple_json
+
+    base = selected.withColumn(
+        "_ret_uri",
+        F.concat(F.lit("urn:trustgraph:retrieval:"), F.sha2(F.col(query_id_col), 256)),
+    )
+    sel_rows = base.select(
+        F.lit(collection).alias("collection"),
+        F.lit(GRAPH_RETRIEVAL).alias("g"),
+        F.col("_ret_uri").alias("s"),
+        F.lit(TG + "selectedEdge").alias("p"),
+        quoted_triple_json(F.col("s"), F.col("p"), F.col("o"), F.col("otype")).alias("o"),
+        F.lit(OTYPE_TRIPLE).alias("otype"),
+        F.lit("").alias("dtype"),
+        F.lit("").alias("lang"),
+    )
+    typed = base.select("_ret_uri").distinct().select(
+        F.lit(collection).alias("collection"),
+        F.lit(GRAPH_RETRIEVAL).alias("g"),
+        F.col("_ret_uri").alias("s"),
+        F.lit(RDF_TYPE).alias("p"),
+        F.lit(PROV_ENTITY).alias("o"),
+        F.lit(OTYPE_URI).alias("otype"),
+        F.lit("").alias("dtype"),
+        F.lit("").alias("lang"),
+    )
+    return sel_rows.unionByName(typed)
+
+
 def graph_rag_retrieve(
     edges: DataFrame,
     entity_embeddings: DataFrame,
