@@ -125,7 +125,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     from trustgraph_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.3, max_shingle_freq=100000
+        _docs(spark, sf_dir), n=3, threshold=0.3, max_shingle_freq=100
     )
 
 
@@ -448,9 +448,11 @@ FROM documents GROUP BY 1
 
     sql["dedup_ngram_jaccard"] = _SHINGLES_CTE + """
 , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+, hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 100)
+, kept AS (SELECT * FROM sh ANTI JOIN hot USING (shingle))
 , inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b USING (shingle)
+  FROM kept a JOIN kept b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
