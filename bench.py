@@ -70,7 +70,7 @@ def run_pipeline_bench_mem(spark, sf: float) -> tuple[float, int]:
     from trustgraph_spark.pipeline import Pipeline, PipelineConfig
     from trustgraph_spark.synth import SynthSpec, synth_transcripts
 
-    spec = SynthSpec(n_convs=max(200, int(50000 * sf)), turns_per_conv=100, hot_factor=100)
+    spec = SynthSpec(n_convs=max(200, int(100000 * sf)), turns_per_conv=100, hot_factor=100)
     tr = synth_transcripts(spark, spec)
     n_turns = tr.count()
     wh = tempfile.mkdtemp(prefix="tg_bench_wh_")

@@ -166,3 +166,37 @@ def test_retrieval_provenance(spark):
     # one typed retrieval entity per query
     typed = [r for r in prov if r.otype == "u"]
     assert len(typed) == 1
+
+
+def test_ivf_topk_recall(spark):
+    from trustgraph_spark.operators.embeddings import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(1)
+    mat = rng.randn(200, 16).astype(float)
+    rows = [(f"e{i}", [float(x) for x in mat[i]]) for i in range(200)]
+    vecs = spark.createDataFrame(rows, "entity_uri string, vector array<float>")
+    cents = ivf_centroids(vecs, n_lists=8)
+    assert len(cents) == 8
+    assigned = ivf_assign(vecs, cents).cache()
+    # every vector lands in exactly one list
+    assert assigned.count() == 200
+    assert assigned.where(F.col("list_id").isNull()).count() == 0
+
+    q = spark.createDataFrame(
+        [("q0", [float(x) for x in mat[13]])],
+        "query_id string, query_vector array<float>",
+    )
+    # exact match must be found when probing enough lists
+    top = ivf_topk(assigned, cents, q, k=3, nprobe=8).collect()
+    best = min(top, key=lambda r: r.rank)
+    assert best.entity_uri == "e13"
+    assert best.score == pytest.approx(1.0)
+
+    # recall vs exact top-5 with nprobe=4 should be decent
+    exact = {r.entity_uri for r in cosine_topk(vecs, q, k=5).collect()}
+    approx = {r.entity_uri for r in ivf_topk(assigned, cents, q, k=5, nprobe=4).collect()}
+    assert len(exact & approx) >= 2

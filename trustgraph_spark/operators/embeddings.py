@@ -180,6 +180,98 @@ def lsh_signature_col(vec_col, planes: list[list[float]]):
     return F.concat(*bits)
 
 
+def _centroid_scores(vec_col, centroids: list[list[float]]):
+    """array<double> of cosine scores of vec against each centroid (pure
+    column expressions over a literal centroid array)."""
+    return F.array(
+        *[
+            _cosine_expr(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+
+
+def ivf_centroids(
+    vectors: DataFrame, n_lists: int = 16, id_col: str = "entity_uri",
+    vec_col: str = "vector",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: pick n_lists centroid vectors by
+    hash-ordered sampling (cheap, reproducible; k-means iterations can
+    refine later — list assignment logic is identical). The centroid set is
+    tiny and broadcast into the plan as literals."""
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_lists)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def ivf_assign(
+    vectors: DataFrame, centroids: list[list[float]],
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid list (argmax cosine) —
+    one narrow pass; at scale the assigned table is written partitioned by
+    list_id so probes prune partitions."""
+    scores = _centroid_scores(F.col(vec_col).cast("array<double>"), centroids)
+    best = F.array_position(scores, F.array_max(scores)).cast("int") - 1
+    return vectors.withColumn("list_id", best)
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "entity_uri",
+    vec_col: str = "vector",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+) -> DataFrame:
+    """IVF search: per query, probe the nprobe nearest lists and rerank
+    exactly inside them. The corpus side is touched only on the probed
+    lists (partition-pruned at scale); the query side is broadcast."""
+    qs = F.array(
+        *[
+            F.struct(
+                _cosine_expr(
+                    F.col(query_vec_col).cast("array<double>"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                ).alias("score"),
+                F.lit(i).alias("list_id"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probed = queries.withColumn(
+        "list_id",
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(qs)), 1, nprobe),
+                lambda s: s["list_id"],
+            )
+        ),
+    )
+    joined = assigned.alias("v").join(
+        F.broadcast(probed.alias("q")), "list_id"
+    )
+    scored = joined.select(
+        F.col(f"q.{query_id_col}").alias(query_id_col),
+        F.col(f"v.{id_col}").alias(id_col),
+        _cosine_expr(F.col(f"v.{vec_col}"), F.col(f"q.{query_vec_col}")).alias("score"),
+    )
+    best = scored.groupBy(query_id_col, id_col).agg(F.max("score").alias("score"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        best.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
