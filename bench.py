@@ -161,15 +161,25 @@ def main():
         # Interleaved best-of-2 per config to ride out host noise.
         import subprocess
 
+        def _last_json(stdout: str) -> dict:
+            for line in reversed(stdout.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        return json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+            raise RuntimeError(f"no JSON line in child output: {stdout[-500:]!r}")
+
         def run_child(cores: int) -> dict:
             cpus = f"0-{cores - 1}"
+            env = dict(os.environ, SPARK_DRIVER_MEMORY="24g")
             out = subprocess.run(
                 ["taskset", "-c", cpus, sys.executable, __file__,
                  "--scaling-child", str(cores)],
-                capture_output=True, text=True, timeout=1200,
+                capture_output=True, text=True, timeout=1800, env=env,
             )
-            line = out.stdout.strip().splitlines()[-1]
-            return json.loads(line)
+            return _last_json(out.stdout)
 
         def calibrate(nproc: int) -> float:
             cpus = f"0-{nproc - 1}"
@@ -178,7 +188,7 @@ def main():
                  "--calibrate-child", str(nproc)],
                 capture_output=True, text=True, timeout=600,
             )
-            return json.loads(out.stdout.strip().splitlines()[-1])["tput"]
+            return _last_json(out.stdout)["tput"]
 
         # host ceiling: how much CPU throughput does 8 -> 32 pinned cores
         # actually buy ON THIS HOST (shared VM; steal/oversubscription means

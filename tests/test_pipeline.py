@@ -62,3 +62,27 @@ def test_pipeline_resume_reruns_on_changed_input(spark, tiny_transcripts, wareho
     assert pipe2.metrics["chunks"]["skipped"] is False
     # dropped conversation's chunks are gone
     assert out2["chunks"].where(F.col("root_id") == "conv-00001").count() == 0
+
+
+def test_config_change_invalidates_checkpoints(spark, tiny_transcripts, warehouse):
+    pipe1 = Pipeline(spark, PipelineConfig(warehouse=warehouse, linking_threshold=0.95))
+    pipe1.run(tiny_transcripts, run_id="r1")
+
+    # different linking threshold: linking-dependent stages must re-run
+    pipe2 = Pipeline(spark, PipelineConfig(warehouse=warehouse, linking_threshold=0.5))
+    pipe2.run(tiny_transcripts, run_id="r2")
+    assert pipe2.metrics["canonical_mapping"]["skipped"] is False
+    assert pipe2.metrics["edges"]["skipped"] is False
+
+
+def test_per_partition_lineage(spark, tiny_transcripts, warehouse):
+    import json as _json
+
+    pipe = Pipeline(spark, PipelineConfig(warehouse=warehouse, with_linking=False))
+    pipe.run(tiny_transcripts, run_id="r1")
+    lineage = pipe.wh.lineage()
+    for rec in lineage:
+        extra = _json.loads(rec["extra"])
+        parts = extra.get("partitions")
+        assert parts is not None and len(parts) >= 1
+        assert sum(n for _, n in parts) == rec["output_rows"]

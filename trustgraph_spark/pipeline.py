@@ -50,6 +50,19 @@ from .operators.provenance import subgraph_provenance_triples
 LINEAGE_DIR = "_lineage"
 
 
+def _partition_histogram(df: DataFrame) -> list[list[int]]:
+    """Per-partition row counts [[partition_id, rows], ...] — the
+    per-partition lineage record (north_rule). One cheap aggregate over the
+    already-materialized stage output."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .orderBy("pid")
+        .collect()
+    )
+    return [[int(r.pid), int(r["count"])] for r in rows]
+
+
 @dataclass
 class PipelineConfig:
     warehouse: str
@@ -159,6 +172,20 @@ class Pipeline:
         self.metrics: dict[str, dict] = {}
         # stage -> output fingerprint (chained: input fp + stage + rows)
         self._stage_fps: dict[str, str] = {}
+        # config participates in every stage fingerprint: changing e.g. the
+        # linking threshold or the extractor must invalidate downstream
+        # checkpoints, not silently reuse them
+        self._cfg_fp = hashlib.sha256(
+            "|".join(
+                [
+                    config.collection,
+                    str(config.with_provenance),
+                    str(config.with_linking),
+                    str(config.linking_threshold),
+                    type(config.extractor).__qualname__,
+                ]
+            ).encode()
+        ).hexdigest()[:12]
 
     def _run_stage(
         self,
@@ -176,7 +203,7 @@ class Pipeline:
             fp_in = ":".join(f"{d}={self._stage_fps[d]}" for d in deps)
         else:
             fp_in = _fingerprint_df(input_df)
-        fp = hashlib.sha256(f"{stage}|{fp_in}".encode()).hexdigest()[:16]
+        fp = hashlib.sha256(f"{stage}|{self._cfg_fp}|{fp_in}".encode()).hexdigest()[:16]
 
         if not self.config.checkpointing:
             from pyspark import StorageLevel
@@ -191,7 +218,10 @@ class Pipeline:
             # silently re-executing the extraction UDFs. Filter(true) blocks
             # the flattening; the optimizer removes it after cache lookup.
             out = out.where(F.lit(True))
-            self.wh.log_lineage(run_id, stage, fp, rows, out.rdd.getNumPartitions(), wall)
+            self.wh.log_lineage(
+                run_id, stage, fp, rows, out.rdd.getNumPartitions(), wall,
+                extra={"partitions": _partition_histogram(out)},
+            )
             self.metrics[stage] = {"skipped": False, "rows": rows, "wall_sec": round(wall, 3)}
             self._stage_fps[stage] = hashlib.sha256(
                 f"{fp}|{rows}".encode()
@@ -213,7 +243,10 @@ class Pipeline:
         rows = stored.count()
         wall = time.monotonic() - t0
         nparts = stored.rdd.getNumPartitions()
-        self.wh.log_lineage(run_id, stage, fp, rows, nparts, wall)
+        self.wh.log_lineage(
+            run_id, stage, fp, rows, nparts, wall,
+            extra={"partitions": _partition_histogram(stored)},
+        )
         self.metrics[stage] = {"skipped": False, "rows": rows, "wall_sec": round(wall, 3)}
         self._stage_fps[stage] = hashlib.sha256(
             f"{fp}|{rows}".encode()
