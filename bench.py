@@ -22,6 +22,10 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# bench warehouses on tmpfs when present: measures the pipeline, not the
+# sandbox's (noisy, shared) root disk
+_TMPDIR = "/dev/shm" if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK) else None
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -48,7 +52,7 @@ def run_pipeline_bench(spark, sf: float, checkpointing: bool = True) -> tuple[fl
 
     tr = synth_transcripts(spark, synth_spec_for(sf))
     n_turns = tr.count()
-    wh = tempfile.mkdtemp(prefix="tg_bench_wh_")
+    wh = tempfile.mkdtemp(prefix="tg_bench_wh_", dir=_TMPDIR)
     try:
         t0 = time.monotonic()
         pipe = Pipeline(
@@ -73,7 +77,7 @@ def run_pipeline_bench_mem(spark, sf: float) -> tuple[float, int]:
     spec = SynthSpec(n_convs=max(200, int(100000 * sf)), turns_per_conv=100, hot_factor=100)
     tr = synth_transcripts(spark, spec)
     n_turns = tr.count()
-    wh = tempfile.mkdtemp(prefix="tg_bench_wh_")
+    wh = tempfile.mkdtemp(prefix="tg_bench_wh_", dir=_TMPDIR)
     try:
         t0 = time.monotonic()
         pipe = Pipeline(spark, PipelineConfig(warehouse=wh, checkpointing=False))
