@@ -447,9 +447,9 @@ FROM documents GROUP BY 1
 """
 
     sql["dedup_ngram_jaccard"] = _SHINGLES_CTE + """
-, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
 , hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 100)
 , kept AS (SELECT * FROM sh ANTI JOIN hot USING (shingle))
+, sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id)
 , inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
   FROM kept a JOIN kept b USING (shingle)

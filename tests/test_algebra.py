@@ -182,3 +182,82 @@ def test_repeated_var_in_pattern(spark):
     df = spark.createDataFrame(rows, TRIPLES_DDL)
     sol = scan_pattern(df, Var("x"), E + "self", Var("x"))
     assert {r.x.value for r in sol.collect()} == {E + "n1"}
+
+
+def test_strbefore_strafter_semantics(spark):
+    from trustgraph_spark.operators.algebra import SCALAR_MAP
+
+    df = spark.createDataFrame([("abc-def-ghi",)], "s string")
+    c = F.col("s")
+    row = df.select(
+        SCALAR_MAP["STRBEFORE"](c, "-").alias("before"),
+        SCALAR_MAP["STRAFTER"](c, "-").alias("after"),
+        SCALAR_MAP["STRBEFORE"](c, "@").alias("before_absent"),
+        SCALAR_MAP["STRAFTER"](c, "@").alias("after_absent"),
+        SCALAR_MAP["STRAFTER"](c, "").alias("after_empty"),
+        SCALAR_MAP["STRBEFORE"](c, "").alias("before_empty"),
+    ).collect()[0]
+    # SPARQL: first occurrence; '' when the needle is absent
+    assert row.before == "abc"
+    assert row.after == "def-ghi"
+    assert row.before_absent == ""
+    assert row.after_absent == ""
+    assert row.after_empty == "abc-def-ghi"
+    assert row.before_empty == ""
+
+
+def test_if_in_langmatches_tz(spark):
+    from trustgraph_spark.operators.algebra import SCALAR_MAP
+
+    df = spark.createDataFrame(
+        [(5, "en-US", "2024-01-01T00:00:00Z"), (1, "fr", "2024-01-01T00:00:00+05:00")],
+        "n int, lang string, dt string",
+    )
+    rows = df.select(
+        SCALAR_MAP["IF"](F.col("n") > 3, F.lit("big"), F.lit("small")).alias("sz"),
+        SCALAR_MAP["IN"](F.col("lang"), ["en-US", "de"]).alias("inn"),
+        SCALAR_MAP["NOT IN"](F.col("lang"), ["en-US", "de"]).alias("notin"),
+        SCALAR_MAP["LANGMATCHES"](F.col("lang"), "en").alias("lm_en"),
+        SCALAR_MAP["LANGMATCHES"](F.col("lang"), "*").alias("lm_star"),
+        SCALAR_MAP["TZ"](F.col("dt")).alias("tz"),
+    ).orderBy(F.desc("n")).collect()
+    big, small = rows
+    assert (big.sz, small.sz) == ("big", "small")
+    assert big.inn and not small.inn
+    assert small.notin and not big.notin
+    assert big.lm_en and not small.lm_en  # en-US matches 'en'; fr doesn't
+    assert big.lm_star and small.lm_star
+    assert big.tz == "Z" and small.tz == "+05:00"
+
+
+def test_is_numeric_is_blank(spark, edges):
+    sol = scan_pattern(edges, E + "alice", E + "age", Var("a"))
+    assert filter_(sol, BUILTINS["isNUMERIC"]("a")).count() == 1
+    assert filter_(sol, BUILTINS["isBLANK"]("a")).count() == 0
+    lbl = scan_pattern(edges, E + "alice", RDF_LABEL, Var("l"))
+    assert filter_(lbl, BUILTINS["isNUMERIC"]("l")).count() == 0
+
+
+def test_iri_constructor_and_extend_otype(spark, edges):
+    from trustgraph_spark.operators.algebra import SCALAR_MAP
+
+    sol = scan_pattern(edges, Var("x"), RDF_TYPE, E + "Person")
+    bound_ = extend(
+        sol, "u", SCALAR_MAP["IRI"](F.concat(F.lit(E), F.lit("made-up"))), otype="u"
+    )
+    r = bound_.collect()[0]
+    assert r.u.value == E + "made-up" and r.u.otype == "u"
+
+
+def test_struuid_bnode_shapes(spark):
+    from trustgraph_spark.operators.algebra import SCALAR_MAP
+
+    df = spark.range(1)
+    r = df.select(
+        SCALAR_MAP["UUID"]().alias("uuid"),
+        SCALAR_MAP["STRUUID"]().alias("struuid"),
+        SCALAR_MAP["BNODE"]().alias("bnode"),
+    ).collect()[0]
+    assert r.uuid.startswith("urn:uuid:")
+    assert len(r.struuid) == 36 and r.struuid.count("-") == 4
+    assert r.bnode.startswith("_:b")

@@ -90,3 +90,28 @@ def test_token_chunker(spark):
     assert chunks[0].text.split(" ")[0] == "w0"
     assert chunks[1].text.split(" ")[0] == "w380"
     assert len(chunks[0].text.split(" ")) == 400
+
+
+def test_recursive_chunker_no_pure_overlap_trailing_chunk(spark):
+    # len == chunk_size: the second offset (1900) would yield a chunk fully
+    # contained in the first -> exactly 1 chunk
+    df = spark.createDataFrame([("d1", "x" * 2000)], "conv_id string, text string")
+    assert recursive_chunker(df, chunk_size=2000, chunk_overlap=100).count() == 1
+    # len = 2100: offset 1900 adds chars 2000..2099 -> 2 chunks
+    df2 = spark.createDataFrame([("d1", "x" * 2100)], "conv_id string, text string")
+    assert recursive_chunker(df2, chunk_size=2000, chunk_overlap=100).count() == 2
+
+
+def test_chunkers_empty_text_emit_nothing(spark):
+    df = spark.createDataFrame([("d1", ""), ("d2", "hello")], "conv_id string, text string")
+    rc = recursive_chunker(df, chunk_size=10, chunk_overlap=2).collect()
+    assert [c.root_id for c in rc] == ["d2"]
+    tc = token_chunker(df, tokens_per_chunk=4, token_overlap=1).collect()
+    assert [c.root_id for c in tc] == ["d2"]
+
+
+def test_token_chunker_no_pure_overlap_trailing_chunk(spark):
+    # exactly tokens_per_chunk tokens: second offset would be pure overlap
+    text = " ".join(f"w{i}" for i in range(400))
+    df = spark.createDataFrame([("d1", text)], "conv_id string, text string")
+    assert token_chunker(df, tokens_per_chunk=400, token_overlap=20).count() == 1

@@ -200,3 +200,33 @@ def test_ivf_topk_recall(spark):
     exact = {r.entity_uri for r in cosine_topk(vecs, q, k=5).collect()}
     approx = {r.entity_uri for r in ivf_topk(assigned, cents, q, k=5, nprobe=4).collect()}
     assert len(exact & approx) >= 2
+
+
+def test_hop_bfs_group_attribution(spark):
+    e = TRUSTGRAPH_ENTITIES
+    seeds = spark.createDataFrame(
+        [("q1", e + "a"), ("q2", e + "d")], "query_id string, entity string"
+    )
+    out = hop_bfs(_graph(spark), seeds, max_hops=1, group_col="query_id")
+    got = {(r.query_id, r.s, r.o) for r in out.collect()}
+    # q1's hop-1: a->b forward; q2's hop-1: c->d reverse (d is the object)
+    assert ("q1", e + "a", e + "b") in got
+    assert ("q2", e + "c", e + "d") in got
+    assert ("q1", e + "c", e + "d") not in got
+
+
+def test_graph_rag_retrieve_two_hops(spark):
+    # hop-2 edges (subject is a hop-1 node) must be attributed to the query
+    e = TRUSTGRAPH_ENTITIES
+    g = _graph(spark)
+    emb = spark.createDataFrame(
+        [("default", e + "a", [1.0, 0.0], "c1")],
+        "collection string, entity_uri string, vector array<float>, chunk_id string",
+    )
+    q = spark.createDataFrame(
+        [("q1", [1.0, 0.05])], "query_id string, query_vector array<float>"
+    )
+    out = graph_rag_retrieve(g, emb, q, entity_limit=1, max_hops=2, edge_limit=10)
+    got = {(r.query_id, r.s, r.o, r.hop) for r in out.collect()}
+    assert ("q1", e + "a", e + "b", 1) in got
+    assert ("q1", e + "b", e + "c", 2) in got

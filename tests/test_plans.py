@@ -85,3 +85,39 @@ def test_bgp_join_not_cartesian(spark, edges_parquet):
     plan = _plan(sol)
     assert "CartesianProduct" not in plan
     assert "Join" in plan or "BroadcastHashJoin" in plan
+
+
+def test_resolve_labels_semi_reduces_label_dimension(spark, edges_parquet):
+    """G4: the corpus-sized labels dimension is never broadcast whole — it
+    is semi-join-reduced by the BFS-bounded key set first (the broadcast
+    input is bounded by |selected| keys)."""
+    from trustgraph_spark.operators.graphrag import labels_dimension, resolve_labels
+
+    edges = spark.read.parquet(edges_parquet)
+    sel = spark.createDataFrame(
+        [("http://a", "http://p", "http://b", "u", 1)],
+        "s string, p string, o string, otype string, hop int",
+    )
+    plan = _plan(resolve_labels(sel, labels_dimension(edges)))
+    assert "LeftSemi" in plan, "labels dimension must be semi-join-reduced"
+
+
+def test_trace_provenance_never_broadcasts_derived(spark, edges_parquet):
+    """G5: the corpus-sized wasDerivedFrom table is the stream side; only
+    the (tiny) frontier is broadcast."""
+    from trustgraph_spark.operators.admin import derivation_step
+
+    derived = (
+        spark.read.parquet(edges_parquet)
+        .select(F.col("s").alias("node"), F.col("o").alias("parent"))
+    )
+    frontier = spark.createDataFrame([("urn:x",)], "node string")
+    plan = _plan(derivation_step(derived, frontier))
+    assert "BroadcastHashJoin" in plan
+    # the broadcast subtree holds the in-memory frontier, not the parquet scan
+    broadcast_part = plan.split("BroadcastExchange", 1)[1]
+    scan_pos = broadcast_part.find("FileScan parquet")
+    local_pos = max(
+        broadcast_part.find("LocalTableScan"), broadcast_part.find("Scan ExistingRDD")
+    )
+    assert local_pos != -1 and (scan_pos == -1 or local_pos < scan_pos)

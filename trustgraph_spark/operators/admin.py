@@ -79,12 +79,20 @@ def trace_provenance(
     in urn:graph:source, then walk prov:wasDerivedFrom up to max_hops
     (graph_rag.py:493-613). Returns (hop, node) derivation chain rows."""
     src = edges.where(F.col("g") == GRAPH_SOURCE)
-    # the serialized quoted triple embeds the exact s/p/o values
+    # exact quoted-triple match: parse the RDF-star JSON o column JVM-side
+    # (stays codegen'd; a raw substring contains() would false-positive when
+    # one entity's URI appears in another field of the JSON)
+    qt_schema = (
+        "s struct<type:string,iri:string,value:string>, "
+        "p struct<type:string,iri:string,value:string>, "
+        "o struct<type:string,iri:string,value:string>"
+    )
+    qt = F.from_json(F.col("o"), qt_schema)
     contains = src.where(
         (F.col("p") == TG_CONTAINS)
-        & F.col("o").contains(f'"iri": "{s}"')
-        & F.col("o").contains(f'"iri": "{p}"')
-        & (F.col("o").contains(f'"iri": "{o}"') | F.col("o").contains(f'"value": "{o}"'))
+        & (qt["s"]["iri"] == s)
+        & (qt["p"]["iri"] == p)
+        & (F.coalesce(qt["o"]["iri"], qt["o"]["value"]) == o)
     ).select(F.col("s").alias("node")).distinct()
 
     derived = src.where(F.col("p") == PROV_WAS_DERIVED_FROM).select(
@@ -95,9 +103,7 @@ def trace_provenance(
     out = frontier
     for hop in range(1, max_hops + 1):
         nxt = (
-            frontier.join(F.broadcast(derived).hint("broadcast"), "node")
-            .select(F.col("parent").alias("node"))
-            .distinct()
+            derivation_step(derived, frontier)
             .withColumn("hop", F.lit(hop))
             .localCheckpoint()
         )
@@ -106,6 +112,18 @@ def trace_provenance(
         out = out.unionByName(nxt)
         frontier = nxt
     return out
+
+
+def derivation_step(derived: DataFrame, frontier: DataFrame) -> DataFrame:
+    """One prov:wasDerivedFrom expansion. The frontier (a handful of
+    subgraph URIs) is the broadcast side; `derived` is corpus-sized (one
+    row per chunk) and must never be broadcast — plan asserted in
+    test_plans."""
+    return (
+        derived.join(F.broadcast(frontier.select("node")), "node")
+        .select(F.col("parent").alias("node"))
+        .distinct()
+    )
 
 
 # --- V4: reranker seam -----------------------------------------------------------

@@ -174,11 +174,22 @@ def project(sol: DataFrame, vars: list[str]) -> DataFrame:
     return sol.select(*vars)
 
 
-def extend(sol: DataFrame, var: str, expr: Column) -> DataFrame:
-    """A10 Extend (BIND): computed literal column coerced to a term struct."""
+def extend(
+    sol: DataFrame,
+    var: str,
+    expr: Column,
+    otype: str = "l",
+    dtype: Column | str = "",
+    lang: Column | str = "",
+) -> DataFrame:
+    """A10 Extend (BIND): computed column coerced to a term struct. otype
+    'l' for computed literals (default); 'u' for IRI/URI constructor
+    results; dtype/lang for STRDT/STRLANG semantics."""
+    d = F.lit(dtype) if isinstance(dtype, str) else dtype
+    g = F.lit(lang) if isinstance(lang, str) else lang
     return sol.withColumn(
         var,
-        _term_from(expr.cast("string"), F.lit("l"), F.lit(""), F.lit("")),
+        _term_from(expr.cast("string"), F.lit(otype), d, g),
     )
 
 
@@ -302,6 +313,53 @@ def same_term(a: str, b: str) -> Column:
     return F.col(a) == F.col(b)
 
 
+@_builtin("isBLANK")
+def is_blank(var: str) -> Column:
+    # blank nodes carry otype 'b' (this engine mints none, so this is
+    # normally constant-false — matches the reference's isBlank check)
+    return F.col(f"{var}.otype") == "b"
+
+
+@_builtin("isNUMERIC")
+def is_numeric(var: str) -> Column:
+    # SPARQL isNumeric: literal whose value parses as a number.
+    # try_cast keeps ANSI mode happy (cast of 'abc' would throw).
+    return (F.col(f"{var}.otype") == "l") & v(var).try_cast("double").isNotNull()
+
+
+def _as_col(x) -> Column:
+    return F.lit(x) if isinstance(x, str) else x
+
+
+def _strbefore(c: Column, s) -> Column:
+    """SPARQL STRBEFORE: substring before the FIRST occurrence; '' when the
+    needle is absent (expressions.py STRBEFORE semantics — substring_index
+    wrongly returns the whole string on absence)."""
+    s = _as_col(s)
+    pos = F.position(s, c)
+    return F.when(pos > 0, c.substr(F.lit(1), pos - 1)).otherwise(F.lit(""))
+
+
+def _strafter(c: Column, s) -> Column:
+    """SPARQL STRAFTER: substring after the FIRST occurrence; '' when absent;
+    STRAFTER(x, '') = x."""
+    s = _as_col(s)
+    pos = F.position(s, c)
+    return F.when(pos > 0, c.substr(pos + F.length(s), F.length(c))).otherwise(
+        F.lit("")
+    )
+
+
+def _langmatches(lang_col: Column, rng) -> Column:
+    """RFC 4647 basic filtering: '*' matches any non-empty tag; otherwise
+    case-insensitive exact tag or prefix-followed-by-'-' match."""
+    if isinstance(rng, str) and rng == "*":
+        return lang_col != ""
+    r = F.lower(_as_col(rng))
+    low = F.lower(lang_col)
+    return (low == r) | low.startswith(F.concat(r, F.lit("-")))
+
+
 # direct 1:1 mappings to pyspark.sql.functions (reference dispatch table
 # expressions.py:257-560); string-arg builtins take a term value Column
 SCALAR_MAP = {
@@ -314,19 +372,24 @@ SCALAR_MAP = {
     "STRENDS": lambda c, s: c.endswith(s),
     "CONCAT": F.concat,
     "COALESCE": F.coalesce,
-    "IF": F.when,
+    "IF": lambda cond, a, b: F.when(cond, a).otherwise(b),
+    "IN": lambda c, vals: c.isin(*vals),
+    "NOT IN": lambda c, vals: ~c.isin(*vals),
+    "LANGMATCHES": _langmatches,
     "YEAR": F.year,
     "MONTH": F.month,
     "DAY": F.day,
     "HOURS": F.hour,
     "MINUTES": F.minute,
     "SECONDS": F.second,
+    "NOW": F.current_timestamp,
+    "TZ": lambda c: F.regexp_extract(c, r"(Z|[+-]\d{2}:\d{2})$", 1),
     "FLOOR": F.floor,
     "CEIL": F.ceil,
     "ABS": F.abs,
     "ROUND": F.round,
-    "STRBEFORE": lambda c, s: F.substring_index(c, s, 1),
-    "STRAFTER": lambda c, s: F.substring_index(c, s, -1),
+    "STRBEFORE": _strbefore,
+    "STRAFTER": _strafter,
     "REPLACE": F.regexp_replace,
     "SUBSTR": F.substring,
     "MD5": F.md5,
@@ -334,7 +397,13 @@ SCALAR_MAP = {
     "SHA256": lambda c: F.sha2(c, 256),
     "SHA512": lambda c: F.sha2(c, 512),
     "RAND": F.rand,
-    "UUID": lambda: F.expr("uuid()"),
+    "UUID": lambda: F.concat(F.lit("urn:uuid:"), F.expr("uuid()")),
+    "STRUUID": lambda: F.expr("uuid()"),
+    "BNODE": lambda: F.concat(F.lit("_:b"), F.expr("uuid()")),
+    # IRI/URI constructor: returns the value unchanged — bind with
+    # extend(..., otype='u') so the result term is an IRI
+    "IRI": lambda c: c,
+    "URI": lambda c: c,
 }
 
 
@@ -351,3 +420,6 @@ def encode_for_uri(col: Column) -> Column:
         return s.map(lambda x: None if x is None else urllib.parse.quote(x, safe=""))
 
     return _enc(col)
+
+
+SCALAR_MAP["ENCODE_FOR_URI"] = encode_for_uri

@@ -107,10 +107,20 @@ def recursive_chunker(
     step = chunk_size - chunk_overlap
     if step <= 0:
         raise ValueError("chunk_size must exceed chunk_overlap")
+    tlen = F.length(F.col(text_col))
     offs = F.sequence(
         F.lit(0),
-        F.greatest(F.length(F.col(text_col)) - 1, F.lit(0)),
+        F.greatest(tlen - 1, F.lit(0)),
         F.lit(step),
+    )
+    # a chunk is emitted only when it adds uncovered characters: the
+    # previous chunk already covers [off, off+overlap), so off > 0 requires
+    # off + overlap < len (the reference chunker stops once the text is
+    # covered); empty text emits nothing
+    offs = F.filter(
+        offs,
+        lambda off: (tlen > 0)
+        & ((off == 0) | (off + F.lit(chunk_overlap) < tlen)),
     )
     exploded = documents.select(
         F.col(id_col).alias("root_id"),
@@ -142,7 +152,15 @@ def token_chunker(
     if step <= 0:
         raise ValueError("tokens_per_chunk must exceed token_overlap")
     toks = F.split(F.col(text_col), r"\s+")
-    offs = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step))
+    ntok = F.size(toks)
+    offs = F.sequence(F.lit(0), F.greatest(ntok - 1, F.lit(0)), F.lit(step))
+    # same covered-text rule as recursive_chunker, in token space; blank
+    # text (split yields ['']) emits nothing
+    offs = F.filter(
+        offs,
+        lambda off: (F.length(F.trim(F.col(text_col))) > 0)
+        & ((off == 0) | (off + F.lit(token_overlap) < ntok)),
+    )
     exploded = documents.select(
         F.col(id_col).alias("root_id"),
         toks.alias("toks"),

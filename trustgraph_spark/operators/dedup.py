@@ -65,9 +65,13 @@ def ngram_jaccard_pairs(
     pair, then |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
 
     The pair space is bounded by per-shingle doc frequency — this is the
-    scalable MinHash-free exact-Jaccard path for moderate doc sizes."""
+    scalable MinHash-free exact-Jaccard path for moderate doc sizes.
+
+    The score is the exact Jaccard of the KEPT-shingle sets (sizes and
+    intersections both computed post-stop-shingle-filter) — computing sizes
+    pre-filter would systematically underestimate similarity for documents
+    containing hot shingles."""
     sh = shingles(documents, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
 
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sh_kept = sh.join(
@@ -75,6 +79,7 @@ def ngram_jaccard_pairs(
         "shingle",
         "left_anti",
     )
+    sizes = sh_kept.groupBy(id_col).agg(F.count("*").alias("sz"))
 
     a = sh_kept.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh_kept.select(F.col(id_col).alias("id_b"), "shingle")

@@ -51,21 +51,33 @@ def hop_bfs(
     max_hops: int = 2,
     per_hop_limit: int = 30,
     seed_col: str = "entity",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Hop-and-filter BFS (G3): frontier joins the traversal edges on
     either endpoint per hop, dedupes seen edges, caps expansion per source
     entity (the reference's per-entity triple_limit), and feeds targets
     into the next frontier minus visited.
 
+    When ``group_col`` is given (e.g. query_id), the BFS runs per group:
+    every frontier node carries the group of the seed that discovered it,
+    so hop-N edges are attributed to the query whose traversal reached
+    them (the reference accumulates triples per query, graph_rag.py
+    hop_and_filter) — not just edges incident to the seed itself.
+
     Iterative DataFrame loop — the frontier is small (seed top-k), so each
     hop is a broadcast join against the (large) edge table; no edge-table
-    shuffle. Returns distinct selected edges with the hop number."""
+    shuffle. Returns distinct selected edges with the hop number (and the
+    group column when requested)."""
     trav = traversal_edges(edges).select("s", "p", "o", "otype")
 
-    frontier = seeds.select(F.col(seed_col).alias("node")).distinct()
+    grp = group_col or "_grp"
+    if group_col is None:
+        seeds = seeds.withColumn(grp, F.lit(""))
+    frontier = seeds.select(F.col(grp), F.col(seed_col).alias("node")).distinct()
     visited_nodes = frontier
     seen_edges = None
     out = None
+    edge_key = [grp, "s", "p", "o"]
 
     for hop in range(1, max_hops + 1):
         fb = F.broadcast(frontier)
@@ -73,11 +85,9 @@ def hop_bfs(
         rev = trav.join(fb, trav.o == F.col("node"), "inner").drop("node")
         hop_edges = fwd.unionByName(rev).distinct()
         if seen_edges is not None:
-            hop_edges = hop_edges.join(
-                seen_edges, ["s", "p", "o"], "left_anti"
-            )
-        # per-source expansion cap (reference per-entity limit 30)
-        w = Window.partitionBy("s").orderBy("p", "o")
+            hop_edges = hop_edges.join(seen_edges, edge_key, "left_anti")
+        # per-(group, source) expansion cap (reference per-entity limit 30)
+        w = Window.partitionBy(grp, "s").orderBy("p", "o")
         hop_edges = (
             hop_edges.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= per_hop_limit)
@@ -87,30 +97,46 @@ def hop_bfs(
         )
         out = hop_edges if out is None else out.unionByName(hop_edges)
         seen_edges = (
-            hop_edges.select("s", "p", "o")
+            hop_edges.select(*edge_key)
             if seen_edges is None
-            else seen_edges.union(hop_edges.select("s", "p", "o")).distinct()
+            else seen_edges.union(hop_edges.select(*edge_key)).distinct()
         )
         # next frontier: both endpoints that are URIs, minus visited
         nxt = (
-            hop_edges.select(F.col("o").alias("node"))
+            hop_edges.select(F.col(grp), F.col("o").alias("node"))
             .where(F.col("node").startswith("http"))
-            .union(hop_edges.select(F.col("s").alias("node")))
+            .union(hop_edges.select(F.col(grp), F.col("s").alias("node")))
             .distinct()
-            .join(visited_nodes, "node", "left_anti")
+            .join(visited_nodes, [grp, "node"], "left_anti")
             .localCheckpoint()
         )
         visited_nodes = visited_nodes.union(nxt).distinct()
         frontier = nxt
         if frontier.isEmpty():
             break
-    return out if out is not None else trav.limit(0).withColumn("hop", F.lit(0))
+    if out is None:
+        out = (
+            trav.limit(0)
+            .withColumn(grp, F.lit(""))
+            .withColumn("hop", F.lit(0))
+        )
+    return out.drop(grp) if group_col is None else out
 
 
 def resolve_labels(selected: DataFrame, labels: DataFrame) -> DataFrame:
-    """Attach s/p/o labels via broadcast joins against the labels dimension
-    (G4): three narrow joins, no fact-side shuffle."""
-    lab = F.broadcast(labels)
+    """Attach s/p/o labels (G4). The labels dimension is corpus-sized (one
+    row per labeled entity) — never broadcast it. Instead semi-join-reduce
+    it by the BFS-bounded key set of `selected` (a broadcast semi join: the
+    tiny side is the keys), then broadcast the reduced dimension into the
+    three left joins. The labels scan never shuffles; the broadcast is
+    bounded by |selected| keys, replacing the reference's LRU label cache."""
+    keys = (
+        selected.select(F.col("s").alias("entity"))
+        .union(selected.select(F.col("p").alias("entity")))
+        .union(selected.select(F.col("o").alias("entity")))
+        .distinct()
+    )
+    lab = F.broadcast(labels.join(F.broadcast(keys), "entity", "left_semi"))
     return (
         selected.join(
             lab.select(F.col("entity").alias("s"), F.col("label").alias("s_label")),
@@ -185,18 +211,18 @@ def graph_rag_retrieve(
         entity_embeddings, query_vectors, k=entity_limit
     ).select(F.col("query_id"), F.col("entity_uri").alias("entity"), "score")
 
-    selected = hop_bfs(edges, seeds, max_hops=max_hops, per_hop_limit=per_hop_limit)
+    # group-aware BFS: each hop edge carries the query whose frontier
+    # discovered it, so hop-2 edges (subjects are hop-1 nodes) and reverse
+    # edges (seed as object) are attributed correctly — not just s==seed
+    selected = hop_bfs(
+        edges, seeds, max_hops=max_hops, per_hop_limit=per_hop_limit,
+        group_col="query_id",
+    )
     labeled = resolve_labels(selected, labels_dimension(edges))
 
-    # join back to seed queries: edges reachable from each query's seeds
-    seed_edges = labeled.join(
-        F.broadcast(seeds.select("query_id", F.col("entity").alias("s"))),
-        "s",
-        "inner",
-    )
     w = Window.partitionBy("query_id").orderBy(F.asc("hop"), F.asc("s"), F.asc("p"), F.asc("o"))
     return (
-        seed_edges.withColumn("rn", F.row_number().over(w))
+        labeled.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= edge_limit)
         .drop("rn")
     )

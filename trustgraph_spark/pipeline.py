@@ -82,14 +82,27 @@ class PipelineConfig:
 
 def _fingerprint_df(df: DataFrame) -> str:
     """Source fingerprint: hash of the analyzed plan string (normalized of
-    session-global expression ids) + row count. The count on a parquet
-    source is footer-metadata-only. With Iceberg this would simply be the
-    input snapshot id."""
+    session-global expression ids) + row count + input-file metadata
+    (path, size, mtime per file from the FileIndex) so overwriting an input
+    in place with different data of equal row count still invalidates the
+    checkpoint. The count on a parquet source is footer-metadata-only.
+    With Iceberg this would simply be the input snapshot id."""
     plan = df._jdf.queryExecution().analyzed().toString()
     # strip session-global expression ids (#123) — not content
     plan = re.sub(r"#\d+", "#", plan)
     n = df.count()
-    return hashlib.sha256(f"{plan}|{n}".encode()).hexdigest()[:16]
+    files = []
+    for uri in sorted(df.inputFiles()):
+        path = uri[7:] if uri.startswith("file:") and uri[5:7] == "//" else uri
+        path = path[5:] if path.startswith("file:") else path
+        try:
+            st = os.stat(path)
+            files.append(f"{path}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            files.append(path)
+    return hashlib.sha256(
+        "|".join([plan, str(n), *files]).encode()
+    ).hexdigest()[:16]
 
 
 class Warehouse:
