@@ -107,6 +107,82 @@ def q_kg_pattern_po(spark, sf_dir):
     return match_triples(edges, p=CO_URI, o=TG + "spark", g="").select("s")
 
 
+def q_kg_def_triples(spark, sf_dir):
+    """E2: definitions extraction -> 2 triples per valid object, through the
+    real mapInPandas extractor and the to_uri_udf percent-encoding seam
+    (incl. non-ASCII 'café' -> %C3%A9 and '&' -> %26 entities)."""
+    from trustgraph_spark.operators.extract import (
+        RuleExtractor,
+        definitions_to_triples,
+        extract_definitions,
+    )
+    from trustgraph_spark.planted import planted_def_chunks
+
+    chunks = planted_def_chunks(_docs(spark, sf_dir))
+    return definitions_to_triples(
+        extract_definitions(chunks, RuleExtractor())
+    ).select("s", "p", "o", "otype")
+
+
+def q_kg_entity_contexts(spark, sf_dir):
+    """E2 side-channel: 2 EntityContexts (name + definition) per valid
+    definition, with chunk provenance."""
+    from trustgraph_spark.operators.extract import (
+        RuleExtractor,
+        definitions_entity_contexts,
+        extract_definitions,
+    )
+    from trustgraph_spark.planted import planted_def_chunks
+
+    chunks = planted_def_chunks(_docs(spark, sf_dir))
+    return definitions_entity_contexts(extract_definitions(chunks, RuleExtractor()))
+
+
+def q_kg_rel_triples(spark, sf_dir):
+    """E3: relationships extraction -> rel triple + s/p labels + o URI/label
+    iff object-entity; literal object for the 'produces value' dialect."""
+    from trustgraph_spark.operators.extract import (
+        RuleExtractor,
+        extract_relationships,
+        relationships_to_triples,
+    )
+    from trustgraph_spark.planted import planted_rel_chunks
+
+    chunks = planted_rel_chunks(_docs(spark, sf_dir))
+    return relationships_to_triples(
+        extract_relationships(chunks, RuleExtractor())
+    ).select("s", "p", "o", "otype")
+
+
+def q_kg_prov_triples(spark, sf_dir):
+    """E11: per-chunk provenance envelope + tg:contains RDF-star rows in
+    urn:graph:source, deterministic hash URIs, byte-exact JSON quoting."""
+    from trustgraph_spark.operators.extract import (
+        RuleExtractor,
+        definitions_to_triples,
+        extract_definitions,
+    )
+    from trustgraph_spark.operators.provenance import subgraph_provenance_triples
+    from trustgraph_spark.planted import planted_def_chunks
+
+    chunks = planted_def_chunks(_docs(spark, sf_dir))
+    content = definitions_to_triples(extract_definitions(chunks, RuleExtractor()))
+    return subgraph_provenance_triples(content, "kg-extract").select(
+        "g", "s", "p", "o", "otype"
+    )
+
+
+def q_kg_linking_cc(spark, sf_dir):
+    """Entity linking: blocking -> trigram-Jaccard -> connected components
+    (alternating star) -> canonical-min mapping, over planted near-duplicate
+    mention labels ('entity N' / 'entity Ns')."""
+    from trustgraph_spark.operators.linking import canonical_mapping
+    from trustgraph_spark.planted import planted_mention_triples
+
+    triples = planted_mention_triples(_docs(spark, sf_dir))
+    return canonical_mapping(triples, threshold=0.65)
+
+
 def q_dedup_exact_groups(spark, sf_dir):
     from trustgraph_spark.operators.dedup import normalize_text_col
 
@@ -325,6 +401,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_quads_by_entity": q_kg_quads_by_entity,
         "kg_nodes_degree": q_kg_nodes_degree,
         "kg_pattern_po": q_kg_pattern_po,
+        "kg_def_triples": q_kg_def_triples,
+        "kg_entity_contexts": q_kg_entity_contexts,
+        "kg_rel_triples": q_kg_rel_triples,
+        "kg_prov_triples": q_kg_prov_triples,
+        "kg_linking_cc": q_kg_linking_cc,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -438,6 +519,171 @@ FROM degree d LEFT JOIN labels l USING (entity)
     sql["kg_pattern_po"] = _COOCCUR_CTE + (
         f"SELECT s FROM cooccur WHERE p = '{CO_URI}' AND o = '{TG}spark'"
     )
+
+    # --- extraction core (E2/E3/E11) + linking over planted sentences ------
+    # to_uri parity: spaces -> hyphens, lower, percent-encode; the planted
+    # character set is {ascii, é, ï, &} so the encoding is an explicit chain
+    def _uri(expr: str) -> str:
+        return (
+            f"'{TG}' || replace(replace(replace("
+            f"lower(replace({expr}, ' ', '-')), "
+            "'é', '%C3%A9'), 'ï', '%C3%AF'), '&', '%26')"
+        )
+
+    SKOS_DEF = "http://www.w3.org/2004/02/skos/core#definition"
+    _DEF_TXT = """
+WITH txt AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0 THEN 'no facts in this chunk'
+         ELSE (CASE WHEN doc_id % 7 = 0 THEN 'café ' || (doc_id % 97)
+                    WHEN doc_id % 13 = 0 THEN 'r&d ' || (doc_id % 97)
+                    ELSE 'term ' || (doc_id % 97) END)
+              || ' is defined as concept from ' || source
+              || ' sized ' || (n_chars % 10) || '.'
+    END AS text
+  FROM documents
+), ext AS (
+  SELECT doc_id,
+    trim(regexp_extract(text, '([^.]+?) is defined as (.+?)\\.', 1)) AS entity,
+    trim(regexp_extract(text, '([^.]+?) is defined as (.+?)\\.', 2)) AS definition
+  FROM txt
+  WHERE regexp_matches(text, '([^.]+?) is defined as (.+?)\\.')
+)"""
+    sql["kg_def_triples"] = _DEF_TXT + f"""
+, u AS (SELECT *, {_uri('entity')} AS s_uri FROM ext)
+SELECT s_uri AS s, '{RDF_LABEL}' AS p, entity AS o, 'l' AS otype FROM u
+UNION ALL
+SELECT s_uri, '{SKOS_DEF}', definition, 'l' FROM u
+"""
+
+    sql["kg_entity_contexts"] = _DEF_TXT + f"""
+, u AS (SELECT *, {_uri('entity')} AS entity_uri,
+               'urn:chunk:' || doc_id AS chunk_id FROM ext)
+SELECT 'default' AS collection, entity_uri, entity AS context, chunk_id FROM u
+UNION ALL
+SELECT 'default', entity_uri, definition, chunk_id FROM u
+"""
+
+    _REL_TXT = """
+WITH txt AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0 THEN 'no facts in this chunk'
+         ELSE ('proc ' || (doc_id % 53)) || ' '
+              || (CASE WHEN doc_id % 3 = 0 THEN 'uses'
+                       WHEN doc_id % 3 = 1 THEN 'contains'
+                       ELSE 'extends' END) || ' '
+              || (CASE WHEN doc_id % 5 = 0 THEN 'naïve ' ELSE 'unit ' END)
+              || (doc_id % 31) || '. '
+              || ('proc ' || (doc_id % 53)) || ' produces value '
+              || (doc_id % 29) || '.'
+    END AS text
+  FROM documents
+), rel AS (
+  SELECT doc_id,
+    trim(regexp_extract(text, '([^.]+?) (uses|contains|extends) ([^.]+?)\\.', 1)) AS s_txt,
+    trim(regexp_extract(text, '([^.]+?) (uses|contains|extends) ([^.]+?)\\.', 2)) AS p_txt,
+    trim(regexp_extract(text, '([^.]+?) (uses|contains|extends) ([^.]+?)\\.', 3)) AS o_txt,
+    trim(regexp_extract(text, '([^.]+?) produces value ([^.]+?)\\.', 1)) AS ls_txt,
+    trim(regexp_extract(text, '([^.]+?) produces value ([^.]+?)\\.', 2)) AS lv_txt
+  FROM txt
+  WHERE regexp_matches(text, '([^.]+?) (uses|contains|extends) ([^.]+?)\\.')
+)"""
+    sql["kg_rel_triples"] = _REL_TXT + f"""
+, u AS (
+  SELECT *, {_uri('s_txt')} AS s_uri, {_uri('p_txt')} AS p_uri,
+         {_uri('o_txt')} AS o_uri, {_uri('ls_txt')} AS ls_uri,
+         '{TG}produces-value' AS lp_uri
+  FROM rel
+)
+SELECT s_uri AS s, p_uri AS p, o_uri AS o, 'u' AS otype FROM u
+UNION ALL SELECT s_uri, '{RDF_LABEL}', s_txt, 'l' FROM u
+UNION ALL SELECT p_uri, '{RDF_LABEL}', p_txt, 'l' FROM u
+UNION ALL SELECT o_uri, '{RDF_LABEL}', o_txt, 'l' FROM u
+UNION ALL SELECT ls_uri, lp_uri, lv_txt, 'l' FROM u
+UNION ALL SELECT ls_uri, '{RDF_LABEL}', ls_txt, 'l' FROM u
+UNION ALL SELECT lp_uri, '{RDF_LABEL}', 'produces value', 'l' FROM u
+"""
+
+    # E11 provenance: deterministic subgraph/activity hash URIs, byte-exact
+    # json.dumps serialization (', '/': ' separators, ensure_ascii -> \\u00e9)
+    TGNS = "https://trustgraph.ai/ns/"
+    PROV = "http://www.w3.org/ns/prov#"
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    sql["kg_prov_triples"] = _DEF_TXT + f"""
+, u AS (SELECT *, {_uri('entity')} AS s_uri,
+               'urn:chunk:' || doc_id AS chunk_id FROM ext)
+, content AS (
+  SELECT chunk_id, s_uri AS s, '{RDF_LABEL}' AS p, entity AS o FROM u
+  UNION ALL
+  SELECT chunk_id, s_uri, '{SKOS_DEF}', definition FROM u
+), keyed AS (
+  SELECT *, sha256(chunk_id || ':kg-extract') AS h FROM content
+), contains_rows AS (
+  SELECT 'urn:graph:source' AS g,
+         'https://trustgraph.ai/subgraph/' || h AS s,
+         '{TGNS}contains' AS p,
+         '{{"s": {{"type": "i", "iri": "' || s || '"}}, '
+         || '"p": {{"type": "i", "iri": "' || p || '"}}, '
+         || '"o": {{"type": "l", "value": "' || replace(o, 'é', '\\u00e9') || '"}}}}' AS o,
+         't' AS otype
+  FROM keyed
+), chunks AS (
+  SELECT DISTINCT chunk_id,
+         'https://trustgraph.ai/subgraph/' || h AS sg,
+         'https://trustgraph.ai/activity/' || h AS act
+  FROM keyed
+)
+SELECT * FROM contains_rows
+UNION ALL SELECT 'urn:graph:source', sg, '{RDF_TYPE}', '{PROV}Entity', 'u' FROM chunks
+UNION ALL SELECT 'urn:graph:source', sg, '{RDF_TYPE}', '{TGNS}Subgraph', 'u' FROM chunks
+UNION ALL SELECT 'urn:graph:source', sg, '{PROV}wasDerivedFrom', chunk_id, 'u' FROM chunks
+UNION ALL SELECT 'urn:graph:source', sg, '{PROV}wasGeneratedBy', act, 'u' FROM chunks
+UNION ALL SELECT 'urn:graph:source', act, '{RDF_TYPE}', '{PROV}Activity', 'u' FROM chunks
+UNION ALL SELECT 'urn:graph:source', act, '{RDF_LABEL}', 'kg-extract extraction', 'l' FROM chunks
+UNION ALL SELECT 'urn:graph:source', act, '{PROV}used', chunk_id, 'u' FROM chunks
+UNION ALL SELECT 'urn:graph:source', act, '{PROV}wasAssociatedWith', 'https://trustgraph.ai/agent/kg-extract', 'u' FROM chunks
+UNION ALL SELECT 'urn:graph:source', act, '{PROV}startedAtTime', '1970-01-01T00:00:00Z', 'l' FROM chunks
+UNION ALL SELECT 'urn:graph:source', act, '{TGNS}componentVersion', '0.1.0', 'l' FROM chunks
+UNION ALL SELECT 'urn:graph:source', 'https://trustgraph.ai/agent/kg-extract', '{RDF_TYPE}', '{PROV}Agent', 'u' FROM chunks
+UNION ALL SELECT 'urn:graph:source', 'https://trustgraph.ai/agent/kg-extract', '{RDF_LABEL}', 'kg-extract', 'l' FROM chunks
+"""
+
+    # linking/CC: same trigram-Jaccard ('  s ' padding) on normalized labels,
+    # all-pairs here because every planted label shares the 'p4:enti'
+    # blocking key; components via recursive min-label propagation
+    sql["kg_linking_cc"] = f"""
+WITH RECURSIVE labs AS (
+  SELECT DISTINCT
+    CASE WHEN doc_id % 3 = 0
+         THEN 'entity ' || (doc_id % 40) || 's'
+         ELSE 'entity ' || (doc_id % 40) END AS label
+  FROM documents
+), m AS (
+  SELECT '{TG}' || replace(label, ' ', '-') AS uri,
+         replace(label, ' ', '-') AS norm
+  FROM labs
+), grams AS (
+  SELECT uri, list_distinct(list_transform(
+           range(1, length('  ' || norm || ' ') - 1),
+           i -> ('  ' || norm || ' ')[i:i+2])) AS g
+  FROM m
+), pairs AS (
+  SELECT a.uri AS ua, b.uri AS ub,
+         len(list_intersect(a.g, b.g))::DOUBLE
+           / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS score
+  FROM grams a JOIN grams b ON a.uri < b.uri
+), bidir AS (
+  SELECT ua AS u, ub AS v FROM pairs WHERE score >= 0.65
+  UNION ALL
+  SELECT ub, ua FROM pairs WHERE score >= 0.65
+), reach(node, comp) AS (
+  SELECT u, u FROM bidir
+  UNION
+  SELECT b.v, r.comp FROM reach r JOIN bidir b ON b.u = r.node
+)
+SELECT node AS uri, min(comp) AS canonical_uri
+FROM reach GROUP BY node HAVING min(comp) <> node
+"""
 
     sql["dedup_exact_groups"] = """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
