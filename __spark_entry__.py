@@ -340,6 +340,40 @@ def q_kg_bgp_two_hop(spark, sf_dir):
     )
 
 
+def _cooccur_edges_table(spark, sf_dir):
+    from trustgraph_spark.docskg import cooccurrence_triples, doc_mentions
+    from trustgraph_spark.operators.materialize import materialize_edges
+
+    return materialize_edges(
+        cooccurrence_triples(doc_mentions(_docs(spark, sf_dir), VOCAB))
+    )
+
+
+def q_sparql_two_hop(spark, sf_dir):
+    """SPARQL string front-end: parse a SELECT with a 2-pattern BGP +
+    FILTER and evaluate through the algebra combinators."""
+    from trustgraph_spark.sparql import sparql_select
+
+    edges = _cooccur_edges_table(spark, sf_dir)
+    return sparql_select(
+        edges,
+        f"SELECT ?x ?z WHERE {{ ?x <{CO_URI}> ?y . ?y <{CO_URI}> ?z "
+        f"FILTER (?x != ?z) }}",
+    )
+
+
+def q_sparql_group_count(spark, sf_dir):
+    """SPARQL GROUP BY + COUNT through the string front-end."""
+    from trustgraph_spark.sparql import sparql_select
+
+    edges = _cooccur_edges_table(spark, sf_dir)
+    out = sparql_select(
+        edges,
+        f"SELECT ?x (COUNT(?y) AS ?n) WHERE {{ ?x <{CO_URI}> ?y }} GROUP BY ?x",
+    )
+    return out.select("x", F.col("n").cast("long").alias("n"))
+
+
 def q_simhash16(spark, sf_dir):
     from trustgraph_spark.operators.dedup import simhash
 
@@ -418,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": q_events_window_agg,
         "pricing_summary": q_pricing_summary,
         "kg_bgp_two_hop": q_kg_bgp_two_hop,
+        "sparql_two_hop": q_sparql_two_hop,
+        "sparql_group_count": q_sparql_group_count,
         "simhash16": q_simhash16,
         "minhash_sig4": q_minhash_sig4,
         "revenue_by_nation": q_revenue_by_nation,
@@ -853,6 +889,15 @@ FROM events GROUP BY 1, 2
     sql["kg_bgp_two_hop"] = _COOCCUR_CTE + (
         "SELECT a.s AS x, a.o AS y, b.o AS z "
         "FROM cooccur a JOIN cooccur b ON a.o = b.s"
+    )
+
+    sql["sparql_two_hop"] = _COOCCUR_CTE + (
+        "SELECT a.s AS x, b.o AS z "
+        "FROM cooccur a JOIN cooccur b ON a.o = b.s WHERE a.s <> b.o"
+    )
+
+    sql["sparql_group_count"] = _COOCCUR_CTE + (
+        "SELECT s AS x, count(*)::BIGINT AS n FROM cooccur GROUP BY s"
     )
 
     # simhash16: per-token md5 nibble bits, +1/-1 weighted sums, sign bits

@@ -1,0 +1,269 @@
+"""SPARQL string front-end: parser behavior mirrors the reference's
+tests/unit/test_query/test_sparql_parser.py; evaluation parity with the
+algebra combinators mirrors test_sparql_algebra.py scenarios."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from trustgraph_spark.constants import RDF_LABEL, RDF_TYPE
+from trustgraph_spark.sparql import ParseError, parse_sparql, sparql_select
+
+TRIPLES_DDL = (
+    "collection string, g string, s string, p string, o string, "
+    "otype string, dtype string, lang string"
+)
+E = "http://e/"
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    rows = [
+        ("default", "", E + "alice", RDF_TYPE, E + "Person", "u", "", ""),
+        ("default", "", E + "bob", RDF_TYPE, E + "Person", "u", "", ""),
+        ("default", "", E + "carol", RDF_TYPE, E + "Robot", "u", "", ""),
+        ("default", "", E + "alice", E + "knows", E + "bob", "u", "", ""),
+        ("default", "", E + "bob", E + "knows", E + "carol", "u", "", ""),
+        ("default", "", E + "alice", RDF_LABEL, "Alice", "l", "", "en"),
+        ("default", "", E + "bob", RDF_LABEL, "Bob", "l", "", ""),
+        ("default", "", E + "alice", E + "age", "42", "l",
+         "http://www.w3.org/2001/XMLSchema#integer", ""),
+        ("default", "", E + "bob", E + "age", "37", "l",
+         "http://www.w3.org/2001/XMLSchema#integer", ""),
+        ("default", "urn:g:x", E + "alice", E + "secret", "s3", "l", "", ""),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_DDL).cache()
+    df.count()
+    return df
+
+
+# --- parser behavior (reference test_sparql_parser.py parity) ---------------
+
+
+def test_select_query_type_and_variables():
+    q = parse_sparql("SELECT ?s ?p ?o WHERE { ?s ?p ?o }")
+    assert q.query_type == "select"
+    assert q.variables == ["s", "p", "o"]
+
+
+def test_select_subset_variables():
+    q = parse_sparql("SELECT ?s ?o WHERE { ?s ?p ?o }")
+    assert q.variables == ["s", "o"]
+
+
+def test_ask_query_type_no_variables():
+    q = parse_sparql("ASK { ?s ?p ?o }")
+    assert q.query_type == "ask"
+    assert q.variables == []
+
+
+def test_construct_describe_detected():
+    assert parse_sparql(
+        "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }"
+    ).query_type == "construct"
+    assert parse_sparql("DESCRIBE <http://x>").query_type == "describe"
+
+
+def test_limit_distinct_parse():
+    q = parse_sparql("SELECT DISTINCT ?s WHERE { ?s ?p ?o } LIMIT 10")
+    assert q.distinct and q.limit == 10
+
+
+def test_prefix_expansion():
+    q = parse_sparql(
+        "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> "
+        "SELECT ?s ?label WHERE { ?s rdfs:label ?label }"
+    )
+    tp = q.where.elements[0][1][0]
+    assert tp.p == RDF_LABEL
+
+
+def test_parse_errors():
+    with pytest.raises(ParseError):
+        parse_sparql("NOT A QUERY")
+    with pytest.raises(ParseError):
+        parse_sparql("SELECT ?s WHERE {")
+    with pytest.raises(ParseError):
+        parse_sparql("SELECT ?s WHERE { ?s foo:bar ?o }")  # unknown prefix
+
+
+# --- evaluation --------------------------------------------------------------
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_single_pattern_all_variables(edges):
+    out = sparql_select(edges, "SELECT ?s ?p ?o WHERE { ?s ?p ?o }")
+    assert out.count() == 9  # named-graph row excluded (default graph only)
+    assert set(out.columns) == {"s", "p", "o"}
+
+
+def test_bound_subject_and_a_shortcut(edges):
+    out = sparql_select(
+        edges, f"SELECT ?t WHERE {{ <{E}alice> a ?t }}"
+    )
+    assert _rows(out) == {(E + "Person",)}
+
+
+def test_predicate_object_list_shortcuts(edges):
+    out = sparql_select(
+        edges,
+        f"SELECT ?x ?n WHERE {{ ?x a <{E}Person> ; <{E}age> ?n }}",
+    )
+    assert _rows(out) == {(E + "alice", "42"), (E + "bob", "37")}
+
+
+def test_join_two_patterns(edges):
+    out = sparql_select(
+        edges,
+        f"SELECT ?x ?y WHERE {{ ?x <{E}knows> ?y . ?y <{E}knows> ?z }}",
+    )
+    assert _rows(out) == {(E + "alice", E + "bob")}
+
+
+def test_filter_numeric_comparison(edges):
+    out = sparql_select(
+        edges,
+        f"SELECT ?x WHERE {{ ?x <{E}age> ?n FILTER (?n > 40) }}",
+    )
+    assert _rows(out) == {(E + "alice",)}
+
+
+def test_filter_regex_and_str(edges):
+    out = sparql_select(
+        edges,
+        'SELECT ?x WHERE { ?x <%slabel> ?l FILTER regex(?l, "^ali", "i") }' % E.replace(E, "http://www.w3.org/2000/01/rdf-schema#"),
+    )
+    assert _rows(out) == {(E + "alice",)}
+
+
+def test_optional(edges):
+    out = sparql_select(
+        edges,
+        f"SELECT ?x ?l WHERE {{ ?x a <{E}Person> OPTIONAL {{ ?x "
+        f"<{RDF_LABEL}> ?l }} }}",
+    )
+    got = dict(_rows(out))
+    assert got[E + "alice"] == "Alice" and got[E + "bob"] == "Bob"
+
+
+def test_optional_unmatched_is_null(edges):
+    out = sparql_select(
+        edges,
+        f"SELECT ?x ?l WHERE {{ ?x a <{E}Robot> OPTIONAL {{ ?x "
+        f"<{RDF_LABEL}> ?l }} }}",
+    )
+    assert _rows(out) == {(E + "carol", None)}
+
+
+def test_union(edges):
+    out = sparql_select(
+        edges,
+        f"SELECT ?x WHERE {{ {{ ?x a <{E}Robot> }} UNION {{ ?x a <{E}Person> }} }}",
+    )
+    assert _rows(out) == {(E + "alice",), (E + "bob",), (E + "carol",)}
+
+
+def test_minus(edges):
+    out = sparql_select(
+        edges,
+        f"SELECT ?x WHERE {{ ?x a <{E}Person> MINUS {{ ?x <{E}knows> <{E}carol> }} }}",
+    )
+    assert _rows(out) == {(E + "alice",)}
+
+
+def test_filter_exists_and_not_exists(edges):
+    q = f"SELECT ?x WHERE {{ ?x a <{E}Person> FILTER EXISTS {{ ?x <{E}knows> ?y }} }}"
+    assert _rows(sparql_select(edges, q)) == {(E + "alice",), (E + "bob",)}
+    q2 = f"SELECT ?x WHERE {{ ?x a ?t FILTER NOT EXISTS {{ ?x <{E}knows> ?y }} }}"
+    assert _rows(sparql_select(edges, q2)) == {(E + "carol",)}
+
+
+def test_order_limit_offset(edges):
+    out = sparql_select(
+        edges,
+        f"SELECT ?x ?n WHERE {{ ?x <{E}age> ?n }} ORDER BY DESC(?n) LIMIT 1",
+    )
+    assert _rows(out) == {(E + "alice", "42")}
+    out2 = sparql_select(
+        edges,
+        f"SELECT ?x WHERE {{ ?x <{E}age> ?n }} ORDER BY ?n LIMIT 1 OFFSET 1",
+    )
+    assert _rows(out2) == {(E + "alice",)}
+
+
+def test_distinct(edges):
+    out = sparql_select(edges, "SELECT DISTINCT ?p WHERE { ?s ?p ?o }")
+    assert out.count() == 4
+
+
+def test_bind_and_arithmetic(edges):
+    out = sparql_select(
+        edges,
+        f"SELECT ?x ?m WHERE {{ ?x <{E}age> ?n BIND (?n + 1 AS ?m) }}",
+    )
+    got = dict(_rows(out))
+    assert got[E + "alice"] == "43.0"
+
+
+def test_values_inline(edges):
+    out = sparql_select(
+        edges,
+        f'SELECT ?x ?n WHERE {{ VALUES ?x {{ <{E}alice> }} ?x <{E}age> ?n }}',
+    )
+    assert _rows(out) == {(E + "alice", "42")}
+
+
+def test_group_by_count(edges):
+    out = sparql_select(
+        edges,
+        "SELECT ?t (COUNT(?x) AS ?n) WHERE { ?x a ?t } GROUP BY ?t",
+    )
+    got = dict(_rows(out))
+    assert got[E + "Person"] == 2 and got[E + "Robot"] == 1
+
+
+def test_group_by_having_and_avg(edges):
+    out = sparql_select(
+        edges,
+        f"SELECT ?t (AVG(?n) AS ?avg) WHERE {{ ?x a ?t . ?x <{E}age> ?n }} "
+        "GROUP BY ?t HAVING (COUNT(?x) >= 2)",
+    )
+    assert _rows(out) == {(E + "Person", 39.5)}
+
+
+def test_graph_clause(edges):
+    out = sparql_select(
+        edges,
+        f"SELECT ?o WHERE {{ GRAPH <urn:g:x> {{ <{E}alice> <{E}secret> ?o }} }}",
+    )
+    assert _rows(out) == {("s3",)}
+
+
+def test_ask_true_false(edges):
+    assert sparql_select(edges, f"ASK {{ <{E}alice> ?p ?o }}").collect()[0].ask
+    assert not sparql_select(edges, f"ASK {{ <{E}nobody> ?p ?o }}").collect()[0].ask
+
+
+def test_select_star(edges):
+    out = sparql_select(edges, f"SELECT * WHERE {{ ?x <{E}knows> ?y }}")
+    assert set(out.columns) == {"x", "y"}
+    assert out.count() == 2
+
+
+def test_in_and_lang(edges):
+    out = sparql_select(
+        edges,
+        f"SELECT ?x WHERE {{ ?x <{RDF_LABEL}> ?l FILTER (LANG(?l) IN (\"en\")) }}",
+    )
+    assert _rows(out) == {(E + "alice",)}
+
+
+def test_sparql_plan_is_single_catalyst_plan(edges):
+    out = sparql_select(
+        edges,
+        f"SELECT ?x ?y WHERE {{ ?x <{E}knows> ?y . ?y a <{E}Person> }}",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
