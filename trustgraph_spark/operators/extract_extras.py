@@ -40,6 +40,96 @@ def to_uri_agent_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: None if t is None else TRUSTGRAPH_ENTITIES + urllib.parse.quote(t))
 
 
+# --- E4: combined type-discriminated agent extraction flow --------------------
+
+
+class AgentExtractor:
+    """Single-prompt agent extraction (extract/kg/agent/extract.py:200-343):
+    one agent call per chunk returns mixed JSONL with a 'type' discriminator
+    ('definition' | 'relationship'); relationship objects default
+    object-entity to True when the key is absent (:307). ``agent_fn`` is the
+    LLM boundary: chunk text -> raw JSONL string (fences tolerated; invalid
+    lines skipped — truncation resilience via parse_jsonl_py)."""
+
+    def __init__(self, agent_fn):
+        self._fn = agent_fn
+
+    def extract_combined(self, texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: parse_jsonl_py(self._fn(t or "")))
+
+
+def extract_agent(chunks: DataFrame, agent: AgentExtractor) -> DataFrame:
+    """One mapInPandas pass: agent call -> JSONL parse -> kind-tagged rows
+    in the extract_all schema ('def'/'rel'), so split_extractions and the
+    triple constructors apply unchanged. Objects without a recognized type
+    are dropped (reference categorizes by type and ignores the rest)."""
+    from .extract import _ALL_OUT_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["chunk_id", "root_id", "collection", "kind", "entity",
+                "definition", "subject", "predicate", "object", "object_entity"]
+        for pdf in batches:
+            base = pdf[["chunk_id", "root_id", "collection"]].copy()
+            base["obj"] = agent.extract_combined(pdf["text"])
+            ex = base.explode("obj").dropna(subset=["obj"])
+            rows = []
+            for _, r in ex.iterrows():
+                o = r["obj"]
+                t = o.get("type")
+                if t == "definition":
+                    rows.append(
+                        [r["chunk_id"], r["root_id"], r["collection"], "def",
+                         o.get("entity"), o.get("definition"),
+                         None, None, None, None]
+                    )
+                elif t == "relationship":
+                    rows.append(
+                        [r["chunk_id"], r["root_id"], r["collection"], "rel",
+                         None, None,
+                         o.get("subject"), o.get("predicate"), o.get("object"),
+                         bool(o.get("object-entity", True))]
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return chunks.select("chunk_id", "root_id", "collection", "text").mapInPandas(
+        gen, schema=_ALL_OUT_SCHEMA
+    )
+
+
+def agent_extractions_to_triples(extractions: DataFrame) -> DataFrame:
+    """Agent post-processing (extract/kg/agent/extract.py:252-343): the same
+    triple shapes as E2/E3 but minted with the agent URI dialect (quote
+    only — no lowercase/hyphenation, :114-115)."""
+    from .extract import (
+        definitions_to_triples,
+        relationships_to_triples,
+        split_extractions,
+    )
+
+    defs, rels = split_extractions(extractions)
+    return definitions_to_triples(defs, mint=to_uri_agent_udf).unionByName(
+        relationships_to_triples(rels, mint=to_uri_agent_udf)
+    )
+
+
+def agent_entity_contexts(extractions: DataFrame) -> DataFrame:
+    """The agent flow emits ONE EntityContext per definition (context =
+    definition only, extract.py:295-298) — unlike E2's name+definition
+    pair."""
+    from .extract import split_extractions
+
+    defs, _ = split_extractions(extractions)
+    d = defs.where(
+        F.col("entity").isNotNull()
+        & (F.col("entity") != "")
+        & F.col("definition").isNotNull()
+        & (F.col("definition") != "")
+    ).withColumn("entity_uri", to_uri_agent_udf(F.col("entity")))
+    return d.select(
+        "collection", "entity_uri", F.col("definition").alias("context"), "chunk_id"
+    )
+
+
 # --- E7: topics extractor ----------------------------------------------------
 
 

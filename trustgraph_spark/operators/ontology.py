@@ -85,6 +85,181 @@ def validate_against_ontology(
     return t.withColumn("_valid", valid).drop("_dom", "_rng", "_s_cls", "_o_cls", "_known")
 
 
+ELEMENTS_DDL = (
+    "ontology_id string, element_type string, element_id string, "
+    "label string, comment string, subclass_of string, domain string, "
+    "range string, inverse_of string"
+)
+
+
+def ontology_element_texts(elements: DataFrame) -> DataFrame:
+    """Text representation per ontology element for embedding — mirrors
+    ontology_embedder.py:40-83: element id with -/_ -> spaces, labels,
+    comment, then 'subclass of X' for classes / 'domain: X' 'range: X' for
+    properties. Pure column expressions."""
+    idt = F.regexp_replace(F.regexp_replace(F.col("element_id"), "-", " "), "_", " ")
+    extra = F.when(
+        (F.col("element_type") == "class") & F.col("subclass_of").isNotNull(),
+        F.concat(F.lit("subclass of "), F.col("subclass_of")),
+    ).otherwise(
+        F.concat_ws(
+            " ",
+            F.when(F.col("domain").isNotNull(), F.concat(F.lit("domain: "), F.col("domain"))),
+            F.when(F.col("range").isNotNull(), F.concat(F.lit("range: "), F.col("range"))),
+        )
+    )
+    text = F.concat_ws(" ", idt, F.col("label"), F.col("comment"), extra)
+    return elements.withColumn("text", F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def select_ontology_subset(
+    chunks: DataFrame,
+    elements: DataFrame,
+    embedder=None,
+    top_k: int = 10,
+    similarity_threshold: float = 0.3,
+    bypass_selector_below: int = 5,
+) -> DataFrame:
+    """OntoRAG per-chunk ontology-subset selection
+    (ontology_selector.py:75-167): embed every ontology element's text
+    representation and every chunk, take the per-chunk cosine top_k above
+    similarity_threshold. When the whole ontology has fewer than
+    bypass_selector_below elements, selection is bypassed and every chunk
+    gets the full ontology (relevance 1.0), as the reference does.
+
+    Scale shape: the ontology is a SMALL broadcast dimension; the chunk
+    side is the corpus. chunk-embeddings × broadcast(element-embeddings)
+    is a broadcast nested-loop join (no corpus shuffle) followed by a
+    per-chunk top-k window. Returns (chunk_id, ontology_id, element_type,
+    element_id, score)."""
+    from pyspark.sql import Window
+
+    from .embeddings import HashEmbedder, _cosine_expr, embed_texts
+
+    embedder = embedder or HashEmbedder()
+
+    elem_txt = ontology_element_texts(elements)
+    n_elements = elem_txt.count()  # tiny dimension; cheap action
+    keys = ["ontology_id", "element_type", "element_id"]
+
+    if n_elements < bypass_selector_below:
+        return chunks.select("chunk_id").distinct().crossJoin(
+            F.broadcast(elem_txt.select(*keys))
+        ).withColumn("score", F.lit(1.0))
+
+    elem_vec = embed_texts(elem_txt, "text", "evec", embedder).select(*keys, "evec")
+    chunk_vec = embed_texts(
+        chunks.select("chunk_id", "text"), "text", "cvec", embedder
+    ).select("chunk_id", "cvec")
+
+    scored = chunk_vec.crossJoin(F.broadcast(elem_vec)).select(
+        "chunk_id", *keys,
+        _cosine_expr(F.col("cvec"), F.col("evec")).alias("score"),
+    ).where(F.col("score") >= similarity_threshold)
+
+    w = Window.partitionBy("chunk_id").orderBy(
+        F.desc("score"), *[F.asc(k) for k in keys]
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_k)
+        .drop("_rn")
+    )
+
+
+def resolve_ontology_dependencies(
+    selected: DataFrame, elements: DataFrame
+) -> DataFrame:
+    """Single-pass dependency closure (ontology_selector.py:232-330) as
+    broadcast joins against the element dimension:
+    - parent classes of selected classes (subclass_of)
+    - domain/range classes of selected properties
+    - inverse_of of selected object properties
+    - properties whose domain or range is a selected class, plus the
+      other-end class of such object properties
+    Input/output: (chunk_id, ontology_id, element_type, element_id[, score]);
+    added rows carry score NULL."""
+    el = F.broadcast(elements)
+    keys = ["chunk_id", "ontology_id", "element_type", "element_id"]
+    sel = selected.select(*keys)
+
+    sel_el = sel.join(el, ["ontology_id", "element_type", "element_id"], "inner")
+    sel_classes = sel_el.where(F.col("element_type") == "class")
+    sel_props = sel_el.where(F.col("element_type") != "class")
+
+    def _cls(df, col):
+        return df.where(F.col(col).isNotNull()).select(
+            "chunk_id", "ontology_id",
+            F.lit("class").alias("element_type"),
+            F.col(col).alias("element_id"),
+        )
+
+    parents = _cls(sel_classes, "subclass_of")
+    dom = _cls(sel_props, "domain")
+    rng = _cls(sel_props.where(F.col("element_type") == "objectProperty"), "range")
+    inv = (
+        sel_props.where(
+            (F.col("element_type") == "objectProperty") & F.col("inverse_of").isNotNull()
+        ).select(
+            "chunk_id", "ontology_id",
+            F.lit("objectProperty").alias("element_type"),
+            F.col("inverse_of").alias("element_id"),
+        )
+    )
+
+    # properties touching selected classes (join on domain/range = class id)
+    cls_keys = sel_classes.select(
+        "chunk_id", F.col("ontology_id").alias("_ont"), F.col("element_id").alias("cls")
+    )
+    all_props = elements.where(F.col("element_type") != "class")
+    touching = cls_keys.join(
+        F.broadcast(all_props),
+        (F.col("_ont") == all_props.ontology_id)
+        & (
+            (all_props.domain == F.col("cls"))
+            | ((all_props.element_type == "objectProperty") & (all_props.range == F.col("cls")))
+        ),
+    ).select(
+        "chunk_id",
+        "ontology_id",
+        "element_type",
+        "element_id",
+        F.col("domain").alias("_dom"),
+        F.col("range").alias("_rng"),
+        F.col("cls"),
+    )
+    other_end = (
+        touching.where(F.col("element_type") == "objectProperty")
+        .select(
+            "chunk_id", "ontology_id",
+            F.lit("class").alias("element_type"),
+            F.when(F.col("_dom") != F.col("cls"), F.col("_dom"))
+            .otherwise(F.col("_rng")).alias("element_id"),
+            "cls",
+        )
+        .where(F.col("element_id").isNotNull() & (F.col("element_id") != F.col("cls")))
+        .drop("cls")
+    )
+    touch_props = touching.select(*keys)
+
+    added = (
+        parents.unionByName(dom).unionByName(rng).unionByName(inv)
+        .unionByName(touch_props).unionByName(other_end)
+        .distinct()
+        # only elements that exist in the ontology dimension survive
+        .join(
+            el.select("ontology_id", "element_type", "element_id"),
+            ["ontology_id", "element_type", "element_id"],
+            "left_semi",
+        )
+        .join(sel, keys, "left_anti")
+    )
+    out_cols = selected.columns
+    if "score" in out_cols:
+        added = added.withColumn("score", F.lit(None).cast("double"))
+    return selected.unionByName(added.select(*out_cols))
+
+
 def build_entity_uri_col(
     name_col, type_col, ontology_id: str, base_uri: str = "https://trustgraph.ai"
 ):
