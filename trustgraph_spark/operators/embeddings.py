@@ -180,25 +180,15 @@ def lsh_signature_col(vec_col, planes: list[list[float]]):
     return F.concat(*bits)
 
 
-def _centroid_scores(vec_col, centroids: list[list[float]]):
-    """array<double> of cosine scores of vec against each centroid (pure
-    column expressions over a literal centroid array)."""
-    return F.array(
-        *[
-            _cosine_expr(vec_col, F.array(*[F.lit(float(x)) for x in c]))
-            for c in centroids
-        ]
-    )
-
-
 def ivf_centroids(
     vectors: DataFrame, n_lists: int = 16, id_col: str = "entity_uri",
     vec_col: str = "vector",
 ) -> list[list[float]]:
-    """Deterministic IVF coarse quantizer: pick n_lists centroid vectors by
-    hash-ordered sampling (cheap, reproducible; k-means iterations can
-    refine later — list assignment logic is identical). The centroid set is
-    tiny and broadcast into the plan as literals."""
+    """Deterministic IVF seed centroids: n_lists vectors by hash-ordered
+    sampling (reproducible k-means++-style spread-free seeding; refine with
+    ivf_kmeans). Returned as plain Python data — NEVER embedded as plan
+    literals (256 lists x 64 dims as literals blows up the Catalyst plan;
+    centroids travel as a closure numpy array or a small DataFrame)."""
     rows = (
         vectors.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)))
@@ -208,21 +198,131 @@ def ivf_centroids(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
+def centroids_table(spark, centroids: list[list[float]]) -> DataFrame:
+    """(list_id, centroid) dimension — the join/broadcast form of the
+    coarse quantizer (replacing plan-literal centroids)."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<double>",
+    )
+
+
 def ivf_assign(
     vectors: DataFrame, centroids: list[list[float]],
     vec_col: str = "vector",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid list (argmax cosine) —
-    one narrow pass; at scale the assigned table is written partitioned by
-    list_id so probes prune partitions."""
-    scores = _centroid_scores(F.col(vec_col).cast("array<double>"), centroids)
-    best = F.array_position(scores, F.array_max(scores)).cast("int") - 1
-    return vectors.withColumn("list_id", best)
+    """Assign each vector to its nearest centroid list (argmax cosine).
+
+    Arrow-batched numpy matmul over normalized centroids (the sanctioned
+    similarity-scoring seam): zero shuffle, zero plan growth — each batch
+    is one (batch x dim) @ (dim x n_lists) GEMM. This is the index-build
+    path; at scale the output is written partitioned by list_id
+    (ivf_write) so probes prune partitions."""
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(cent, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cent_t = (cent / norms).T  # dim x n_lists
+
+    from pyspark.sql import types as T
+
+    fields = vectors.schema.fieldNames()
+    # build a NEW StructType — StructType.add mutates in place and would
+    # corrupt the cached input schema
+    out_schema = T.StructType(
+        list(vectors.schema.fields) + [T.StructField("list_id", T.IntegerType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            vn = np.linalg.norm(m, axis=1, keepdims=True)
+            vn[vn == 0] = 1.0
+            scores = (m / vn) @ cent_t
+            pdf = pdf.copy()
+            pdf["list_id"] = scores.argmax(axis=1).astype("int32")
+            yield pdf[fields + ["list_id"]]
+
+    return vectors.mapInPandas(gen, schema=out_schema)
+
+
+def ivf_kmeans(
+    vectors: DataFrame,
+    n_lists: int = 64,
+    iters: int = 4,
+    id_col: str = "entity_uri",
+    vec_col: str = "vector",
+    train_sample: int = 100_000,
+) -> list[list[float]]:
+    """Lloyd's k-means refinement of the IVF coarse quantizer, distributed:
+    per iteration one assignment pass (Arrow GEMM, no shuffle) + one
+    centroid recompute (posexplode -> groupBy(list_id, pos) avg — a single
+    map-side-combinable shuffle of (sample x dim) scalars). Training runs
+    on a hash-deterministic sample (faiss-style), so iteration cost is
+    bounded regardless of corpus size. Returns refined centroids."""
+    n = vectors.count()
+    train = vectors
+    if n > train_sample:
+        train = vectors.orderBy(F.xxhash64(F.col(id_col))).limit(train_sample)
+    train = train.select(id_col, vec_col).localCheckpoint()
+
+    cents = ivf_centroids(train, n_lists, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(train, cents, vec_col)
+        means = (
+            assigned.select("list_id", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = {r.list_id: [float(x) for x in r.centroid] for r in means}
+        # empty lists keep their previous centroid
+        cents = [new.get(i, cents[i]) for i in range(n_lists)]
+    return cents
+
+
+def ivf_write(assigned: DataFrame, path: str) -> None:
+    """Persist the IVF index partitioned by list_id: a probe that filters
+    on list_id reads only the probed partitions (PartitionFilters /
+    dynamic partition pruning — asserted in test_plans)."""
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_probe_lists(
+    queries: DataFrame,
+    centroids: list[list[float]] | DataFrame,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+) -> DataFrame:
+    """Per query, the nprobe nearest centroid lists: query x broadcast
+    centroid-table join + per-query top-n window. Returns the query rows
+    replicated per probed list (query cols + list_id)."""
+    if not isinstance(centroids, DataFrame):
+        centroids = centroids_table(queries.sparkSession, centroids)
+    scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cscore",
+        _cosine_expr(F.col(query_vec_col), F.col("centroid")),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_cscore"), F.asc("list_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= nprobe)
+        .drop("_rn", "_cscore", "centroid")
+    )
 
 
 def ivf_topk(
     assigned: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | DataFrame,
     queries: DataFrame,
     k: int = 10,
     nprobe: int = 4,
@@ -232,28 +332,12 @@ def ivf_topk(
     query_vec_col: str = "query_vector",
 ) -> DataFrame:
     """IVF search: per query, probe the nprobe nearest lists and rerank
-    exactly inside them. The corpus side is touched only on the probed
-    lists (partition-pruned at scale); the query side is broadcast."""
-    qs = F.array(
-        *[
-            F.struct(
-                _cosine_expr(
-                    F.col(query_vec_col).cast("array<double>"),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                ).alias("score"),
-                F.lit(i).alias("list_id"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    probed = queries.withColumn(
-        "list_id",
-        F.explode(
-            F.transform(
-                F.slice(F.reverse(F.array_sort(qs)), 1, nprobe),
-                lambda s: s["list_id"],
-            )
-        ),
+    exactly inside them. Probe selection is a centroid-TABLE join (no plan
+    literals); the corpus join on list_id against the broadcast probe set
+    triggers dynamic partition pruning when `assigned` is a
+    list_id-partitioned parquet read — only probed lists are scanned."""
+    probed = ivf_probe_lists(
+        queries, centroids, nprobe, query_id_col, query_vec_col
     )
     joined = assigned.alias("v").join(
         F.broadcast(probed.alias("q")), "list_id"
