@@ -97,6 +97,10 @@ def _burn(n: int) -> int:
 
 BENCH_QUERIES = [
     "kg_mentions",
+    "kg_def_triples",
+    "kg_rel_triples",
+    "kg_linking_cc",
+    "sparql_two_hop",
     "kg_cooccur_edges",
     "kg_quads_by_entity",
     "kg_nodes_degree",
