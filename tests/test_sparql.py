@@ -267,3 +267,38 @@ def test_sparql_plan_is_single_catalyst_plan(edges):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_construct_basic(edges):
+    out = sparql_select(
+        edges,
+        f"CONSTRUCT {{ ?x <{E}friendOf> ?y . ?x a <{E}Social> }} "
+        f"WHERE {{ ?x <{E}knows> ?y }}",
+    )
+    got = {(r.s, r.p, r.o, r.otype) for r in out.collect()}
+    assert got == {
+        (E + "alice", E + "friendOf", E + "bob", "u"),
+        (E + "bob", E + "friendOf", E + "carol", "u"),
+        (E + "alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", E + "Social", "u"),
+        (E + "bob", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", E + "Social", "u"),
+    }
+
+
+def test_construct_skips_unbound_optional_vars(edges):
+    out = sparql_select(
+        edges,
+        f"CONSTRUCT {{ ?x <{E}hasLabel> ?l }} "
+        f"WHERE {{ ?x a ?t OPTIONAL {{ ?x <{RDF_LABEL}> ?l }} }}",
+    )
+    got = {(r.s, r.o, r.otype) for r in out.collect()}
+    # carol has no label -> her template row is omitted, not null
+    assert got == {(E + "alice", "Alice", "l"), (E + "bob", "Bob", "l")}
+
+
+def test_construct_literal_object_constant(edges):
+    out = sparql_select(
+        edges,
+        f'CONSTRUCT {{ ?x <{E}flag> "seen" }} WHERE {{ ?x a <{E}Robot> }}',
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].o == "seen" and rows[0].otype == "l"

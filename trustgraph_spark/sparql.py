@@ -127,6 +127,7 @@ class Query:
     order_by: list = field(default_factory=list)     # (expr, 'asc'|'desc')
     limit: int | None = None
     offset: int = 0
+    template: list = field(default_factory=list)     # CONSTRUCT TriplePats
 
 
 _KEYWORDS = {
@@ -192,9 +193,19 @@ class Parser:
         elif form == "ASK":
             self.next()
             q = Query("ask", [], where=self._where_clause())
-        elif form in ("CONSTRUCT", "DESCRIBE"):
+        elif form == "CONSTRUCT":
+            self.next()
+            q = Query("construct", [])
+            q.template = self._construct_template()
+            q.where = self._where_clause()
+            for _ in range(2):
+                if self.kw("LIMIT"):
+                    q.limit = int(self._number_tok())
+                elif self.kw("OFFSET"):
+                    q.offset = int(self._number_tok())
+        elif form == "DESCRIBE":
             # parse-detected like the reference parser; evaluation unsupported
-            q = Query(form.lower(), [])
+            q = Query("describe", [])
             self.i = len(self.toks) - 1
         else:
             raise ParseError(f"SPARQL parse error: unsupported query form {form}")
@@ -301,6 +312,20 @@ class Parser:
     def _where_clause(self) -> Group:
         self.kw("WHERE")
         return self._group()
+
+    def _construct_template(self) -> list[TriplePat]:
+        """CONSTRUCT template: a brace-delimited set of triple patterns
+        (vars + constants; no filters/optionals inside the template)."""
+        self.expect_op("{")
+        out: list[TriplePat] = []
+        while not self.op("}"):
+            if self.peek().kind == "EOF":
+                raise ParseError("SPARQL parse error: unterminated CONSTRUCT template")
+            out.extend(self._triples_block())
+            self.op(".")
+        if not out:
+            raise ParseError("SPARQL parse error: empty CONSTRUCT template")
+        return out
 
     # --- GroupGraphPattern ---
 
@@ -855,6 +880,8 @@ def sparql_select(
         sol = c.group(q.where)
         found = not sol.limit(1).isEmpty()
         return edges.sparkSession.createDataFrame([(found,)], "ask boolean")
+    if q.query_type == "construct":
+        return _eval_construct(edges, q, collection)
     if q.query_type != "select":
         raise EvaluationError(f"{q.query_type} evaluation not supported")
 
@@ -986,6 +1013,50 @@ def sparql_select(
     if q.limit is not None:
         out = out.limit(q.limit)
     return out
+
+
+def _eval_construct(edges: DataFrame, q: Query, collection: str | None) -> DataFrame:
+    """CONSTRUCT evaluation (beyond the reference, which only
+    parse-detects it): evaluate the WHERE solution once, instantiate each
+    template triple per solution row, drop rows with unbound template
+    variables (SPARQL 1.1 §16.2), and return the deduplicated graph as
+    (s, p, o, otype, dtype, lang). Object-position constants are typed by
+    the same http(s)/urn heuristic as triples_query.reconstruct_term."""
+    c = _Compiler(edges, collection)
+    sol = c.group(q.where)
+    if q.offset:
+        sol = sol.offset(q.offset)
+    if q.limit is not None:
+        sol = sol.limit(q.limit)
+
+    def term_cols(t, obj_pos: bool):
+        if isinstance(t, Var):
+            n = t.name
+            return (
+                F.col(f"{n}.value"), F.col(f"{n}.otype"),
+                F.col(f"{n}.dtype"), F.col(f"{n}.lang"),
+                F.col(n).isNotNull(),
+            )
+        is_uri = (not obj_pos) or t.startswith(("http://", "https://", "urn:"))
+        return (
+            F.lit(t), F.lit("u" if is_uri else "l"),
+            F.lit(""), F.lit(""), F.lit(True),
+        )
+
+    parts = []
+    for tp in q.template:
+        sv, so, _, _, sb = term_cols(tp.s, False)
+        pv, po, _, _, pb = term_cols(tp.p, False)
+        ov, oo, od, og, ob = term_cols(tp.o, True)
+        parts.append(
+            sol.where(sb & pb & ob).select(
+                sv.alias("s"), pv.alias("p"), ov.alias("o"),
+                oo.alias("otype"), od.alias("dtype"), og.alias("lang"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts).dropDuplicates()
 
 
 def _plain_over_grouped(c: _Compiler, e, group_vars, agg_specs) -> Column:
