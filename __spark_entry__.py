@@ -227,9 +227,11 @@ def q_dedup_exact_groups(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    from trustgraph_spark.operators.dedup import ngram_jaccard_pairs
+    """PPJoin prefix-filtered exact Jaccard (lossless vs the inverted-index
+    path — equality asserted in tests; the oracle checks the result set)."""
+    from trustgraph_spark.operators.dedup import ngram_jaccard_pairs_prefix
 
-    return ngram_jaccard_pairs(
+    return ngram_jaccard_pairs_prefix(
         _docs(spark, sf_dir), n=3, threshold=0.3, max_shingle_freq=100
     )
 

@@ -91,3 +91,39 @@ def test_minhash_lsh_bruteforce_recall(random_docs):
                     expected.add((a, b))
                     break
     assert cands == expected
+
+
+def test_prefix_filter_equals_exact_path(spark):
+    """PPJoin prefix filtering is lossless: same result set as the
+    inverted-index exact path on a corpus with planted near-dups, across
+    thresholds."""
+    from trustgraph_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        base = [rng.choice(words) for _ in range(30)]
+        docs.append((f"d{i:03d}", " ".join(base)))
+        if i % 4 == 0:  # planted near-duplicate: mutate a couple tokens
+            mut = list(base)
+            for _ in range(2):
+                mut[rng.randrange(len(mut))] = rng.choice(words)
+            docs.append((f"d{i:03d}x", " ".join(mut)))
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+
+    for t in (0.3, 0.6, 0.8):
+        exact = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(df, threshold=t, max_shingle_freq=50).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs_prefix(df, threshold=t, max_shingle_freq=50).collect()
+        }
+        assert pref == exact, f"threshold {t}: prefix {len(pref)} vs exact {len(exact)}"
+    assert exact, "planted near-dups must produce pairs at t=0.8"

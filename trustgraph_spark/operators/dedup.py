@@ -102,6 +102,102 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_jaccard_pairs_prefix(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs with AllPairs/PPJoin prefix filtering
+    (Bayardo et al., WWW'07) — the 100x-scale path for the same result set
+    as ngram_jaccard_pairs (asserted equal in tests).
+
+    Candidate generation indexes only each document's PREFIX: with shingles
+    globally ordered by ascending document frequency (rarest first), a pair
+    with Jaccard >= t must share a shingle among each side's first
+    |d| - ceil(t*|d|) + 1 shingles. The inverted-index join therefore
+    touches the rare end of the df distribution — pair blowup shrinks by
+    ~(1-t)^2 and the hot-shingle quadratic term disappears from candidate
+    generation entirely. Verification computes the exact intersection with
+    one array_intersect over the two docs' (small) kept-shingle arrays —
+    two hash joins on doc id, no pair-x-shingle shuffle, no groupBy of the
+    candidate blowup.
+
+    Same kept-set semantics as ngram_jaccard_pairs: stop-shingles with
+    df > max_shingle_freq are dropped before sizes, prefixes, and
+    intersections."""
+    sh = shingles(documents, id_col, text_col, n)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh_kept = sh.join(
+        F.broadcast(freq.where(F.col("df") > max_shingle_freq).select("shingle")),
+        "shingle",
+        "left_anti",
+    ).join(freq, "shingle")
+
+    # per-doc kept shingles ordered rarest-first (df, then shingle for
+    # determinism); one shuffle on doc id
+    docs_arr = (
+        sh_kept.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("sh_sorted")
+        )
+        .withColumn("sz", F.size("sh_sorted"))
+        # prefix length |d| - ceil(t*|d|) + 1
+        .withColumn(
+            "prefix",
+            F.slice(
+                "sh_sorted",
+                1,
+                (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
+            ),
+        )
+    )
+
+    idx = docs_arr.select(F.col(id_col), F.explode("prefix").alias("shingle"))
+    cand = (
+        idx.alias("a")
+        .join(idx.alias("b"), "shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sets = docs_arr.select(F.col(id_col), "sh_sorted", "sz")
+    verified = (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("sh_sorted").alias("sh_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("sh_sorted").alias("sh_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
 def minhash_signatures(
     documents: DataFrame,
     id_col: str = "doc_id",
