@@ -302,3 +302,23 @@ def test_construct_literal_object_constant(edges):
     )
     rows = out.collect()
     assert len(rows) == 1 and rows[0].o == "seen" and rows[0].otype == "l"
+
+
+def test_describe_constant_iri(edges):
+    out = sparql_select(edges, f"DESCRIBE <{E}bob>")
+    got = {(r.s, r.p, r.o) for r in out.collect()}
+    # bob as subject (3 triples) + bob as URI object (alice knows bob)
+    assert (E + "bob", RDF_TYPE, E + "Person") in got
+    assert (E + "alice", E + "knows", E + "bob") in got
+    assert (E + "bob", RDF_LABEL, "Bob") in got
+    assert not any(s == E + "carol" for (s, _, _) in got)
+
+
+def test_describe_var_with_where(edges):
+    out = sparql_select(
+        edges, f"DESCRIBE ?x WHERE {{ ?x a <{E}Robot> }}"
+    )
+    got = {(r.s, r.p, r.o) for r in out.collect()}
+    assert (E + "carol", RDF_TYPE, E + "Robot") in got
+    assert (E + "bob", E + "knows", E + "carol") in got  # carol as object
+    assert not any(s == E + "alice" for (s, _, _) in got)

@@ -204,9 +204,26 @@ class Parser:
                 elif self.kw("OFFSET"):
                     q.offset = int(self._number_tok())
         elif form == "DESCRIBE":
-            # parse-detected like the reference parser; evaluation unsupported
+            self.next()
             q = Query("describe", [])
-            self.i = len(self.toks) - 1
+            # DESCRIBE (iri | ?var)+ [WHERE {...}]
+            while True:
+                t = self.peek()
+                if t.kind == "IRIREF":
+                    self.next()
+                    q.template.append(t.text[1:-1])
+                elif t.kind == "PNAME":
+                    self.next()
+                    q.template.append(self._expand_pname(t.text))
+                elif t.kind == "VAR":
+                    self.next()
+                    q.variables.append(t.text[1:])
+                else:
+                    break
+            if not q.template and not q.variables:
+                raise ParseError("SPARQL parse error: DESCRIBE needs resources")
+            if self.peek().kind != "EOF":
+                q.where = self._where_clause()
         else:
             raise ParseError(f"SPARQL parse error: unsupported query form {form}")
         if self.peek().kind != "EOF":
@@ -882,6 +899,8 @@ def sparql_select(
         return edges.sparkSession.createDataFrame([(found,)], "ask boolean")
     if q.query_type == "construct":
         return _eval_construct(edges, q, collection)
+    if q.query_type == "describe":
+        return _eval_describe(edges, q, collection)
     if q.query_type != "select":
         raise EvaluationError(f"{q.query_type} evaluation not supported")
 
@@ -1057,6 +1076,36 @@ def _eval_construct(edges: DataFrame, q: Query, collection: str | None) -> DataF
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), parts).dropDuplicates()
+
+
+def _eval_describe(edges: DataFrame, q: Query, collection: str | None) -> DataFrame:
+    """DESCRIBE evaluation (simple concise-bounded description: every
+    default-graph triple whose subject or URI-object is a described
+    resource). Resources come from constant IRIs and, when a WHERE clause
+    binds DESCRIBE variables, from their solution values."""
+    df = edges
+    if collection is not None:
+        df = df.where(F.col("collection") == collection)
+    df = df.where(F.col("g") == DEFAULT_GRAPH)
+
+    spark = edges.sparkSession
+    res = spark.createDataFrame([(u,) for u in q.template], "uri string")
+    if q.where is not None and q.variables:
+        c = _Compiler(edges, collection)
+        sol = c.group(q.where)
+        for v_ in q.variables:
+            if v_ in sol.columns:
+                res = res.unionByName(
+                    sol.select(F.col(f"{v_}.value").alias("uri")).distinct()
+                )
+    res = res.distinct()
+    by_s = df.join(F.broadcast(res.withColumnRenamed("uri", "s")), "s", "left_semi")
+    by_o = df.where(F.col("otype") == "u").join(
+        F.broadcast(res.withColumnRenamed("uri", "o")), "o", "left_semi"
+    )
+    return by_s.unionByName(by_o).select(
+        "s", "p", "o", "otype", "dtype", "lang"
+    ).dropDuplicates()
 
 
 def _plain_over_grouped(c: _Compiler, e, group_vars, agg_specs) -> Column:
