@@ -233,3 +233,20 @@ def test_agent_extraction_empty_and_invalid_only(spark):
     )
     ex = extract_agent(chunks, AgentExtractor(lambda t: "garbage\nmore garbage"))
     assert agent_extractions_to_triples(ex).count() == 0
+
+
+def test_multimodal_resize_plumbing(spark):
+    from trustgraph_spark.multimodal import resize_images, synth_media
+
+    media = synth_media(spark, n=9)
+    out = resize_images(media, 32, 32)
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 9  # non-images pass through
+    for r in rows.values():
+        if r.kind == "image":
+            assert r.width == 32 and r.height == 32 and len(r.payload) == 4
+        else:
+            assert r.duration_ms == 5000  # untouched metadata
+    # deterministic: same input -> same resized payload
+    again = {r.media_id: bytes(r.payload) for r in resize_images(media, 32, 32).collect()}
+    assert all(bytes(rows[k].payload) == v for k, v in again.items())

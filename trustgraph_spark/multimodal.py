@@ -105,6 +105,46 @@ def frame_sample_plan(
     )
 
 
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: re-derives a payload of
+    size proportional to the target box from the source bytes. STUB — a
+    real implementation decodes with PIL/opencv and re-encodes; the Spark
+    plumbing around it (schema, batching, metadata rewrite) is identical."""
+    if payload is None:
+        return b""
+    h = hashlib.sha256(bytes(payload) + f"{width}x{height}".encode()).digest()
+    size = max(1, (width * height) // 256)
+    return (h * (size // len(h) + 1))[:size]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] = fake_resize,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Image resize plumbing: rows with kind='image' get their payload
+    replaced by resize_fn output and width/height metadata rewritten;
+    non-image rows pass through untouched. mapInPandas with bounded Arrow
+    batches (large blobs); output keeps MEDIA_SCHEMA so resized tables are
+    drop-in replacements."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                part = pdf.iloc[start : start + batch_rows].copy()
+                is_img = part["kind"] == "image"
+                part.loc[is_img, "payload"] = part.loc[is_img, "payload"].map(
+                    lambda p: bytearray(resize_fn(p, width, height))
+                )
+                part.loc[is_img, "width"] = width
+                part.loc[is_img, "height"] = height
+                yield part
+
+    return media.mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def synth_media(spark, n: int = 32) -> DataFrame:
     """Deterministic fake media table for tests."""
     kinds = ["image", "audio", "video"]
