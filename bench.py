@@ -69,7 +69,7 @@ def run_pipeline_bench(spark, sf: float, checkpointing: bool = True) -> tuple[fl
 
 def run_pipeline_bench_mem(spark, sf: float) -> tuple[float, int]:
     """Throughput-measurement variant: in-memory stage materialization
-    (no per-stage parquet round-trips; lineage/metrics still recorded) at
+    (no per-stage parquet round-trips, no per-partition histograms; lineage/metrics still recorded) at
     ~10x the default bench corpus so compute dominates orchestration."""
     from trustgraph_spark.pipeline import Pipeline, PipelineConfig
     from trustgraph_spark.synth import SynthSpec, synth_transcripts
@@ -80,7 +80,7 @@ def run_pipeline_bench_mem(spark, sf: float) -> tuple[float, int]:
     wh = tempfile.mkdtemp(prefix="tg_bench_wh_", dir=_TMPDIR)
     try:
         t0 = time.monotonic()
-        pipe = Pipeline(spark, PipelineConfig(warehouse=wh, checkpointing=False))
+        pipe = Pipeline(spark, PipelineConfig(warehouse=wh, checkpointing=False, lineage_histograms=False))
         pipe.run(tr, run_id="bench")
         wall = time.monotonic() - t0
     finally:

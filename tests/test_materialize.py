@@ -122,3 +122,30 @@ def test_provenance_envelope(spark):
     # subgraph derived from the chunk URI
     derived = [r for r in by_p[PROV_WAS_DERIVED_FROM]]
     assert derived[0].o == "c1"
+
+
+def test_reconstruct_term(spark):
+    """Q3: otype drives the tag; null-otype http(s) strings fall back to
+    IRI (reference service.py:73-151 heuristics)."""
+    from pyspark.sql import functions as F
+
+    from trustgraph_spark.operators.triples_query import reconstruct_term
+
+    df = spark.createDataFrame(
+        [
+            ("http://e/x", "u", "", ""),
+            ("plain text", "l", "", "en"),
+            ('{"s": {}}', "t", "", ""),
+            ("http://bare", None, None, None),
+            ("not a uri", None, None, None),
+        ],
+        "value string, otype string, dtype string, lang string",
+    )
+    out = df.select(
+        reconstruct_term(
+            F.col("value"), F.col("otype"), F.col("dtype"), F.col("lang")
+        ).alias("t")
+    ).collect()
+    types = [r.t.type for r in out]
+    assert types == ["i", "l", "t", "i", "l"]
+    assert out[1].t.language == "en"

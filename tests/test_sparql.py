@@ -322,3 +322,15 @@ def test_describe_var_with_where(edges):
     assert (E + "carol", RDF_TYPE, E + "Robot") in got
     assert (E + "bob", E + "knows", E + "carol") in got  # carol as object
     assert not any(s == E + "alice" for (s, _, _) in got)
+
+
+def test_order_by_numeric_values_not_lexical(spark):
+    rows = [
+        ("default", "", f"{E}e{i}", f"{E}score", str(v), "l", "", "")
+        for i, v in enumerate([100, 37, 9, 42])
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = sparql_select(
+        df, f"SELECT ?n WHERE {{ ?x <{E}score> ?n }} ORDER BY DESC(?n)"
+    )
+    assert [r.n for r in out.collect()] == ["100", "42", "37", "9"]

@@ -63,3 +63,61 @@ def test_streaming_resume_processes_only_new_files(spark, tmp_path):
     q2 = start_ingest(stream2, f"{tmp}/edges", f"{tmp}/ckpt")
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{tmp}/edges").count() == n1
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: closed sessions across
+    micro-batches equal the batch sessionization of the same events
+    (minus each user's final, still-open session)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from trustgraph_spark.streaming import sessionize_stream
+
+    # two users, sessions separated by > gap; files delivered in ts order
+    rows = []
+    t0 = 1_700_000_000
+    for u, base in (("u1", t0), ("u2", t0 + 17)):
+        for s in range(3):  # 3 sessions; the 3rd stays open
+            start = base + s * 10_000
+            for i in range(4):
+                rows.append((u, start + i * 60, 1.5))
+    src = str(tmp_path / "events_src")
+    import os
+
+    os.makedirs(src)
+    # write in 3 time-ordered files so micro-batches respect event order
+    rows.sort(key=lambda r: r[1])
+    per = len(rows) // 3
+    for i in range(3):
+        chunk = rows[i * per : (i + 1) * per if i < 2 else len(rows)]
+        spark.createDataFrame(
+            [(u, ts, v) for (u, ts, v) in chunk], "user_id string, epoch long, value double"
+        ).select(
+            "user_id", F.timestamp_seconds("epoch").alias("ts"), "value"
+        ).coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_sec=1800)
+        .writeStream.format("memory")
+        .queryName("closed_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM closed_sessions").collect()
+    }
+    # expected: per user, sessions 1 and 2 closed (4 events, 6.0 value each)
+    expected = set()
+    for u, base in (("u1", t0), ("u2", t0 + 17)):
+        for s in range(2):
+            expected.add((u, base + s * 10_000, 4, 6.0))
+    assert got == expected

@@ -78,6 +78,11 @@ class PipelineConfig:
     # compute-bound path for throughput benchmarking; lineage/metrics are
     # still recorded per stage.
     checkpointing: bool = True
+    # per-stage per-partition row histograms in the lineage log. Diagnostic
+    # metadata: each histogram is an extra driver job (groupBy + collect)
+    # per stage — a fixed serial cost that Amdahl-caps scaling on short
+    # stages. Disable for throughput runs.
+    lineage_histograms: bool = True
 
 
 def _fingerprint_df(df: DataFrame) -> str:
@@ -231,9 +236,13 @@ class Pipeline:
             # silently re-executing the extraction UDFs. Filter(true) blocks
             # the flattening; the optimizer removes it after cache lookup.
             out = out.where(F.lit(True))
+            extra = (
+                {"partitions": _partition_histogram(out)}
+                if self.config.lineage_histograms else {}
+            )
             self.wh.log_lineage(
                 run_id, stage, fp, rows, out.rdd.getNumPartitions(), wall,
-                extra={"partitions": _partition_histogram(out)},
+                extra=extra,
             )
             self.metrics[stage] = {"skipped": False, "rows": rows, "wall_sec": round(wall, 3)}
             self._stage_fps[stage] = hashlib.sha256(
@@ -256,9 +265,12 @@ class Pipeline:
         rows = stored.count()
         wall = time.monotonic() - t0
         nparts = stored.rdd.getNumPartitions()
+        extra = (
+            {"partitions": _partition_histogram(stored)}
+            if self.config.lineage_histograms else {}
+        )
         self.wh.log_lineage(
-            run_id, stage, fp, rows, nparts, wall,
-            extra={"partitions": _partition_histogram(stored)},
+            run_id, stage, fp, rows, nparts, wall, extra=extra,
         )
         self.metrics[stage] = {"skipped": False, "rows": rows, "wall_sec": round(wall, 3)}
         self._stage_fps[stage] = hashlib.sha256(

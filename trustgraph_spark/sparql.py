@@ -1011,11 +1011,20 @@ def sparql_select(
             for e, d in q.order_by:
                 col, numeric = c.expr(e, sol)
                 if numeric:
-                    col = col.try_cast("double")
+                    keys.append(col.try_cast("double").desc() if d == "desc"
+                                else col.try_cast("double").asc())
                 elif e[0] == "var":
-                    # order numerically when the value parses as a number
-                    col = F.coalesce(col.try_cast("double").cast("string"), col)
-                keys.append(col.desc() if d == "desc" else col.asc())
+                    # SPARQL-ish mixed ordering: numeric values sort
+                    # numerically (null numeric key groups non-numerics),
+                    # then lexical within — a two-key sort, not a lossy
+                    # string round-trip
+                    num = col.try_cast("double")
+                    if d == "desc":
+                        keys.extend([num.desc_nulls_last(), col.desc()])
+                    else:
+                        keys.extend([num.asc_nulls_first(), col.asc()])
+                else:
+                    keys.append(col.desc() if d == "desc" else col.asc())
             sol = sol.orderBy(*keys)
         out = sol.select(*proj_cols)
 

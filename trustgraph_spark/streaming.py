@@ -70,6 +70,74 @@ def start_ingest(
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id string, session_start bigint, session_end bigint, "
+    "n_events bigint, total_value double"
+)
+_SESSION_STATE_SCHEMA = (
+    "last_ts bigint, session_start bigint, n_events bigint, total_value double"
+)
+
+
+def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user session tracking with gap-based closure. A session CLOSES (and
+    is emitted) when a later event for the same user arrives more than
+    ``gap_sec`` after the previous one; the open session survives in group
+    state across micro-batches. Complements the batch sessionizer
+    (events_sessionize) with the incremental path — same gap semantics,
+    closed sessions match the batch result (asserted in test_streaming).
+
+    events: a STREAMING DataFrame with (user_id, ts timestamp, value).
+    Returns the stream of closed sessions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    prepped = events.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last_ts, start, n, tot = state.get
+        else:
+            last_ts = None
+            start = n = 0
+            tot = 0.0
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                ts = int(ts)
+                if last_ts is not None and ts - last_ts > gap_sec:
+                    closed.append((user_id, start, last_ts, n, round(tot, 2)))
+                    start, n, tot = ts, 0, 0.0
+                elif last_ts is None:
+                    start = ts
+                n += 1
+                tot += float(val)
+                last_ts = ts
+        state.update((last_ts, start, n, tot))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end",
+                         "n_events", "total_value"],
+            )
+
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def compact_edges(spark: SparkSession, edges_path: str, out_path: str) -> DataFrame:
     """Cross-batch dedup compaction (the Cassandra-PK-upsert analog for an
     append-only file sink): read all appended batches, dropDuplicates on the
