@@ -458,6 +458,179 @@ def q_top_parts_by_size(spark, sf_dir):
     )
 
 
+def q_chunk_recursive(spark, sf_dir):
+    """S2: fixed-size overlapping character chunker (pure column
+    expressions; 120/20 so the sf docs split into several chunks)."""
+    from trustgraph_spark.operators.chunking import recursive_chunker
+
+    out = recursive_chunker(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        chunk_size=120, chunk_overlap=20,
+    )
+    return out.select(
+        "chunk_id", "root_id", F.col("turn_idx").cast("long").alias("chunk_index"),
+        "text",
+    )
+
+
+def q_chunk_token(spark, sf_dir):
+    """S3: whitespace-token chunker, 40-token chunks with 5-token overlap."""
+    from trustgraph_spark.operators.chunking import token_chunker
+
+    out = token_chunker(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        tokens_per_chunk=40, token_overlap=5,
+    )
+    return out.select(
+        "chunk_id", "root_id", F.col("turn_idx").cast("long").alias("chunk_index"),
+        "text",
+    )
+
+
+def q_graphrag_hop2(spark, sf_dir):
+    """G3+G4: 2-hop hop-and-filter BFS from a seed entity over the
+    co-occurrence graph (frontier broadcast, per-source expansion cap,
+    seen-edge dedup), then label resolution via the semi-join-reduced
+    labels dimension."""
+    from trustgraph_spark.operators.graphrag import (
+        hop_bfs,
+        labels_dimension,
+        resolve_labels,
+    )
+
+    edges = _cooccur_edges_table(spark, sf_dir)
+    seeds = spark.createDataFrame([(TG + "spark",)], "entity string")
+    sel = hop_bfs(edges, seeds, max_hops=2, per_hop_limit=30)
+    out = resolve_labels(sel, labels_dimension(edges))
+    return out.select(
+        "s", "p", "o", F.col("hop").cast("long").alias("hop"),
+        "s_label", "o_label",
+    )
+
+
+def q_sparql_optional(spark, sf_dir):
+    """A3 OPTIONAL through the string front-end: left-joined second hop."""
+    from trustgraph_spark.sparql import sparql_select
+
+    edges = _cooccur_edges_table(spark, sf_dir)
+    return sparql_select(
+        edges,
+        f"SELECT ?x ?y ?z WHERE {{ ?x <{CO_URI}> ?y "
+        f"OPTIONAL {{ ?y <{CO_URI}> ?z }} }}",
+    )
+
+
+def q_sparql_union_bind(spark, sf_dir):
+    """A5 UNION + BIND: forward and reverse neighbors of a seed, tagged."""
+    from trustgraph_spark.sparql import sparql_select
+
+    edges = _cooccur_edges_table(spark, sf_dir)
+    seed = TG + "spark"
+    return sparql_select(
+        edges,
+        f"SELECT ?a ?dir WHERE {{ "
+        f"{{ <{seed}> <{CO_URI}> ?a . BIND(\"fwd\" AS ?dir) }} UNION "
+        f"{{ ?a <{CO_URI}> <{seed}> . BIND(\"rev\" AS ?dir) }} }}",
+    )
+
+
+def q_sparql_minus_values(spark, sf_dir):
+    """A4 MINUS + A13 VALUES: edges from an inline seed set, minus
+    solutions whose subject also links to a specific node."""
+    from trustgraph_spark.sparql import sparql_select
+
+    edges = _cooccur_edges_table(spark, sf_dir)
+    vals = " ".join(f"<{TG}{w}>" for w in ("hash", "join", "spark"))
+    return sparql_select(
+        edges,
+        f"SELECT ?x ?y WHERE {{ VALUES ?x {{ {vals} }} ?x <{CO_URI}> ?y "
+        f'MINUS {{ ?x <{RDF_LABEL}> "spark" }} }}',
+    )
+
+
+def q_sparql_builtins(spark, sf_dir):
+    """A15 scalar builtins through the front-end: STR/STRAFTER/STRBEFORE
+    (absent-delimiter -> ''), STRLEN, UCASE, CONTAINS, IF."""
+    from trustgraph_spark.sparql import sparql_select
+
+    edges = _cooccur_edges_table(spark, sf_dir)
+    out = sparql_select(
+        edges,
+        f"SELECT ?o ?name ?n ?up ?pre WHERE {{ ?x <{RDF_LABEL}> ?o . "
+        f'BIND(STRAFTER(STR(?x), "/e/") AS ?name) '
+        f"BIND(STRLEN(?o) AS ?n) BIND(UCASE(?o) AS ?up) "
+        f'BIND(IF(CONTAINS(?o, "a"), STRBEFORE(?o, "a"), "-") AS ?pre) }}',
+    )
+    return out.select(
+        "o", "name", F.col("n").cast("long").alias("n"), "up", "pre"
+    )
+
+
+def q_agent_triples(spark, sf_dir):
+    """E4: combined type-discriminated agent extraction (single JSONL with
+    'definition'/'relationship' objects, fences + invalid lines skipped,
+    object-entity defaulting True) minted with the agent URI dialect
+    (quote only — no lowercase/hyphenation)."""
+    from trustgraph_spark.operators.extract_extras import (
+        AgentExtractor,
+        agent_extractions_to_triples,
+        extract_agent,
+    )
+    from trustgraph_spark.planted import (
+        planted_agent_jsonl,
+        planted_def_chunks,
+        planted_rel_chunks,
+    )
+
+    docs = _docs(spark, sf_dir)
+    chunks = planted_def_chunks(docs).unionByName(planted_rel_chunks(docs))
+    ex = extract_agent(chunks, AgentExtractor(planted_agent_jsonl))
+    return agent_extractions_to_triples(ex).select("s", "p", "o", "otype")
+
+
+def q_topic_triples(spark, sf_dir):
+    """E7: kg-extract-topics post-processing — label + skos:definition per
+    valid topic, E1 URI dialect; null/empty topics filtered."""
+    from trustgraph_spark.operators.extract_extras import topics_to_triples
+    from trustgraph_spark.planted import planted_topics
+
+    return topics_to_triples(planted_topics(_docs(spark, sf_dir))).select(
+        "s", "p", "o", "otype"
+    )
+
+
+def q_rows_validate(spark, sf_dir):
+    """E8: schema-directed row validation — primary-field presence and enum
+    membership over planted JSON objects."""
+    from trustgraph_spark.operators.extract_extras import validate_rows
+    from trustgraph_spark.planted import planted_row_objects
+
+    fields = [
+        {"name": "name", "type": "string", "primary": True},
+        {"name": "city", "type": "string", "enum_values": ["a", "b"]},
+        {"name": "age", "type": "string"},
+    ]
+    out = validate_rows(planted_row_objects(_docs(spark, sf_dir)), fields)
+    return out.select("doc_id", "name", "city", "age", F.col("_valid").alias("valid"))
+
+
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, hyperplane-LSH-bucketed, over
+    a corpus with planted perturbed copies (the only pairs >= 0.95)."""
+    from trustgraph_spark.operators.dedup import embedding_near_dup_pairs
+    from trustgraph_spark.planted import planted_near_dup_embeddings
+
+    emb = planted_near_dup_embeddings(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+    out = embedding_near_dup_pairs(emb, threshold=0.95, n_planes=8, dim=64)
+    # ids only: one planted pair's cosine sits exactly on a rounding
+    # boundary (0.99695) where Spark's fold and DuckDB's dot differ in the
+    # last ulp — the pair SET is the semantic output; the threshold filter
+    # exercises the cosine on both sides
+    return out.select("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_mentions": q_kg_mentions,
@@ -489,6 +662,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig4": q_minhash_sig4,
         "revenue_by_nation": q_revenue_by_nation,
         "top_parts_by_size": q_top_parts_by_size,
+        "chunk_recursive": q_chunk_recursive,
+        "chunk_token": q_chunk_token,
+        "graphrag_hop2": q_graphrag_hop2,
+        "sparql_optional": q_sparql_optional,
+        "sparql_union_bind": q_sparql_union_bind,
+        "sparql_minus_values": q_sparql_minus_values,
+        "sparql_builtins": q_sparql_builtins,
+        "agent_triples": q_agent_triples,
+        "topic_triples": q_topic_triples,
+        "rows_validate": q_rows_validate,
+        "emb_near_dup": q_emb_near_dup,
     }
 
 
@@ -985,6 +1169,227 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+"""
+
+    # --- S2/S3 chunkers -----------------------------------------------------
+    sql["chunk_recursive"] = """
+WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+x AS (SELECT doc_id, text, len,
+             unnest(range(0, greatest(len - 1, 0) + 1, 100)) AS off FROM t),
+offs AS (
+  SELECT doc_id, text, off,
+         row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1 AS ci
+  FROM x WHERE len > 0 AND (off = 0 OR off + 20 < len)
+)
+SELECT 'urn:chunk:' || sha256(doc_id::VARCHAR || ':' || ci::VARCHAR) AS chunk_id,
+       doc_id AS root_id, ci::BIGINT AS chunk_index,
+       substr(text, off + 1, 120) AS text
+FROM offs
+"""
+
+    sql["chunk_token"] = """
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk,
+                  length(trim(text)) AS tl FROM documents),
+x AS (SELECT doc_id, tk, tl, len(tk) AS ntok,
+             unnest(range(0, greatest(len(tk) - 1, 0) + 1, 35)) AS off FROM t),
+offs AS (
+  SELECT doc_id, tk, off,
+         row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1 AS ci
+  FROM x WHERE tl > 0 AND (off = 0 OR off + 5 < ntok)
+)
+SELECT 'urn:chunk:' || sha256(doc_id::VARCHAR || ':' || ci::VARCHAR) AS chunk_id,
+       doc_id AS root_id, ci::BIGINT AS chunk_index,
+       array_to_string(tk[off + 1 : off + 40], ' ') AS text
+FROM offs
+"""
+
+    # --- G3/G4: 2-hop BFS + label resolution --------------------------------
+    seed = TG + "spark"
+    sql["graphrag_hop2"] = _COOCCUR_CTE + f"""
+, trav AS (SELECT s, p, o, 'u' AS otype FROM cooccur)
+, labs AS (SELECT DISTINCT '{TG}' || entity AS entity, entity AS label
+           FROM mentions)
+, h1raw AS (SELECT DISTINCT * FROM trav WHERE s = '{seed}' OR o = '{seed}')
+, h1 AS (SELECT s, p, o, otype FROM (
+    SELECT *, row_number() OVER (PARTITION BY s ORDER BY p, o) AS rn FROM h1raw
+  ) WHERE rn <= 30)
+, f2 AS (
+  SELECT node FROM (
+    SELECT o AS node FROM h1 WHERE o LIKE 'http%'
+    UNION SELECT s FROM h1
+  ) WHERE node <> '{seed}'
+)
+, h2raw AS (
+  SELECT DISTINCT t.* FROM trav t
+  WHERE (t.s IN (SELECT node FROM f2) OR t.o IN (SELECT node FROM f2))
+    AND NOT EXISTS (SELECT 1 FROM h1
+                    WHERE h1.s = t.s AND h1.p = t.p AND h1.o = t.o)
+)
+, h2 AS (SELECT s, p, o, otype FROM (
+    SELECT *, row_number() OVER (PARTITION BY s ORDER BY p, o) AS rn FROM h2raw
+  ) WHERE rn <= 30)
+, sel AS (SELECT *, 1 AS hop FROM h1 UNION ALL SELECT *, 2 FROM h2)
+SELECT sel.s, sel.p, sel.o, hop::BIGINT AS hop,
+       ls.label AS s_label, lo.label AS o_label
+FROM sel
+LEFT JOIN labs ls ON ls.entity = sel.s
+LEFT JOIN labs lo ON lo.entity = sel.o
+"""
+
+    # --- SPARQL algebra forms through the string front-end ------------------
+    sql["sparql_optional"] = _COOCCUR_CTE + (
+        "SELECT a.s AS x, a.o AS y, b.o AS z "
+        "FROM cooccur a LEFT JOIN cooccur b ON a.o = b.s"
+    )
+
+    sql["sparql_union_bind"] = _COOCCUR_CTE + (
+        f"SELECT o AS a, 'fwd' AS dir FROM cooccur WHERE s = '{seed}' "
+        f"UNION ALL SELECT s, 'rev' FROM cooccur WHERE o = '{seed}'"
+    )
+
+    sql["sparql_minus_values"] = _COOCCUR_CTE + f"""
+SELECT s AS x, o AS y FROM cooccur
+WHERE s IN ('{TG}hash', '{TG}join', '{TG}spark')
+  AND s <> '{TG}spark'
+"""
+
+    sql["sparql_builtins"] = _MENTIONS_CTE + f"""
+, lab AS (SELECT DISTINCT entity AS o, '{TG}' || entity AS x FROM mentions)
+SELECT o,
+  CASE WHEN strpos(x, '/e/') > 0
+       THEN substr(x, strpos(x, '/e/') + 3) ELSE '' END AS name,
+  length(o)::BIGINT AS n,
+  upper(o) AS up,
+  CASE WHEN contains(o, 'a')
+       THEN substr(o, 1, strpos(o, 'a') - 1) ELSE '-' END AS pre
+FROM lab
+"""
+
+    # --- E4: agent combined flow (quote-only URI dialect) -------------------
+    def _uri_agent(expr: str) -> str:
+        return (
+            f"'{TG}' || replace(replace(replace(replace({expr}, "
+            "' ', '%20'), 'é', '%C3%A9'), 'ï', '%C3%AF'), '&', '%26')"
+        )
+
+    sql["agent_triples"] = f"""
+WITH dtxt AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0 THEN 'no facts in this chunk'
+         ELSE (CASE WHEN doc_id % 7 = 0 THEN 'café ' || (doc_id % 97)
+                    WHEN doc_id % 13 = 0 THEN 'r&d ' || (doc_id % 97)
+                    ELSE 'term ' || (doc_id % 97) END)
+              || ' is defined as concept from ' || source
+              || ' sized ' || (n_chars % 10) || '.'
+    END AS text
+  FROM documents
+), dext AS (
+  SELECT doc_id,
+    trim(regexp_extract(text, '([^.]+?) is defined as (.+?)\\.', 1)) AS entity,
+    trim(regexp_extract(text, '([^.]+?) is defined as (.+?)\\.', 2)) AS definition
+  FROM dtxt
+  WHERE regexp_matches(text, '([^.]+?) is defined as (.+?)\\.')
+), du AS (SELECT *, {_uri_agent('entity')} AS s_uri FROM dext),
+rtxt AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0 THEN 'no facts in this chunk'
+         ELSE ('proc ' || (doc_id % 53)) || ' '
+              || (CASE WHEN doc_id % 3 = 0 THEN 'uses'
+                       WHEN doc_id % 3 = 1 THEN 'contains'
+                       ELSE 'extends' END) || ' '
+              || (CASE WHEN doc_id % 5 = 0 THEN 'naïve ' ELSE 'unit ' END)
+              || (doc_id % 31) || '. '
+              || ('proc ' || (doc_id % 53)) || ' produces value '
+              || (doc_id % 29) || '.'
+    END AS text
+  FROM documents
+), rext AS (
+  SELECT doc_id,
+    trim(regexp_extract(text, '([^.]+?) (uses|contains|extends) ([^.]+?)\\.', 1)) AS s_txt,
+    trim(regexp_extract(text, '([^.]+?) (uses|contains|extends) ([^.]+?)\\.', 2)) AS p_txt,
+    trim(regexp_extract(text, '([^.]+?) (uses|contains|extends) ([^.]+?)\\.', 3)) AS o_txt,
+    trim(regexp_extract(text, '([^.]+?) produces value ([^.]+?)\\.', 1)) AS ls_txt,
+    trim(regexp_extract(text, '([^.]+?) produces value ([^.]+?)\\.', 2)) AS lv_txt
+  FROM rtxt
+  WHERE regexp_matches(text, '([^.]+?) (uses|contains|extends) ([^.]+?)\\.')
+), ru AS (
+  SELECT *, {_uri_agent('s_txt')} AS s_uri, {_uri_agent('p_txt')} AS p_uri,
+         {_uri_agent('o_txt')} AS o_uri, {_uri_agent('ls_txt')} AS ls_uri,
+         '{TG}produces%20value' AS lp_uri
+  FROM rext
+)
+SELECT s_uri AS s, '{RDF_LABEL}' AS p, entity AS o, 'l' AS otype FROM du
+UNION ALL SELECT s_uri, '{SKOS_DEF}', definition, 'l' FROM du
+UNION ALL SELECT s_uri, p_uri, o_uri, 'u' FROM ru
+UNION ALL SELECT s_uri, '{RDF_LABEL}', s_txt, 'l' FROM ru
+UNION ALL SELECT p_uri, '{RDF_LABEL}', p_txt, 'l' FROM ru
+UNION ALL SELECT o_uri, '{RDF_LABEL}', o_txt, 'l' FROM ru
+UNION ALL SELECT ls_uri, lp_uri, lv_txt, 'l' FROM ru
+UNION ALL SELECT ls_uri, '{RDF_LABEL}', ls_txt, 'l' FROM ru
+UNION ALL SELECT lp_uri, '{RDF_LABEL}', 'produces value', 'l' FROM ru
+"""
+
+    # --- E7: topics ----------------------------------------------------------
+    sql["topic_triples"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0 THEN NULL
+         ELSE 'topic ' || (doc_id % 17) END AS topic,
+    CASE WHEN doc_id % 13 = 0 THEN ''
+         ELSE 'about ' || source END AS definition
+  FROM documents
+), v AS (
+  SELECT * FROM t
+  WHERE topic IS NOT NULL AND topic <> ''
+    AND definition IS NOT NULL AND definition <> ''
+), u AS (SELECT *, {_uri('topic')} AS t_uri FROM v)
+SELECT t_uri AS s, '{RDF_LABEL}' AS p, topic AS o, 'l' AS otype FROM u
+UNION ALL SELECT t_uri, '{SKOS_DEF}', definition, 'l' FROM u
+"""
+
+    # --- E8: row validation --------------------------------------------------
+    sql["rows_validate"] = """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 9 = 0 THEN ''
+         ELSE 'item ' || (doc_id % 50) END AS name,
+    CASE WHEN doc_id % 4 = 0 THEN 'x'
+         WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS city,
+    (doc_id % 90)::VARCHAR AS age
+  FROM documents
+)
+SELECT doc_id, name, city, age,
+       (name IS NOT NULL AND name <> ''
+        AND (city IS NULL OR city IN ('a', 'b'))) AS valid
+FROM t
+"""
+
+    # --- embedding near-dup (hyperplane buckets inlined from the same seed) --
+    from trustgraph_spark.operators.embeddings import random_hyperplanes
+
+    planes = random_hyperplanes(64, 8)
+
+    def _dot(p: list[float]) -> str:
+        lits = ", ".join(repr(float(x)) for x in p)
+        return f"list_dot_product(v, [{lits}])"
+
+    sig = " || ".join(
+        f"CASE WHEN {_dot(p)} >= 0 THEN '1' ELSE '0' END" for p in planes
+    )
+    sql["emb_near_dup"] = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x + 0.01)
+  FROM embeddings WHERE vec_id % 5 = 0
+), sigged AS (SELECT vec_id, v, {sig} AS bucket FROM base),
+pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         list_cosine_similarity(l.v, r.v) AS cos
+  FROM sigged l JOIN sigged r USING (bucket)
+  WHERE l.vec_id < r.vec_id
+)
+SELECT id_a, id_b FROM pairs WHERE cos >= 0.95
 """
 
     return sql

@@ -106,6 +106,10 @@ BENCH_QUERIES = [
     "kg_nodes_degree",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "emb_near_dup",
+    "graphrag_hop2",
+    "chunk_recursive",
+    "agent_triples",
     "doc_fingerprint",
     "quality_score",
     "language_id",

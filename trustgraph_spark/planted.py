@@ -27,13 +27,19 @@ from pyspark.sql import functions as F
 
 from .constants import DEFAULT_COLLECTION
 
-_DID = F.col("doc_id")
+# NOTE: no module-level Column objects — this module is imported by Python
+# workers (planted_agent_jsonl is pickled by reference into mapInPandas) and
+# F.col() needs a driver-side session. Build columns lazily per call.
+
+
+def _did():
+    return F.col("doc_id")
 
 
 def _chunk_cols():
     return [
-        F.concat(F.lit("urn:chunk:"), _DID.cast("string")).alias("chunk_id"),
-        _DID.cast("string").alias("root_id"),
+        F.concat(F.lit("urn:chunk:"), _did().cast("string")).alias("chunk_id"),
+        _did().cast("string").alias("root_id"),
         F.lit(DEFAULT_COLLECTION).alias("collection"),
     ]
 
@@ -42,10 +48,10 @@ def planted_def_chunks(docs: DataFrame) -> DataFrame:
     """One chunk per document. doc_id % 11 == 0 rows carry no definition
     sentence (the zero-extraction case); % 7 rows plant a non-ASCII entity,
     % 13 rows a '&' entity, the rest plain two-token names."""
-    n = (_DID % 97).cast("string")
+    n = (_did() % 97).cast("string")
     entity = (
-        F.when(_DID % 7 == 0, F.concat(F.lit("café "), n))
-        .when(_DID % 13 == 0, F.concat(F.lit("r&d "), n))
+        F.when(_did() % 7 == 0, F.concat(F.lit("café "), n))
+        .when(_did() % 13 == 0, F.concat(F.lit("r&d "), n))
         .otherwise(F.concat(F.lit("term "), n))
     )
     definition = F.concat(
@@ -54,7 +60,7 @@ def planted_def_chunks(docs: DataFrame) -> DataFrame:
         F.lit(" sized "),
         (F.col("n_chars") % 10).cast("string"),
     )
-    text = F.when(_DID % 11 == 0, F.lit("no facts in this chunk")).otherwise(
+    text = F.when(_did() % 11 == 0, F.lit("no facts in this chunk")).otherwise(
         F.concat(entity, F.lit(" is defined as "), definition, F.lit("."))
     )
     return docs.select(*_chunk_cols(), text.alias("text"))
@@ -64,23 +70,111 @@ def planted_rel_chunks(docs: DataFrame) -> DataFrame:
     """One chunk per document: an entity-object relationship sentence
     (predicate rotates uses/contains/extends) plus a literal-object
     'produces value' sentence. doc_id % 11 == 0 rows carry neither."""
-    s_ent = F.concat(F.lit("proc "), (_DID % 53).cast("string"))
+    s_ent = F.concat(F.lit("proc "), (_did() % 53).cast("string"))
     o_ent = F.when(
-        _DID % 5 == 0, F.concat(F.lit("naïve "), (_DID % 31).cast("string"))
-    ).otherwise(F.concat(F.lit("unit "), (_DID % 31).cast("string")))
+        _did() % 5 == 0, F.concat(F.lit("naïve "), (_did() % 31).cast("string"))
+    ).otherwise(F.concat(F.lit("unit "), (_did() % 31).cast("string")))
     pred = (
-        F.when(_DID % 3 == 0, F.lit("uses"))
-        .when(_DID % 3 == 1, F.lit("contains"))
+        F.when(_did() % 3 == 0, F.lit("uses"))
+        .when(_did() % 3 == 1, F.lit("contains"))
         .otherwise(F.lit("extends"))
     )
-    value = (_DID % 29).cast("string")
-    text = F.when(_DID % 11 == 0, F.lit("no facts in this chunk")).otherwise(
+    value = (_did() % 29).cast("string")
+    text = F.when(_did() % 11 == 0, F.lit("no facts in this chunk")).otherwise(
         F.concat(
             s_ent, F.lit(" "), pred, F.lit(" "), o_ent, F.lit(". "),
             s_ent, F.lit(" produces value "), value, F.lit("."),
         )
     )
     return docs.select(*_chunk_cols(), text.alias("text"))
+
+
+def planted_topics(docs: DataFrame) -> DataFrame:
+    """Topic extraction objects (E7 input shape): one {topic, definition}
+    per document; % 11 rows carry a NULL topic and % 13 rows an empty
+    definition so topics_to_triples' validity filter is exercised."""
+    topic = F.when(_did() % 11 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("topic "), (_did() % 17).cast("string"))
+    )
+    definition = F.when(_did() % 13 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("about "), F.col("source"))
+    )
+    return docs.select(
+        *_chunk_cols(), topic.alias("topic"), definition.alias("definition")
+    )
+
+
+def planted_agent_jsonl(text: str) -> str:
+    """Deterministic stand-in for the kg-extract-agent LLM call (E4): chunk
+    text -> fenced JSONL with a type discriminator, including an invalid
+    line and an unknown-type object so the resilient parser + type dispatch
+    (extract/kg/agent/extract.py:141-176) are exercised. Lives in the
+    package (not a test module) because it is pickled into mapInPandas."""
+    import json
+    import re
+
+    lines = ["```json", "this line is not json {", '{"type": "mystery"}']
+    # [^.]+? groups: extraction never crosses a sentence boundary (the same
+    # pattern the RuleExtractor and the DuckDB oracles use)
+    m = re.match(r"([^.]+?) is defined as (.+?)\.", text or "")
+    if m:
+        lines.append(json.dumps(
+            {"type": "definition", "entity": m.group(1).strip(),
+             "definition": m.group(2).strip()}
+        ))
+    m = re.search(r"([^.]+?) (uses|contains|extends) ([^.]+?)\.", text or "")
+    if m:
+        # no object-entity key: the agent flow defaults it to True (:307)
+        lines.append(json.dumps(
+            {"type": "relationship", "subject": m.group(1).strip(),
+             "predicate": m.group(2).strip(), "object": m.group(3).strip()}
+        ))
+    m = re.search(r"([^.]+?) produces value ([^.]+?)\.", text or "")
+    if m:
+        lines.append(json.dumps(
+            {"type": "relationship", "subject": m.group(1).strip(),
+             "predicate": "produces value", "object": m.group(2).strip(),
+             "object-entity": False}
+        ))
+    lines.append("```")
+    return "\n".join(lines)
+
+
+def planted_row_objects(docs: DataFrame) -> DataFrame:
+    """JSON objects for kg-extract-rows validation (E8): % 9 rows have an
+    empty primary field, % 4 rows an out-of-enum value — both must come
+    back _valid = false."""
+    name = F.when(_did() % 9 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("item "), (_did() % 50).cast("string"))
+    )
+    city = F.when(_did() % 4 == 0, F.lit("x")).otherwise(
+        F.when(_did() % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+    )
+    age = (_did() % 90).cast("string")
+    return docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(name.alias("name"), city.alias("city"), age.alias("age"))
+        ).alias("obj_json"),
+    )
+
+
+def planted_near_dup_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Embedding corpus with planted near-duplicates: every % 5 vector gets
+    a +0.01-per-coordinate perturbed copy at vec_id + 10000 (cosine vs the
+    original >= 0.9967 on the unit-norm synth table; the max cosine among
+    the original pairs is ~0.51, so threshold 0.95 isolates exactly the
+    planted pairs)."""
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = embeddings.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + F.lit(0.01)
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
 
 
 def planted_mention_triples(docs: DataFrame) -> DataFrame:
@@ -90,8 +184,8 @@ def planted_mention_triples(docs: DataFrame) -> DataFrame:
     ASCII labels so the oracle URI is prefix || hyphenated label."""
     from .constants import DEFAULT_GRAPH, OTYPE_LITERAL, RDF_LABEL, TRUSTGRAPH_ENTITIES
 
-    base = F.concat(F.lit("entity "), (_DID % 40).cast("string"))
-    label = F.when(_DID % 3 == 0, F.concat(base, F.lit("s"))).otherwise(base)
+    base = F.concat(F.lit("entity "), (_did() % 40).cast("string"))
+    label = F.when(_did() % 3 == 0, F.concat(base, F.lit("s"))).otherwise(base)
     uri = F.concat(F.lit(TRUSTGRAPH_ENTITIES), F.regexp_replace(label, " ", "-"))
     return docs.select(
         F.lit(DEFAULT_COLLECTION).alias("collection"),
