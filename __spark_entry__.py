@@ -566,6 +566,32 @@ def q_sparql_builtins(spark, sf_dir):
     )
 
 
+def q_sparql_construct(spark, sf_dir):
+    """CONSTRUCT evaluation: template instantiation per solution + graph
+    dedup; constant objects typed literal, var objects keep their term
+    type."""
+    from trustgraph_spark.sparql import sparql_select
+
+    edges = _cooccur_edges_table(spark, sf_dir)
+    return sparql_select(
+        edges,
+        f"CONSTRUCT {{ ?x <{TG}linked2> ?z . ?x <{RDF_LABEL}> \"hub\" }} "
+        f"WHERE {{ ?x <{CO_URI}> ?y . ?y <{CO_URI}> ?z }}",
+    )
+
+
+def q_sparql_describe(spark, sf_dir):
+    """DESCRIBE evaluation: concise bounded description of a constant IRI
+    plus WHERE-bound resources."""
+    from trustgraph_spark.sparql import sparql_select
+
+    edges = _cooccur_edges_table(spark, sf_dir)
+    return sparql_select(
+        edges,
+        f"DESCRIBE <{TG}spark> ?x WHERE {{ ?x <{RDF_LABEL}> \"hash\" }}",
+    )
+
+
 def q_agent_triples(spark, sf_dir):
     """E4: combined type-discriminated agent extraction (single JSONL with
     'definition'/'relationship' objects, fences + invalid lines skipped,
@@ -612,6 +638,25 @@ def q_rows_validate(spark, sf_dir):
     ]
     out = validate_rows(planted_row_objects(_docs(spark, sf_dir)), fields)
     return out.select("doc_id", "name", "city", "age", F.col("_valid").alias("valid"))
+
+
+def q_rerank_topk(spark, sf_dir):
+    """V4: cross-encoder rerank seam — alphabetical input cap 350, token
+    Jaccard scoring (the deterministic scorer stand-in), top-25 per query
+    with (score desc, text asc) tie-break."""
+    from trustgraph_spark.operators.admin import rerank
+
+    qdf = spark.createDataFrame(
+        [("q1", "spark window hash table"), ("q2", "stream filter vector scan")],
+        "qid string, query string",
+    )
+    cand = _docs(spark, sf_dir).select("doc_id", "text").crossJoin(qdf)
+    out = rerank(cand, query_col="query", text_col="text")
+    return out.select(
+        "qid", "doc_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def q_emb_near_dup(spark, sf_dir):
@@ -669,9 +714,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union_bind": q_sparql_union_bind,
         "sparql_minus_values": q_sparql_minus_values,
         "sparql_builtins": q_sparql_builtins,
+        "sparql_construct": q_sparql_construct,
+        "sparql_describe": q_sparql_describe,
         "agent_triples": q_agent_triples,
         "topic_triples": q_topic_triples,
         "rows_validate": q_rows_validate,
+        "rerank_topk": q_rerank_topk,
         "emb_near_dup": q_emb_near_dup,
     }
 
@@ -1265,6 +1313,27 @@ SELECT o,
 FROM lab
 """
 
+    sql["sparql_construct"] = _COOCCUR_CTE + f"""
+, hop2 AS (SELECT a.s AS x, b.o AS z FROM cooccur a JOIN cooccur b ON a.o = b.s)
+SELECT DISTINCT * FROM (
+  SELECT x AS s, '{TG}linked2' AS p, z AS o, 'u' AS otype,
+         '' AS dtype, '' AS lang FROM hop2
+  UNION ALL
+  SELECT DISTINCT x, '{RDF_LABEL}', 'hub', 'l', '', '' FROM hop2
+)
+"""
+
+    sql["sparql_describe"] = _COOCCUR_CTE + f"""
+, quads AS (
+  SELECT s, p, o, 'u' AS otype FROM cooccur
+  UNION ALL
+  SELECT DISTINCT '{TG}' || entity, '{RDF_LABEL}', entity, 'l' FROM mentions
+), res AS (SELECT '{TG}spark' AS uri UNION SELECT '{TG}hash')
+SELECT DISTINCT s, p, o, otype, '' AS dtype, '' AS lang FROM quads
+WHERE s IN (SELECT uri FROM res)
+   OR (otype = 'u' AND o IN (SELECT uri FROM res))
+"""
+
     # --- E4: agent combined flow (quote-only URI dialect) -------------------
     def _uri_agent(expr: str) -> str:
         return (
@@ -1362,6 +1431,37 @@ SELECT doc_id, name, city, age,
        (name IS NOT NULL AND name <> ''
         AND (city IS NULL OR city IN ('a', 'b'))) AS valid
 FROM t
+"""
+
+    sql["rerank_topk"] = """
+WITH q AS (
+  SELECT 'q1' AS qid, 'spark window hash table' AS query
+  UNION ALL SELECT 'q2', 'stream filter vector scan'
+), cand AS (SELECT doc_id, text, qid, query FROM documents, q),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query ORDER BY text) AS rn
+    FROM cand
+  ) WHERE rn <= 350
+), toks AS (
+  SELECT qid, doc_id, text,
+    list_distinct(list_filter(string_split_regex(lower(query), '\\s+'),
+                              x -> x <> '')) AS qt,
+    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS tt
+  FROM capped
+), scored AS (
+  SELECT qid, doc_id, text,
+    CASE WHEN len(qt) = 0 OR len(tt) = 0 THEN 0.0
+         ELSE len(list_intersect(qt, tt))::DOUBLE
+              / (len(qt) + len(tt) - len(list_intersect(qt, tt)))
+    END AS score
+  FROM toks
+)
+SELECT qid, doc_id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY qid ORDER BY score DESC, text ASC)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= 25
 """
 
     # --- embedding near-dup (hyperplane buckets inlined from the same seed) --

@@ -69,12 +69,15 @@ def run_pipeline_bench(spark, sf: float, checkpointing: bool = True) -> tuple[fl
 
 def run_pipeline_bench_mem(spark, sf: float) -> tuple[float, int]:
     """Throughput-measurement variant: in-memory stage materialization
-    (no per-stage parquet round-trips, no per-partition histograms; lineage/metrics still recorded) at
-    ~10x the default bench corpus so compute dominates orchestration."""
+    (no per-stage parquet round-trips, no per-partition histograms;
+    lineage/metrics still recorded) at ~30x the default bench corpus so
+    parallel compute dominates the fixed driver-side costs (plan analysis,
+    CC-convergence probes) — the faithful analog of per-executor work at
+    production scale, where those costs amortize to nothing."""
     from trustgraph_spark.pipeline import Pipeline, PipelineConfig
     from trustgraph_spark.synth import SynthSpec, synth_transcripts
 
-    spec = SynthSpec(n_convs=max(200, int(100000 * sf)), turns_per_conv=100, hot_factor=100)
+    spec = SynthSpec(n_convs=max(600, int(300000 * sf)), turns_per_conv=100, hot_factor=100)
     tr = synth_transcripts(spark, spec)
     n_turns = tr.count()
     wh = tempfile.mkdtemp(prefix="tg_bench_wh_", dir=_TMPDIR)

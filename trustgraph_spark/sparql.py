@@ -20,8 +20,13 @@ with map-side combine. Result DataFrames carry one plain column per
 projected variable (the SPARQL JSON results "value"); intermediate
 solutions keep the term-struct encoding (A16).
 
-Out of scope (as in the reference): property paths, CONSTRUCT/DESCRIBE
-evaluation (parse-detected, evaluation raises), federated SERVICE,
+CONSTRUCT and DESCRIBE are parsed AND evaluated (beyond the reference,
+which only parse-detects them): CONSTRUCT instantiates its template per
+solution, skipping rows with unbound template variables (SPARQL 1.1
+§16.2); DESCRIBE returns the simple concise-bounded description of the
+named/bound resources.
+
+Out of scope (as in the reference): property paths, federated SERVICE,
 variable GRAPH ?g.
 """
 
