@@ -188,7 +188,7 @@ def main():
 
         def run_child(cores: int) -> dict:
             cpus = f"0-{cores - 1}"
-            env = dict(os.environ, SPARK_DRIVER_MEMORY="24g")
+            env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")
             out = subprocess.run(
                 ["taskset", "-c", cpus, sys.executable, __file__,
                  "--scaling-child", str(cores)],

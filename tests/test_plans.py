@@ -102,6 +102,42 @@ def test_resolve_labels_semi_reduces_label_dimension(spark, edges_parquet):
     assert "LeftSemi" in plan, "labels dimension must be semi-join-reduced"
 
 
+def test_emb_near_dup_joins_on_bucket_not_cartesian(spark):
+    """Near-dup pair generation is a bucket equi-join: no cross product
+    appears in the plan even though it is a self-join."""
+    from trustgraph_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5, -0.25] * 16) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(embedding_near_dup_pairs(emb, threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan
+
+
+def test_hop_bfs_broadcasts_frontier_not_edges(spark, edges_parquet, monkeypatch):
+    """G3: each BFS hop broadcasts the (seed-bounded) frontier against the
+    corpus-sized edge table — the parquet scan is never the build side.
+    localCheckpoint is bypassed so the hop join stays visible in the plan."""
+    # Spark 4: the concrete classic DataFrame overrides the base method —
+    # patch the class that actually resolves
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from trustgraph_spark.operators.graphrag import hop_bfs
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", lambda self, *a, **k: self)
+    edges = spark.read.parquet(edges_parquet).withColumn("g", F.lit(""))
+    seeds = spark.createDataFrame([("http://a",)], "entity string")
+    plan = _plan(hop_bfs(edges, seeds, max_hops=1))
+    assert "BroadcastHashJoin" in plan
+    for chunk in plan.split("BroadcastExchange")[1:]:
+        # every broadcast subtree ends before any parquet FileScan of edges
+        scan_pos = chunk.find("FileScan parquet")
+        local_pos = max(chunk.find("LocalTableScan"), chunk.find("Scan ExistingRDD"))
+        assert local_pos != -1 and (scan_pos == -1 or local_pos < scan_pos)
+
+
 def test_trace_provenance_never_broadcasts_derived(spark, edges_parquet):
     """G5: the corpus-sized wasDerivedFrom table is the stream side; only
     the (tiny) frontier is broadcast."""
