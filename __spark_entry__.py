@@ -566,6 +566,27 @@ def q_sparql_builtins(spark, sf_dir):
     )
 
 
+def q_sparql_having_ask(spark, sf_dir):
+    """GROUP BY + HAVING through the front-end, unioned with two ASK
+    results (true and false) encoded as count rows so one gated query
+    covers both forms."""
+    from trustgraph_spark.sparql import sparql_select
+
+    edges = _cooccur_edges_table(spark, sf_dir)
+    hv = sparql_select(
+        edges,
+        f"SELECT ?x (COUNT(?y) AS ?n) WHERE {{ ?x <{CO_URI}> ?y }} "
+        f"GROUP BY ?x HAVING (COUNT(?y) >= 3)",
+    ).select("x", F.col("n").cast("long").alias("n"))
+    ask_t = sparql_select(edges, f"ASK {{ <{TG}spark> <{CO_URI}> ?y }}")
+    ask_f = sparql_select(edges, f"ASK {{ <{TG}spark> <{TG}never> ?y }}")
+    asks = ask_t.unionByName(ask_f).select(
+        F.concat(F.lit("ask:"), F.col("ask").cast("string")).alias("x"),
+        F.lit(-1).cast("long").alias("n"),
+    )
+    return hv.unionByName(asks)
+
+
 def q_sparql_construct(spark, sf_dir):
     """CONSTRUCT evaluation: template instantiation per solution + graph
     dedup; constant objects typed literal, var objects keep their term
@@ -716,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_builtins": q_sparql_builtins,
         "sparql_construct": q_sparql_construct,
         "sparql_describe": q_sparql_describe,
+        "sparql_having_ask": q_sparql_having_ask,
         "agent_triples": q_agent_triples,
         "topic_triples": q_topic_triples,
         "rows_validate": q_rows_validate,
@@ -1311,6 +1333,13 @@ SELECT o,
   CASE WHEN contains(o, 'a')
        THEN substr(o, 1, strpos(o, 'a') - 1) ELSE '-' END AS pre
 FROM lab
+"""
+
+    sql["sparql_having_ask"] = _COOCCUR_CTE + """
+SELECT s AS x, count(*)::BIGINT AS n FROM cooccur
+GROUP BY s HAVING count(*) >= 3
+UNION ALL SELECT 'ask:true', -1
+UNION ALL SELECT 'ask:false', -1
 """
 
     sql["sparql_construct"] = _COOCCUR_CTE + f"""

@@ -250,6 +250,14 @@ def main():
                 "VM multiplies only core count, and this host is additionally\n"
                 "oversubscribed (see ceiling). The host-normalized figure is the\n"
                 "defensible analog of the BASELINE.json >= 0.8 criterion.\n"
+                "\n## Tuning note\n\n"
+                "Adequate driver heap is load-bearing for the wide 32-core\n"
+                "stages (edges dedup, quad explosion): at 24g the 3M-turn run\n"
+                "GC-walls and 32-core throughput DROPS below its 1M-turn rate\n"
+                "(25.2k vs 32.0k turns/s) while 8 cores stay linear; at 48g it\n"
+                "reaches 37.0k turns/s. Local mode is driver-only — the heap\n"
+                "carries all executor state; on a real cluster this is ordinary\n"
+                "per-executor memory sizing.\n"
             )
         print(json.dumps({
             "scaling_efficiency": round(eff, 3),
