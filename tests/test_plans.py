@@ -102,6 +102,31 @@ def test_resolve_labels_semi_reduces_label_dimension(spark, edges_parquet):
     assert "LeftSemi" in plan, "labels dimension must be semi-join-reduced"
 
 
+def test_bucketed_edges_join_without_shuffle(spark, edges_parquet, tmp_path):
+    """The bucketed quad store co-locates entity-keyed work: a self-join on
+    the bucket column reads co-located buckets — NO Exchange in the plan.
+    This is the 100 TB replacement for the reference's entity-PK Cassandra
+    layout (every per-entity query hits one partition)."""
+    from trustgraph_spark.pipeline import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    edges = spark.read.parquet(edges_parquet)
+    t = wh.write_bucketed(
+        edges, "kg_edges_bucketed_test", ["s"], buckets=8, sort_cols=["s", "p", "o"]
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = t.alias("a")
+        b = t.select(F.col("s"), F.col("o").alias("o2")).alias("b")
+        plan = _plan(a.join(b, "s"))
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS kg_edges_bucketed_test")
+
+
 def test_emb_near_dup_joins_on_bucket_not_cartesian(spark):
     """Near-dup pair generation is a bucket equi-join: no cross product
     appears in the plan even though it is a self-join."""

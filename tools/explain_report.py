@@ -115,6 +115,41 @@ def main() -> None:
         ),
     )
 
+    from trustgraph_spark.pipeline import Warehouse
+
+    wh = Warehouse(spark, f"{tmp}/wh")
+    bt = wh.write_bucketed(e, "kg_edges_bucketed_x", ["s"], buckets=8,
+                           sort_cols=["s", "p", "o"])
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    add(
+        "Bucketed quad store self-join (entity-PK layout)",
+        "The edges table bucketed by `s` (the Spark analog of the "
+        "reference's entity-partition-key Cassandra layout): an entity-"
+        "keyed self-join reads co-located buckets — NO Exchange anywhere "
+        "in the plan. At 100 TB this removes the dominant shuffle from "
+        "every per-entity access pattern.",
+        bt.alias("a").join(
+            bt.select(F.col("s"), F.col("o").alias("o2")).alias("b"), "s"
+        ),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    spark.sql("DROP TABLE IF EXISTS kg_edges_bucketed_x")
+
+    from trustgraph_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5, -0.25] * 16) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    add(
+        "Embedding near-dup (hyperplane-bucketed self-join)",
+        "Candidate generation is an equi-join on the 8-bit hyperplane "
+        "signature — the self-join is bounded by bucket sizes, never "
+        "all-pairs; the cosine verify runs only inside buckets.",
+        embedding_near_dup_pairs(emb, threshold=0.9),
+    )
+
     with open("/root/repo/EXPLAIN.md", "w") as f:
         f.write(
             "# EXPLAIN — physical plans of the core operators\n\n"

@@ -139,6 +139,39 @@ class Warehouse:
             shutil.rmtree(final)
         os.replace(tmp, final)
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        buckets: int = 64,
+        sort_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Hash-bucketed catalog table at this warehouse path — the Spark
+        analog of the reference's entity-PK Cassandra layout
+        (direct/cassandra_kg.py:744-802): joins and aggregations keyed on
+        the bucket columns read co-located buckets and skip the shuffle
+        entirely (no Exchange in the plan — asserted in test_plans).
+        Bucket metadata lives in the session catalog (an Iceberg/Hive
+        metastore would persist it across sessions); the parquet files are
+        external at ``path(table)``. Returns the catalog-backed DataFrame
+        — read it with ``spark.table(table)``, not ``read()`` (a plain
+        parquet read loses the bucketing info)."""
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        final = self.path(table)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        w = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, *bucket_cols)
+            .option("path", final)
+        )
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.saveAsTable(table)
+        return self.spark.table(table)
+
     # --- lineage ---
 
     def _lineage_path(self) -> str:
