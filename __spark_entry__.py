@@ -498,7 +498,10 @@ def q_graphrag_hop2(spark, sf_dir):
         resolve_labels,
     )
 
-    edges = _cooccur_edges_table(spark, sf_dir)
+    # materialize the derived fixture once: in deployment the BFS scans a
+    # stored edge table, not the mention->cooccur derivation pipeline
+    # (which would otherwise recompute on every per-hop job)
+    edges = _cooccur_edges_table(spark, sf_dir).localCheckpoint()
     seeds = spark.createDataFrame([(TG + "spark",)], "entity string")
     sel = hop_bfs(edges, seeds, max_hops=2, per_hop_limit=30)
     out = resolve_labels(sel, labels_dimension(edges))
@@ -661,6 +664,50 @@ def q_rows_validate(spark, sf_dir):
     return out.select("doc_id", "name", "city", "age", F.col("_valid").alias("valid"))
 
 
+def _two_collection_triples(spark, sf_dir):
+    from trustgraph_spark.planted import planted_mention_triples
+
+    t = planted_mention_triples(_docs(spark, sf_dir))
+    # labels ending in 's' (the %3 planted variants) go to a second
+    # collection so the admin/export ops have something to slice
+    return t.withColumn(
+        "collection",
+        F.when(F.col("s").endswith("s"), F.lit("colb")).otherwise(F.lit("default")),
+    )
+
+
+def q_kg_core_roundtrip(spark, sf_dir):
+    """S7/S9: knowledge-core export -> import round trip of one
+    collection's slice (self-contained parquet bundle); the round-tripped
+    rows must equal the slice, duplicates preserved."""
+    import tempfile
+
+    from trustgraph_spark.operators.admin import (
+        export_knowledge_core,
+        import_knowledge_core,
+    )
+
+    t = _two_collection_triples(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="tg_core_")
+    export_knowledge_core(t, None, path, "default")
+    core = import_knowledge_core(spark, path)
+    return core["triples"].select("collection", "s", "p", "o", "otype")
+
+
+def q_collections_admin(spark, sf_dir):
+    """M3: delete_collection + list_collections — per-collection row counts
+    after dropping one collection."""
+    from trustgraph_spark.operators.admin import (
+        delete_collection,
+        list_collections,
+    )
+
+    t = _two_collection_triples(spark, sf_dir)
+    kept = delete_collection(t, "colb")
+    counts = kept.groupBy("collection").agg(F.count("*").cast("long").alias("n"))
+    return list_collections(kept).join(counts, "collection")
+
+
 def q_rerank_topk(spark, sf_dir):
     """V4: cross-encoder rerank seam — alphabetical input cap 350, token
     Jaccard scoring (the deterministic scorer stand-in), top-25 per query
@@ -741,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_triples": q_agent_triples,
         "topic_triples": q_topic_triples,
         "rows_validate": q_rows_validate,
+        "kg_core_roundtrip": q_kg_core_roundtrip,
+        "collections_admin": q_collections_admin,
         "rerank_topk": q_rerank_topk,
         "emb_near_dup": q_emb_near_dup,
     }
@@ -1460,6 +1509,24 @@ SELECT doc_id, name, city, age,
        (name IS NOT NULL AND name <> ''
         AND (city IS NULL OR city IN ('a', 'b'))) AS valid
 FROM t
+"""
+
+    # S7/M3: the colb slice is exactly the doc_id%3 rows (labels ending 's')
+    sql["kg_core_roundtrip"] = f"""
+WITH m AS (
+  SELECT CASE WHEN doc_id % 3 = 0
+              THEN 'entity ' || (doc_id % 40) || 's'
+              ELSE 'entity ' || (doc_id % 40) END AS label
+  FROM documents
+)
+SELECT 'default' AS collection, '{TG}' || replace(label, ' ', '-') AS s,
+       '{RDF_LABEL}' AS p, label AS o, 'l' AS otype
+FROM m WHERE label NOT LIKE '%s'
+"""
+
+    sql["collections_admin"] = """
+SELECT 'default' AS collection, count(*)::BIGINT AS n
+FROM documents WHERE doc_id % 3 <> 0
 """
 
     sql["rerank_topk"] = """
