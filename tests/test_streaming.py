@@ -65,6 +65,61 @@ def test_streaming_resume_processes_only_new_files(spark, tmp_path):
     assert spark.read.parquet(f"{tmp}/edges").count() == n1
 
 
+def test_watermarked_window_agg_matches_batch(spark, tmp_path):
+    """Append-mode watermarked windowed agg: windows closed by the
+    watermark match the batch groupBy; a late-but-inside-watermark event
+    is counted, and windows the watermark hasn't passed are not emitted."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from trustgraph_spark.streaming import window_agg_stream
+
+    t0 = 1_700_000_000 - (1_700_000_000 % 3600)  # hour-aligned
+    # file 1: hour-0 events + one hour-1 event; file 2: a LATE hour-0 event
+    # (inside the 2h watermark) + hour-4 events that advance the watermark
+    # past hours 0 and 1
+    f1 = [(t0 + 60, "click", 1.0), (t0 + 120, "click", 2.0),
+          (t0 + 300, "view", 1.5), (t0 + 3660, "click", 4.0)]
+    f2 = [(t0 + 600, "click", 8.0),  # late: hour 0, watermark still open
+          (t0 + 4 * 3600 + 60, "view", 1.0),
+          (t0 + 4 * 3600 + 120, "view", 2.0)]
+    src = str(tmp_path / "wsrc")
+    os.makedirs(src)
+    for i, rows in enumerate([f1, f2]):
+        spark.createDataFrame(rows, "epoch long, event_type string, value double").select(
+            F.timestamp_seconds("epoch").alias("ts"), "event_type", "value"
+        ).coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        window_agg_stream(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type, r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    # hours 0 and 1 are closed (watermark = t0+4h+2m - 2h); hour 4 is open
+    expected = {
+        (t0, "click", 3, 11.0),   # incl. the late event
+        (t0, "view", 1, 1.5),
+        (t0 + 3600, "click", 1, 4.0),
+    }
+    assert got == expected
+
+
 def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionizer: closed sessions across
     micro-batches equal the batch sessionization of the same events

@@ -158,11 +158,20 @@ def ngram_jaccard_pairs_prefix(
         )
     )
 
-    idx = docs_arr.select(F.col(id_col), F.explode("prefix").alias("shingle"))
+    idx = docs_arr.select(
+        F.col(id_col), F.col("sz"), F.explode("prefix").alias("shingle")
+    )
+    # length filter (AllPairs): J(A,B) >= t forces t*|A| <= |B| <= |A|/t —
+    # applied inside the index join, before the distinct, so size-mismatched
+    # candidates never materialize
     cand = (
         idx.alias("a")
         .join(idx.alias("b"), "shingle")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where(
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )

@@ -138,6 +138,35 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     )
 
 
+def window_agg_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed aggregation with a late-data watermark: per
+    (window, event_type) counts and value sums. Append mode emits a window
+    only once the watermark passes its end — late events inside the
+    watermark still count; older ones are dropped (bounded state). The
+    streaming counterpart of the batch events_window_agg driver query —
+    emitted windows match the batch aggregate (test_streaming).
+
+    events: STREAMING DataFrame with (ts timestamp, event_type, value)."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
 def compact_edges(spark: SparkSession, edges_path: str, out_path: str) -> DataFrame:
     """Cross-batch dedup compaction (the Cassandra-PK-upsert analog for an
     append-only file sink): read all appended batches, dropDuplicates on the
