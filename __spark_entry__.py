@@ -676,6 +676,24 @@ def _two_collection_triples(spark, sf_dir):
     )
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing driven through the gate: binary payload ->
+    mapInPandas feature extraction (Arrow-batched; deterministic stub
+    decode — sha256 of the blob — reproduced byte-for-byte in SQL).
+    Features are rescaled to their integer byte values so float32-vs-double
+    division noise cannot enter the comparison."""
+    from trustgraph_spark.multimodal import extract_media_features, synth_media
+
+    feats = extract_media_features(synth_media(spark, 48))
+    return feats.select(
+        "media_id", "kind",
+        *[
+            F.round(F.element_at("feature", i + 1) * 255).cast("long").alias(f"b{i}")
+            for i in range(16)
+        ],
+    )
+
+
 def q_kg_core_roundtrip(spark, sf_dir):
     """S7/S9: knowledge-core export -> import round trip of one
     collection's slice (self-contained parquet bundle); the round-tripped
@@ -790,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rows_validate": q_rows_validate,
         "kg_core_roundtrip": q_kg_core_roundtrip,
         "collections_admin": q_collections_admin,
+        "media_features": q_media_features,
         "rerank_topk": q_rerank_topk,
         "emb_near_dup": q_emb_near_dup,
     }
@@ -1509,6 +1528,30 @@ SELECT doc_id, name, city, age,
        (name IS NOT NULL AND name <> ''
         AND (city IS NULL OR city IN ('a', 'b'))) AS valid
 FROM t
+"""
+
+    # multimodal feature stub: byte j of sha256(payload) as an integer;
+    # hex pairs decoded with the same nibble trick as simhash16
+    def _hexbyte(col: str, j: int) -> str:
+        p = 2 * j + 1
+        return (
+            f"((strpos('0123456789abcdef', substr({col}, {p}, 1)) - 1) * 16"
+            f" + strpos('0123456789abcdef', substr({col}, {p + 1}, 1)) - 1)"
+        )
+
+    media_cols = ",\n  ".join(
+        f"{_hexbyte('hx', j)}::BIGINT AS b{j}" for j in range(16)
+    )
+    sql["media_features"] = f"""
+WITH m AS (
+  SELECT 'm' || i AS media_id,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         repeat(sha256('media-' || i), 4) AS payload
+  FROM range(48) t(i)
+), d AS (SELECT media_id, kind, sha256(payload) AS hx FROM m)
+SELECT media_id, kind,
+  {media_cols}
+FROM d
 """
 
     # S7/M3: the colb slice is exactly the doc_id%3 rows (labels ending 's')

@@ -151,7 +151,9 @@ def synth_media(spark, n: int = 32) -> DataFrame:
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 4
+        # ASCII-hex payload bytes: opaque to Spark (BinaryType), but
+        # reproducible by the DuckDB oracle (whose sha256 is VARCHAR-only)
+        payload = (hashlib.sha256(f"media-{i}".encode()).hexdigest() * 4).encode()
         rows.append(
             (
                 f"m{i}",
