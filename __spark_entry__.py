@@ -676,6 +676,60 @@ def _two_collection_triples(spark, sf_dir):
     )
 
 
+def q_entity_normalize(spark, sf_dir):
+    """E6: entity-name normalization — lower, whitespace/underscore to
+    hyphen, strip non-word (Unicode-aware), trim/collapse hyphens — over
+    planted messy names incl. accents, punctuation, and hyphen runs."""
+    from trustgraph_spark.uris import normalize_entity_name_col
+
+    d = F.col("doc_id")
+    raw = (
+        F.when(d % 4 == 0, F.concat(F.lit("  My_Entity  "), d.cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("café!! "), d.cast("string"), F.lit(" (beta)")))
+        .when(d % 4 == 2, F.concat(F.lit("--Spaced---name-"), d.cast("string"), F.lit("--")))
+        .otherwise(F.concat(F.lit("v1.2_of "), d.cast("string")))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", raw.alias("raw"),
+        normalize_entity_name_col(raw).alias("normalized"),
+    )
+
+
+def q_retrieval_prov(spark, sf_dir):
+    """G7: retrieval explainability — per-query PROV entity with one
+    tg:selectedEdge RDF-star row per selected edge in urn:graph:retrieval,
+    deterministic retrieval URIs keyed on the query id."""
+    from trustgraph_spark.operators.graphrag import retrieval_provenance_triples
+
+    edges = _cooccur_edges_table(spark, sf_dir)
+    selected = edges.where(
+        (F.col("s") == TG + "spark") & (F.col("p") == CO_URI)
+    ).withColumn("query_id", F.lit("q1"))
+    return retrieval_provenance_triples(selected).select("g", "s", "p", "o", "otype")
+
+
+def q_prov_trace(spark, sf_dir):
+    """G5: provenance trace — exact RDF-star quoted-triple match (from_json,
+    not substring) finds the containing subgraphs, then walks
+    prov:wasDerivedFrom with the frontier broadcast (never the corpus-sized
+    derived table). Planted 'term 1' appears in several chunks, so the
+    trace returns multiple subgraphs and their source chunks."""
+    from trustgraph_spark.operators.admin import trace_provenance
+    from trustgraph_spark.operators.extract import (
+        RuleExtractor,
+        definitions_to_triples,
+        extract_definitions,
+    )
+    from trustgraph_spark.operators.provenance import subgraph_provenance_triples
+    from trustgraph_spark.planted import planted_def_chunks
+
+    chunks = planted_def_chunks(_docs(spark, sf_dir))
+    content = definitions_to_triples(extract_definitions(chunks, RuleExtractor()))
+    prov = subgraph_provenance_triples(content, "kg-extract")
+    out = trace_provenance(prov, TG + "term-1", RDF_LABEL, "term 1", max_hops=3)
+    return out.select(F.col("hop").cast("long").alias("hop"), "node")
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing driven through the gate: binary payload ->
     mapInPandas feature extraction (Arrow-batched; deterministic stub
@@ -809,6 +863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_core_roundtrip": q_kg_core_roundtrip,
         "collections_admin": q_collections_admin,
         "media_features": q_media_features,
+        "prov_trace": q_prov_trace,
+        "entity_normalize": q_entity_normalize,
+        "retrieval_prov": q_retrieval_prov,
         "rerank_topk": q_rerank_topk,
         "emb_near_dup": q_emb_near_dup,
     }
@@ -1528,6 +1585,60 @@ SELECT doc_id, name, city, age,
        (name IS NOT NULL AND name <> ''
         AND (city IS NULL OR city IN ('a', 'b'))) AS valid
 FROM t
+"""
+
+    # E6: the exact normalize chain, same regexes (RE2 Unicode classes)
+    sql["entity_normalize"] = """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN '  My_Entity  ' || doc_id
+         WHEN doc_id % 4 = 1 THEN 'café!! ' || doc_id || ' (beta)'
+         WHEN doc_id % 4 = 2 THEN '--Spaced---name-' || doc_id || '--'
+         ELSE 'v1.2_of ' || doc_id END AS raw
+  FROM documents
+)
+SELECT doc_id, raw,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(raw), '[\\s_]+', '-', 'g'),
+        '[^\\p{L}\\p{N}_\\-.]', '', 'g'),
+      '^-+|-+$', '', 'g'),
+    '-+', '-', 'g') AS normalized
+FROM t
+"""
+
+    # G7: retrieval PROV envelope — deterministic retrieval URI + RDF-star
+    # selectedEdge rows, byte-exact JSON
+    sql["retrieval_prov"] = _COOCCUR_CTE + f"""
+, sel AS (SELECT s, p, o FROM cooccur WHERE s = '{TG}spark')
+, r AS (SELECT 'urn:trustgraph:retrieval:' || sha256('q1') AS ret)
+SELECT 'urn:graph:retrieval' AS g, r.ret AS s,
+       'https://trustgraph.ai/ns/selectedEdge' AS p,
+       '{{"s": {{"type": "i", "iri": "' || sel.s || '"}}, '
+       || '"p": {{"type": "i", "iri": "' || sel.p || '"}}, '
+       || '"o": {{"type": "i", "iri": "' || sel.o || '"}}}}' AS o,
+       't' AS otype
+FROM sel, r
+UNION ALL
+SELECT 'urn:graph:retrieval', ret, '{RDF_TYPE}',
+       'http://www.w3.org/ns/prov#Entity', 'u'
+FROM r
+"""
+
+    # G5: the chunks whose planted definition sentence carries 'term 1'
+    # (doc_id % 97 == 1, not an empty/café/r&d row); hop 0 = their
+    # deterministic subgraph URIs, hop 1 = the chunks they derive from
+    sql["prov_trace"] = """
+WITH hits AS (
+  SELECT 'urn:chunk:' || doc_id AS chunk_id
+  FROM documents
+  WHERE doc_id % 11 <> 0 AND doc_id % 7 <> 0 AND doc_id % 13 <> 0
+    AND doc_id % 97 = 1
+), k AS (SELECT chunk_id, sha256(chunk_id || ':kg-extract') AS h FROM hits)
+SELECT 0::BIGINT AS hop, 'https://trustgraph.ai/subgraph/' || h AS node FROM k
+UNION ALL
+SELECT 1::BIGINT, chunk_id FROM k
 """
 
     # multimodal feature stub: byte j of sha256(payload) as an integer;
