@@ -676,6 +676,28 @@ def _two_collection_triples(spark, sf_dir):
     )
 
 
+def q_text_embed_bucket(spark, sf_dir):
+    """V1/V2: the text-embedding seam driven through the gate. Single-token
+    contexts go through the REAL mapInPandas embedder (per-worker model,
+    Arrow batches); a single token makes the unit-normalized output exactly
+    one 1.0 at bucket crc32(token) % 64 — the oracle recomputes crc32 with
+    a table-driven fold in SQL, so the hashing path is verified bit-exact
+    while float32 normalization noise cannot enter."""
+    from trustgraph_spark.operators.embeddings import embed_texts
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("tok"), (F.col("doc_id") % 250).cast("string")).alias("context"),
+    )
+    emb = embed_texts(docs, "context", "vector")
+    return emb.select(
+        "doc_id", "context",
+        F.array_position(F.col("vector"), F.array_max("vector"))
+        .cast("long").alias("bucket1"),
+        F.round(F.array_max("vector"), 4).alias("vmax"),
+    )
+
+
 def q_entity_normalize(spark, sf_dir):
     """E6: entity-name normalization — lower, whitespace/underscore to
     hyphen, strip non-word (Unicode-aware), trim/collapse hyphens — over
@@ -866,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prov_trace": q_prov_trace,
         "entity_normalize": q_entity_normalize,
         "retrieval_prov": q_retrieval_prov,
+        "text_embed_bucket": q_text_embed_bucket,
         "rerank_topk": q_rerank_topk,
         "emb_near_dup": q_emb_near_dup,
     }
@@ -1585,6 +1608,34 @@ SELECT doc_id, name, city, age,
        (name IS NOT NULL AND name <> ''
         AND (city IS NULL OR city IN ('a', 'b'))) AS valid
 FROM t
+"""
+
+    # V1/V2: crc32 recomputed in SQL with a table-driven fold (bit-exact
+    # vs zlib.crc32); bucket = crc32 % 64 (+1 for 1-based array_position)
+    _crc_tbl = []
+    for _i in range(256):
+        _c = _i
+        for _ in range(8):
+            _c = (_c >> 1) ^ 0xEDB88320 if _c & 1 else _c >> 1
+        _crc_tbl.append(_c)
+    crc_tbl_sql = "[" + ", ".join(str(x) for x in _crc_tbl) + "]"
+    sql["text_embed_bucket"] = f"""
+WITH crc AS (SELECT {crc_tbl_sql}::BIGINT[] AS tbl),
+t AS (SELECT doc_id, 'tok' || (doc_id % 250) AS context FROM documents),
+h AS (
+  SELECT doc_id, context,
+    xor(
+      list_reduce(
+        list_prepend(4294967295::BIGINT,
+          list_transform(range(1, length(context) + 1),
+                         i -> ord(substr(context, i, 1)))),
+        (acc, b) -> xor(acc >> 8, tbl[(xor(acc, b) & 255) + 1])
+      ),
+      4294967295::BIGINT
+    ) AS c32
+  FROM t, crc
+)
+SELECT doc_id, context, (c32 % 64 + 1)::BIGINT AS bucket1, 1.0 AS vmax FROM h
 """
 
     # E6: the exact normalize chain, same regexes (RE2 Unicode classes)
