@@ -253,6 +253,33 @@ def test_ivf_kmeans_refines_and_handles_empty_lists(spark):
     assert sizes == [30, 30, 30]
 
 
+def test_ivf_kmeans_fewer_rows_than_lists_degrades(spark):
+    """Requesting more lists than training rows must degrade to the rows
+    we have, not IndexError on the refine loop."""
+    from trustgraph_spark.operators.embeddings import ivf_kmeans
+
+    vecs = spark.createDataFrame(
+        [(f"e{i}", [float(i), 1.0, 0.0, 0.0]) for i in range(5)],
+        "entity_uri string, vector array<float>",
+    )
+    cents = ivf_kmeans(vecs, n_lists=16, iters=2)
+    assert 1 <= len(cents) <= 5
+
+
+def test_ivf_assign_tolerates_null_vectors(spark):
+    """A null embedding becomes a zero vector (deterministic list), not a
+    task-level np.stack crash."""
+    from trustgraph_spark.operators.embeddings import ivf_assign
+
+    vecs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", None), ("c", [0.0, 1.0])],
+        "entity_uri string, vector array<double>",
+    )
+    out = ivf_assign(vecs, [[1.0, 0.0], [0.0, 1.0]], vec_col="vector").collect()
+    got = {r.entity_uri: r.list_id for r in out}
+    assert got["a"] == 0 and got["c"] == 1 and got["b"] in (0, 1)
+
+
 def test_ivf_partitioned_probe_prunes_partitions(spark, tmp_path):
     """The 100 TB shape: the assigned table written partitionBy(list_id);
     a probe join on list_id against a broadcast probe set scans only the

@@ -324,6 +324,43 @@ def test_describe_var_with_where(edges):
     assert not any(s == E + "alice" for (s, _, _) in got)
 
 
+def test_distinct_order_limit_returns_sorted_top_n(spark):
+    """DISTINCT must not destroy ORDER BY: the sort lands after the dedup
+    so LIMIT slices the sorted distinct rows."""
+    rows = []
+    for i, v in enumerate([5, 3, 9, 1, 5, 3, 9, 1]):  # each value twice
+        rows.append(("default", "", f"{E}e{i}", f"{E}score", str(v), "l", "", ""))
+    df = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = sparql_select(
+        df,
+        f"SELECT DISTINCT ?n WHERE {{ ?x <{E}score> ?n }} "
+        f"ORDER BY DESC(?n) LIMIT 2",
+    )
+    assert [r.n for r in out.collect()] == ["9", "5"]
+
+
+def test_unquote_escaped_backslash_before_n(edges):
+    # '\\\\n' in the query = backslash + n, NOT newline
+    out = sparql_select(
+        edges, 'SELECT ?s WHERE { ?s ?p ?o FILTER(?o = "a\\\\n") }'
+    )
+    assert out.count() == 0  # parses; no value matches
+
+
+def test_unspaced_less_than_is_not_irireF(spark):
+    rows = [
+        ("default", "", f"{E}e{i}", f"{E}v", str(i), "l", "", "")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = sparql_select(
+        df,
+        f"SELECT ?a ?b WHERE {{ ?x <{E}v> ?a . ?y <{E}v> ?b "
+        f"FILTER(?a<?b) }}",  # unspaced '<' must lex as an operator
+    )
+    assert out.count() == 6  # pairs with a < b among 0..3
+
+
 def test_order_by_numeric_values_not_lexical(spark):
     rows = [
         ("default", "", f"{E}e{i}", f"{E}score", str(v), "l", "", "")

@@ -234,9 +234,21 @@ def ivf_assign(
         list(vectors.schema.fields) + [T.StructField("list_id", T.IntegerType())]
     )
 
+    dim = cent.shape[1]
+
     def gen(batches):
         for pdf in batches:
-            m = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            if not len(pdf):
+                continue
+            # null/malformed vectors become zero vectors (list 0 by argmax
+            # tie-break) instead of crashing the whole task on np.stack
+            m = np.stack(
+                pdf[vec_col].map(
+                    lambda v: np.zeros(dim)
+                    if v is None or len(v) != dim
+                    else np.asarray(v, dtype=np.float64)
+                )
+            )
             vn = np.linalg.norm(m, axis=1, keepdims=True)
             vn[vn == 0] = 1.0
             scores = (m / vn) @ cent_t
@@ -268,6 +280,9 @@ def ivf_kmeans(
     train = train.select(id_col, vec_col).localCheckpoint()
 
     cents = ivf_centroids(train, n_lists, id_col, vec_col)
+    # fewer training rows than requested lists: degrade to the lists we
+    # actually have (ivf_centroids returns min(n_lists, n_rows) seeds)
+    n_lists = len(cents)
     for _ in range(iters):
         assigned = ivf_assign(train, cents, vec_col)
         means = (

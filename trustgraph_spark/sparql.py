@@ -58,7 +58,7 @@ class EvaluationError(Exception):
 _TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+|\#[^\n]*)
-  | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+  | (?P<IRIREF><(?![?$])[^<>"{}|^`\\\s]*>)   # not <?x / <$x: unspaced less-than
   | (?P<VAR>[?$][A-Za-z_][A-Za-z_0-9]*)
   | (?P<STRING>'''(?:[^'\\]|\\.|'(?!''))*'''|\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"
        |'(?:[^'\\\n]|\\.)*'|"(?:[^"\\\n]|\\.)*")
@@ -660,18 +660,19 @@ class Parser:
         return ("agg", fn, arg, distinct, sep)
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+            '"': '"', "'": "'", "\\": "\\"}
+
+
 def _unquote(text: str) -> str:
     if text[:3] in ("'''", '"""'):
         body = text[3:-3]
     else:
         body = text[1:-1]
-    return (
-        body.replace("\\n", "\n")
-        .replace("\\t", "\t")
-        .replace("\\r", "\r")
-        .replace('\\"', '"')
-        .replace("\\'", "'")
-        .replace("\\\\", "\\")
+    # single-pass unescape: sequential str.replace would decode the 'n' in
+    # '\\\\n' (backslash + n) as a newline
+    return re.sub(
+        r"\\(.)", lambda m: _ESCAPES.get(m.group(1), m.group(1)), body
     )
 
 
@@ -942,6 +943,21 @@ def sparql_select(
             sol = A.extend(sol, hv, c.expr(arg, sol)[0])
             return hv
 
+        def bind_agg(a):
+            """Allocate a hidden alias + group_agg spec for an agg node
+            (COUNT-DISTINCT dispatch, argument pre-binding, GROUP_CONCAT
+            separator) — shared by the projection and HAVING walks."""
+            if a in agg_alias:
+                return
+            fn = _AGG_TO_ALGEBRA[a[1]]
+            if a[1] == "COUNT" and a[3]:
+                fn = "count_distinct"
+            var = bind_arg(a[2])
+            spec = (fn, var, a[4]) if fn == "group_concat" else (fn, var)
+            alias = f"__agg_{len(agg_alias)}"
+            agg_alias[a] = alias
+            agg_specs[alias] = spec
+
         out_exprs: list[tuple[str, object]] = []  # (name, plain-expr AST)
         for name, e in q.projections:
             if e is None:
@@ -954,26 +970,10 @@ def sparql_select(
             aggs = []
             _collect_aggs(e, aggs)
             for a in aggs:
-                if a not in agg_alias:
-                    fn = _AGG_TO_ALGEBRA[a[1]]
-                    if a[1] == "COUNT" and a[3]:
-                        fn = "count_distinct"
-                    var = bind_arg(a[2])
-                    spec = (fn, var, a[4]) if fn == "group_concat" else (fn, var)
-                    alias = f"__agg_{len(agg_alias)}"
-                    agg_alias[a] = alias
-                    agg_specs[alias] = spec
+                bind_agg(a)
             out_exprs.append((name, _replace_aggs(e, agg_alias)))
         for a in having_aggs:
-            if a not in agg_alias:
-                fn = _AGG_TO_ALGEBRA[a[1]]
-                if a[1] == "COUNT" and a[3]:
-                    fn = "count_distinct"
-                var = bind_arg(a[2])
-                spec = (fn, var, a[4]) if fn == "group_concat" else (fn, var)
-                alias = f"__agg_{len(agg_alias)}"
-                agg_alias[a] = alias
-                agg_specs[alias] = spec
+            bind_agg(a)
 
         grouped = A.group_agg(sol, q.group_by, agg_specs)
         # grouped: group vars are term structs, agg outputs plain columns
@@ -1010,8 +1010,12 @@ def sparql_select(
                         proj_cols.append(F.lit(None).cast("string").alias(name))
                 else:
                     proj_cols.append(c.expr(e, sol)[0].cast("string").alias(name))
-        # ORDER BY evaluates pre-projection (may use non-projected vars)
-        if q.order_by:
+        # ORDER BY evaluates pre-projection (may use non-projected vars) —
+        # but ONLY when no DISTINCT follows: dropDuplicates inserts an
+        # exchange that destroys the sort, so the distinct path orders
+        # after dedup instead (SPARQL requires DISTINCT order comparators
+        # to be projected, so post-projection ordering is always possible)
+        if q.order_by and not q.distinct:
             keys = []
             for e, d in q.order_by:
                 col, numeric = c.expr(e, sol)
@@ -1033,14 +1037,21 @@ def sparql_select(
             sol = sol.orderBy(*keys)
         out = sol.select(*proj_cols)
 
-    if has_agg and q.order_by:
+    if q.distinct:
+        out = out.dropDuplicates()
+    # ordering over the projected output: the aggregate path (plain
+    # columns) and the DISTINCT path (sort must land after the dedup
+    # exchange so LIMIT/OFFSET slices sorted distinct rows)
+    if q.order_by and (has_agg or q.distinct):
         keys = []
         for e, d in q.order_by:
             col = c.expr(e, out, plain=True)[0]
-            keys.append(col.desc() if d == "desc" else col.asc())
+            num = col.try_cast("double")
+            if d == "desc":
+                keys.extend([num.desc_nulls_last(), col.desc()])
+            else:
+                keys.extend([num.asc_nulls_first(), col.asc()])
         out = out.orderBy(*keys)
-    if q.distinct:
-        out = out.dropDuplicates()
     if q.offset:
         out = out.offset(q.offset)
     if q.limit is not None:

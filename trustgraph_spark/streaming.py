@@ -109,9 +109,14 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
             start = n = 0
             tot = 0.0
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, val in zip(pdf["ts"], pdf["value"]):
+        # one global sort over the group's whole micro-batch: events can
+        # arrive split across multiple Arrow chunks in shuffle order, and
+        # sorting each chunk independently would close sessions at wrong
+        # boundaries whenever a later chunk carries earlier timestamps
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("ts")
+            for ts, val in zip(batch["ts"], batch["value"]):
                 ts = int(ts)
                 if last_ts is not None and ts - last_ts > gap_sec:
                     closed.append((user_id, start, last_ts, n, round(tot, 2)))
