@@ -127,8 +127,19 @@ def ngram_jaccard_pairs_prefix(
 
     Same kept-set semantics as ngram_jaccard_pairs: stop-shingles with
     df > max_shingle_freq are dropped before sizes, prefixes, and
-    intersections."""
-    sh = shingles(documents, id_col, text_col, n)
+    intersections.
+
+    Shingles are hashed to 64-bit keys immediately after generation: every
+    downstream shuffle (df count, doc grouping, prefix index) and the
+    verify-stage array_intersect move 8-byte longs instead of variable-
+    length strings — at corpus scale this is most of the operator's bytes.
+    Collisions (~n^2/2^65) are far below hardware error rates; equality to
+    the string-keyed exact path is asserted in tests. The AllPairs prefix
+    only needs a single consistent global order — rarest-first with hash
+    tie-break serves."""
+    sh = shingles(documents, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sh_kept = sh.join(
         F.broadcast(freq.where(F.col("df") > max_shingle_freq).select("shingle")),
@@ -136,7 +147,7 @@ def ngram_jaccard_pairs_prefix(
         "left_anti",
     ).join(freq, "shingle")
 
-    # per-doc kept shingles ordered rarest-first (df, then shingle for
+    # per-doc kept shingles ordered rarest-first (df, then hash for
     # determinism); one shuffle on doc id
     docs_arr = (
         sh_kept.groupBy(id_col)
