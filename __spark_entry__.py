@@ -616,6 +616,32 @@ def q_sparql_describe(spark, sf_dir):
     )
 
 
+def q_sparql_graph_clause(spark, sf_dir):
+    """A14 GRAPH <iri>: pattern scoped to the named provenance graph
+    (urn:graph:source) — derivation edges only, not default-graph
+    content."""
+    from trustgraph_spark.operators.extract import (
+        RuleExtractor,
+        definitions_to_triples,
+        extract_definitions,
+    )
+    from trustgraph_spark.operators.provenance import subgraph_provenance_triples
+    from trustgraph_spark.planted import planted_def_chunks
+    from trustgraph_spark.sparql import sparql_select
+
+    chunks = planted_def_chunks(_docs(spark, sf_dir))
+    content = definitions_to_triples(extract_definitions(chunks, RuleExtractor()))
+    edges = content.unionByName(
+        subgraph_provenance_triples(content, "kg-extract"),
+        allowMissingColumns=True,
+    )
+    return sparql_select(
+        edges,
+        "SELECT ?sg ?chunk WHERE { GRAPH <urn:graph:source> "
+        "{ ?sg <http://www.w3.org/ns/prov#wasDerivedFrom> ?chunk } }",
+    )
+
+
 def q_agent_triples(spark, sf_dir):
     """E4: combined type-discriminated agent extraction (single JSONL with
     'definition'/'relationship' objects, fences + invalid lines skipped,
@@ -879,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_construct": q_sparql_construct,
         "sparql_describe": q_sparql_describe,
         "sparql_having_ask": q_sparql_having_ask,
+        "sparql_graph_clause": q_sparql_graph_clause,
         "agent_triples": q_agent_triples,
         "topic_triples": q_topic_triples,
         "rows_validate": q_rows_validate,
@@ -1608,6 +1635,13 @@ SELECT doc_id, name, city, age,
        (name IS NOT NULL AND name <> ''
         AND (city IS NULL OR city IN ('a', 'b'))) AS valid
 FROM t
+"""
+
+    # A14: derivation edges live only in the named provenance graph
+    sql["sparql_graph_clause"] = _DEF_TXT + """
+, u AS (SELECT *, 'urn:chunk:' || doc_id AS chunk_id FROM ext)
+, k AS (SELECT DISTINCT chunk_id, sha256(chunk_id || ':kg-extract') AS h FROM u)
+SELECT 'https://trustgraph.ai/subgraph/' || h AS sg, chunk_id AS chunk FROM k
 """
 
     # V1/V2: crc32 recomputed in SQL with a table-driven fold (bit-exact
