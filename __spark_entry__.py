@@ -702,6 +702,59 @@ def _two_collection_triples(spark, sf_dir):
     )
 
 
+def q_term_reconstruct(spark, sf_dir):
+    """Q3: term reconstruction heuristics over planted values — otype
+    drives the tag; null-otype http(s) strings fall back to IRI; struct
+    flattened to columns for the gate."""
+    from trustgraph_spark.operators.triples_query import reconstruct_term
+
+    d = F.col("doc_id")
+    value = (
+        F.when(d % 5 == 0, F.concat(F.lit("http://e/x"), d.cast("string")))
+        .when(d % 5 == 1, F.concat(F.lit("plain text "), d.cast("string")))
+        .when(d % 5 == 2, F.lit('{"s": {}}'))
+        .when(d % 5 == 3, F.concat(F.lit("https://bare/"), d.cast("string")))
+        .otherwise(F.concat(F.lit("not a uri "), d.cast("string")))
+    )
+    otype = (
+        F.when(d % 5 == 0, F.lit("u"))
+        .when(d % 5 == 1, F.lit("l"))
+        .when(d % 5 == 2, F.lit("t"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    lang = F.when(d % 5 == 1, F.lit("en")).otherwise(F.lit(""))
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        reconstruct_term(value, otype, F.lit(""), lang).alias("t"),
+    )
+    return t.select(
+        "doc_id",
+        F.col("t.type").alias("ttype"),
+        F.col("t.value").alias("tvalue"),
+        F.col("t.language").alias("tlang"),
+    )
+
+
+def q_graph_embed_map(spark, sf_dir):
+    """V2/S6: EntityContexts -> GraphEmbeddings through the real
+    embed_entity_contexts mapInPandas path; single-token contexts make the
+    bucket observable exactly as in text_embed_bucket."""
+    from trustgraph_spark.operators.embeddings import embed_entity_contexts
+
+    ctx = _docs(spark, sf_dir).select(
+        F.lit("default").alias("collection"),
+        F.concat(F.lit(TG), F.lit("e"), F.col("doc_id").cast("string")).alias("entity_uri"),
+        F.concat(F.lit("ctx"), (F.col("doc_id") % 250).cast("string")).alias("context"),
+        F.concat(F.lit("urn:chunk:"), F.col("doc_id").cast("string")).alias("chunk_id"),
+    )
+    emb = embed_entity_contexts(ctx)
+    return emb.select(
+        "collection", "entity_uri", "chunk_id",
+        F.array_position(F.col("vector"), F.array_max("vector"))
+        .cast("long").alias("bucket1"),
+    )
+
+
 def q_text_embed_bucket(spark, sf_dir):
     """V1/V2: the text-embedding seam driven through the gate. Single-token
     contexts go through the REAL mapInPandas embedder (per-worker model,
@@ -916,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_normalize": q_entity_normalize,
         "retrieval_prov": q_retrieval_prov,
         "text_embed_bucket": q_text_embed_bucket,
+        "term_reconstruct": q_term_reconstruct,
+        "graph_embed_map": q_graph_embed_map,
         "rerank_topk": q_rerank_topk,
         "emb_near_dup": q_emb_near_dup,
     }
@@ -1670,6 +1725,45 @@ h AS (
   FROM t, crc
 )
 SELECT doc_id, context, (c32 % 64 + 1)::BIGINT AS bucket1, 1.0 AS vmax FROM h
+"""
+
+    # Q3: heuristic truth table replicated directly
+    sql["term_reconstruct"] = """
+SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0 THEN 'i'
+       WHEN doc_id % 5 = 1 THEN 'l'
+       WHEN doc_id % 5 = 2 THEN 't'
+       WHEN doc_id % 5 = 3 THEN 'i'   -- null otype + https:// -> IRI
+       ELSE 'l' END AS ttype,
+  CASE WHEN doc_id % 5 = 0 THEN 'http://e/x' || doc_id
+       WHEN doc_id % 5 = 1 THEN 'plain text ' || doc_id
+       WHEN doc_id % 5 = 2 THEN '{"s": {}}'
+       WHEN doc_id % 5 = 3 THEN 'https://bare/' || doc_id
+       ELSE 'not a uri ' || doc_id END AS tvalue,
+  CASE WHEN doc_id % 5 = 1 THEN 'en' ELSE '' END AS tlang
+FROM documents
+"""
+
+    # V2/S6: same crc32 bucket check through the graph-embeddings mapper
+    sql["graph_embed_map"] = f"""
+WITH crc AS (SELECT {crc_tbl_sql}::BIGINT[] AS tbl),
+t AS (SELECT doc_id, 'ctx' || (doc_id % 250) AS context FROM documents),
+h AS (
+  SELECT doc_id, context,
+    xor(
+      list_reduce(
+        list_prepend(4294967295::BIGINT,
+          list_transform(range(1, length(context) + 1),
+                         i -> ord(substr(context, i, 1)))),
+        (acc, b) -> xor(acc >> 8, tbl[(xor(acc, b) & 255) + 1])
+      ),
+      4294967295::BIGINT
+    ) AS c32
+  FROM t, crc
+)
+SELECT 'default' AS collection, '{TG}e' || doc_id AS entity_uri,
+       'urn:chunk:' || doc_id AS chunk_id, (c32 % 64 + 1)::BIGINT AS bucket1
+FROM h
 """
 
     # E6: the exact normalize chain, same regexes (RE2 Unicode classes)
