@@ -702,6 +702,26 @@ def _two_collection_triples(spark, sf_dir):
     )
 
 
+def q_jsonl_parse(spark, sf_dir):
+    """E9: resilient JSONL parsing — markdown fences stripped, invalid
+    lines and non-object JSON skipped, surviving objects re-serialized
+    canonically (sorted keys)."""
+    from trustgraph_spark.operators.extract_extras import parse_jsonl_udf
+
+    n = (F.col("doc_id") % 50).cast("string")
+    raw = F.concat(
+        F.lit('```json\nthis is not json {\n{"b": 1, "a": "x '),
+        n,
+        F.lit('"}\n["an", "array"]\n{"type": "topic", "name": "t '),
+        n,
+        F.lit('"}\n```'),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", raw.alias("raw"))
+    return d.select(
+        "doc_id", F.explode(parse_jsonl_udf(F.col("raw"))).alias("obj")
+    )
+
+
 def q_term_reconstruct(spark, sf_dir):
     """Q3: term reconstruction heuristics over planted values — otype
     drives the tag; null-otype http(s) strings fall back to IRI; struct
@@ -971,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_embed_bucket": q_text_embed_bucket,
         "term_reconstruct": q_term_reconstruct,
         "graph_embed_map": q_graph_embed_map,
+        "jsonl_parse": q_jsonl_parse,
         "rerank_topk": q_rerank_topk,
         "emb_near_dup": q_emb_near_dup,
     }
@@ -1725,6 +1746,15 @@ h AS (
   FROM t, crc
 )
 SELECT doc_id, context, (c32 % 64 + 1)::BIGINT AS bucket1, 1.0 AS vmax FROM h
+"""
+
+    # E9: the two surviving objects per doc, canonically re-serialized
+    sql["jsonl_parse"] = """
+SELECT doc_id, '{"a": "x ' || (doc_id % 50) || '", "b": 1}' AS obj
+FROM documents
+UNION ALL
+SELECT doc_id, '{"name": "t ' || (doc_id % 50) || '", "type": "topic"}'
+FROM documents
 """
 
     # Q3: heuristic truth table replicated directly
