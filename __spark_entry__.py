@@ -702,6 +702,33 @@ def _two_collection_triples(spark, sf_dir):
     )
 
 
+def q_onto_select(spark, sf_dir):
+    """E5: OntoRAG per-chunk ontology-subset selection through the real
+    embedding + broadcast cosine path. Single-token element texts with
+    distinct hash buckets (verified at fixture-build time) make the
+    selection exact: each chunk matches exactly its element at cosine 1.0;
+    the 0.3 threshold drops every non-match, so no tie-break enters."""
+    from trustgraph_spark.operators.ontology import select_ontology_subset
+
+    elements = spark.createDataFrame(
+        [("kb", "class", f"onto{i}", None, None, None, None, None, None)
+         for i in range(6)],
+        "ontology_id string, element_type string, element_id string, "
+        "label string, comment string, subclass_of string, domain string, "
+        "range string, inverse_of string",
+    )
+    chunks = _docs(spark, sf_dir).select(
+        F.concat(F.lit("urn:chunk:"), F.col("doc_id").cast("string")).alias("chunk_id"),
+        F.concat(F.lit("onto"), (F.col("doc_id") % 6).cast("string")).alias("text"),
+    )
+    out = select_ontology_subset(chunks, elements, top_k=3,
+                                 similarity_threshold=0.3)
+    return out.select(
+        "chunk_id", "ontology_id", "element_type", "element_id",
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_jsonl_parse(spark, sf_dir):
     """E9: resilient JSONL parsing — markdown fences stripped, invalid
     lines and non-object JSON skipped, surviving objects re-serialized
@@ -992,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_reconstruct": q_term_reconstruct,
         "graph_embed_map": q_graph_embed_map,
         "jsonl_parse": q_jsonl_parse,
+        "onto_select": q_onto_select,
         "rerank_topk": q_rerank_topk,
         "emb_near_dup": q_emb_near_dup,
     }
@@ -1746,6 +1774,14 @@ h AS (
   FROM t, crc
 )
 SELECT doc_id, context, (c32 % 64 + 1)::BIGINT AS bucket1, 1.0 AS vmax FROM h
+"""
+
+    # E5: each chunk selects exactly its matching element at cosine 1.0
+    sql["onto_select"] = """
+SELECT 'urn:chunk:' || doc_id AS chunk_id, 'kb' AS ontology_id,
+       'class' AS element_type, 'onto' || (doc_id % 6) AS element_id,
+       1.0 AS score
+FROM documents
 """
 
     # E9: the two surviving objects per doc, canonically re-serialized
