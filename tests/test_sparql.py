@@ -361,6 +361,36 @@ def test_unspaced_less_than_is_not_irireF(spark):
     assert out.count() == 6  # pairs with a < b among 0..3
 
 
+def test_unicode_escape_and_unknown_escape_preserved(spark):
+    rows = [
+        ("default", "", f"{E}a", f"{E}v", "café", "l", "", ""),
+        ("default", "", f"{E}b", f"{E}v", "\\x", "l", "", ""),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_DDL)
+    # é decodes to é
+    out = sparql_select(
+        df, f'SELECT ?s WHERE {{ ?s <{E}v> "caf\\u00e9" }}'
+    )
+    assert [r.s for r in out.collect()] == [f"{E}a"]
+    # unknown escape \x keeps its backslash verbatim
+    out2 = sparql_select(df, f'SELECT ?s WHERE {{ ?s <{E}v> "\\x" }}')
+    assert [r.s for r in out2.collect()] == [f"{E}b"]
+
+
+def test_unspaced_less_than_number_not_iriref(spark):
+    rows = [
+        ("default", "", f"{E}e{i}", f"{E}v", str(i), "l", "", "")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = sparql_select(
+        df,
+        f"SELECT ?a ?b WHERE {{ ?x <{E}v> ?a . ?y <{E}v> ?b "
+        f"FILTER(?a<2&&?b>2) }}",  # '<2&&?b>' must NOT lex as an IRI
+    )
+    assert out.count() == 2  # a in {0,1} x b in {3}
+
+
 def test_order_by_numeric_values_not_lexical(spark):
     rows = [
         ("default", "", f"{E}e{i}", f"{E}score", str(v), "l", "", "")

@@ -240,15 +240,20 @@ def ivf_assign(
         for pdf in batches:
             if not len(pdf):
                 continue
-            # null/malformed vectors become zero vectors (list 0 by argmax
-            # tie-break) instead of crashing the whole task on np.stack
-            m = np.stack(
-                pdf[vec_col].map(
-                    lambda v: np.zeros(dim)
-                    if v is None or len(v) != dim
-                    else np.asarray(v, dtype=np.float64)
-                )
-            )
+            # null vectors become zero vectors (list 0 by argmax tie-break)
+            # instead of crashing the whole task on np.stack; a DIMENSION
+            # mismatch stays a loud error — silently zeroing it would
+            # produce a degenerate single-list index that looks successful
+            def to_vec(v):
+                if v is None:
+                    return np.zeros(dim)
+                if len(v) != dim:
+                    raise ValueError(
+                        f"embedding dim {len(v)} != centroid dim {dim}"
+                    )
+                return np.asarray(v, dtype=np.float64)
+
+            m = np.stack(pdf[vec_col].map(to_vec))
             vn = np.linalg.norm(m, axis=1, keepdims=True)
             vn[vn == 0] = 1.0
             scores = (m / vn) @ cent_t

@@ -58,7 +58,10 @@ class EvaluationError(Exception):
 _TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+|\#[^\n]*)
-  | (?P<IRIREF><(?![?$])[^<>"{}|^`\\\s]*>)   # not <?x / <$x: unspaced less-than
+  | (?P<IRIREF><(?:[A-Za-z][A-Za-z0-9+.\-]*:[^<>"{}|^`\\\s]*|[A-Za-z0-9_.\-/#~%]*)>)
+      # IRIREF = scheme-prefixed (anything legal after the ':') or a simple
+      # relative ref; an unspaced comparison like ?a<5&&?b>2 or <?x never
+      # matches and lexes '<' as an operator instead
   | (?P<VAR>[?$][A-Za-z_][A-Za-z_0-9]*)
   | (?P<STRING>'''(?:[^'\\]|\\.|'(?!''))*'''|\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"
        |'(?:[^'\\\n]|\\.)*'|"(?:[^"\\\n]|\\.)*")
@@ -669,10 +672,18 @@ def _unquote(text: str) -> str:
         body = text[3:-3]
     else:
         body = text[1:-1]
+
     # single-pass unescape: sequential str.replace would decode the 'n' in
-    # '\\\\n' (backslash + n) as a newline
+    # '\\\\n' (backslash + n) as a newline. \uXXXX/\UXXXXXXXX decode to the
+    # codepoint; unrecognized escapes keep their backslash verbatim.
+    def sub(m):
+        g = m.group(1)
+        if g[0] in "uU":
+            return chr(int(g[1:], 16))
+        return _ESCAPES.get(g, "\\" + g)
+
     return re.sub(
-        r"\\(.)", lambda m: _ESCAPES.get(m.group(1), m.group(1)), body
+        r"\\(u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}|.)", sub, body
     )
 
 

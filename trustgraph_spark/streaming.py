@@ -112,9 +112,13 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         # one global sort over the group's whole micro-batch: events can
         # arrive split across multiple Arrow chunks in shuffle order, and
         # sorting each chunk independently would close sessions at wrong
-        # boundaries whenever a later chunk carries earlier timestamps
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        if len(batch):
+        # boundaries whenever a later chunk carries earlier timestamps.
+        # (Correctness needs the full group batch in hand anyway; a hot key
+        # with millions of events per micro-batch should be rate-bounded at
+        # the trigger, e.g. maxFilesPerTrigger / maxOffsetsPerTrigger.)
+        chunks = list(pdfs)  # may be empty on a timeout invocation
+        batch = pd.concat(chunks, ignore_index=True) if chunks else None
+        if batch is not None and len(batch):
             batch = batch.sort_values("ts")
             for ts, val in zip(batch["ts"], batch["value"]):
                 ts = int(ts)
