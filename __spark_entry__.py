@@ -914,6 +914,21 @@ def q_kg_core_roundtrip(spark, sf_dir):
     return core["triples"].select("collection", "s", "p", "o", "otype")
 
 
+def q_warehouse_roundtrip(spark, sf_dir):
+    """S9: warehouse dispatcher round trip — atomic-rename commit of a
+    partitioned table and an exact read-back (the parquet stand-in for an
+    Iceberg append + snapshot read)."""
+    import tempfile
+
+    from trustgraph_spark.pipeline import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="tg_wh_rt_"))
+    t = _two_collection_triples(spark, sf_dir)
+    wh.write(t, "triples_rt", partition_by=["collection"])
+    assert wh.exists("triples_rt")
+    return wh.read("triples_rt").select("collection", "s", "p", "o", "otype")
+
+
 def q_collections_admin(spark, sf_dir):
     """M3: delete_collection + list_collections — per-collection row counts
     after dropping one collection."""
@@ -1011,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rows_validate": q_rows_validate,
         "kg_core_roundtrip": q_kg_core_roundtrip,
         "collections_admin": q_collections_admin,
+        "warehouse_roundtrip": q_warehouse_roundtrip,
         "media_features": q_media_features,
         "prov_trace": q_prov_trace,
         "entity_normalize": q_entity_normalize,
@@ -1921,6 +1937,20 @@ WITH m AS (
 SELECT 'default' AS collection, '{TG}' || replace(label, ' ', '-') AS s,
        '{RDF_LABEL}' AS p, label AS o, 'l' AS otype
 FROM m WHERE label NOT LIKE '%s'
+"""
+
+    # S9: the full two-collection planted set, read back exactly
+    sql["warehouse_roundtrip"] = f"""
+WITH m AS (
+  SELECT CASE WHEN doc_id % 3 = 0
+              THEN 'entity ' || (doc_id % 40) || 's'
+              ELSE 'entity ' || (doc_id % 40) END AS label
+  FROM documents
+)
+SELECT CASE WHEN label LIKE '%s' THEN 'colb' ELSE 'default' END AS collection,
+       '{TG}' || replace(label, ' ', '-') AS s,
+       '{RDF_LABEL}' AS p, label AS o, 'l' AS otype
+FROM m
 """
 
     sql["collections_admin"] = """
