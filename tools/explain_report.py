@@ -150,6 +150,23 @@ def main() -> None:
         embedding_near_dup_pairs(emb, threshold=0.9),
     )
 
+    from trustgraph_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    docs = spark.createDataFrame(
+        [(i, f"text body number {i % 9} repeated tokens {i % 5}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    add(
+        "n-gram Jaccard near-dup (PPJoin prefix index, hashed shingles)",
+        "Shingles are hashed to 64-bit keys immediately (every shuffle "
+        "moves longs, not strings); the inverted index holds only each "
+        "document's rarest-first PREFIX, the join applies the AllPairs "
+        "length filter before the candidate distinct, and verification is "
+        "one array_intersect over the two kept-shingle arrays — no "
+        "pair-x-shingle shuffle anywhere.",
+        ngram_jaccard_pairs_prefix(docs, threshold=0.5, max_shingle_freq=100),
+    )
+
     with open("/root/repo/EXPLAIN.md", "w") as f:
         f.write(
             "# EXPLAIN — physical plans of the core operators\n\n"
