@@ -124,15 +124,24 @@ BENCH_QUERIES = [
 
 
 def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Warm best-of-2 per query: the first execution of the first query
+    pays JIT / Arrow / Python-worker-pool warm-up that has nothing to do
+    with the query's plan (measured 5.1s cold vs 0.5s warm on identical
+    code), so round-over-round per-query comparisons on a cold single shot
+    are noise.  Mirrors the scaling harness's warm-run methodology."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     times = {}
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
     return times
 
 

@@ -98,7 +98,7 @@ def test_prefix_filter_equals_exact_path(spark):
     inverted-index exact path on a corpus with planted near-dups, across
     thresholds."""
     from trustgraph_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+        _ngram_jaccard_pairs_invindex,
         ngram_jaccard_pairs_prefix,
     )
     import random
@@ -119,7 +119,7 @@ def test_prefix_filter_equals_exact_path(spark):
     for t in (0.3, 0.6, 0.8):
         exact = {
             (r.id_a, r.id_b, r.jaccard)
-            for r in ngram_jaccard_pairs(df, threshold=t, max_shingle_freq=50).collect()
+            for r in _ngram_jaccard_pairs_invindex(df, threshold=t, max_shingle_freq=50).collect()
         }
         pref = {
             (r.id_a, r.id_b, r.jaccard)

@@ -401,3 +401,44 @@ def test_order_by_numeric_values_not_lexical(spark):
         df, f"SELECT ?n WHERE {{ ?x <{E}score> ?n }} ORDER BY DESC(?n)"
     )
     assert [r.n for r in out.collect()] == ["100", "42", "37", "9"]
+
+
+def test_filter_var_var_numeric_not_lexical(spark):
+    """FILTER(?a < ?b) between two variables holding numeric literals must
+    compare numerically ('9' < '37'), falling back to lexical only when a
+    side does not parse as a number (ADVICE r2)."""
+    rows = [
+        ("default", "", f"{E}e{i}", f"{E}v", str(v), "l", "", "")
+        for i, v in enumerate([9, 37])
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = sparql_select(
+        df,
+        f"SELECT ?a ?b WHERE {{ ?x <{E}v> ?a . ?y <{E}v> ?b "
+        f"FILTER(?a < ?b) }}",
+    )
+    assert [(r.a, r.b) for r in out.collect()] == [("9", "37")]
+    # non-numeric side: lexical fallback still works
+    rows2 = [
+        ("default", "", f"{E}e{i}", f"{E}v", v, "l", "", "")
+        for i, v in enumerate(["apple", "banana"])
+    ]
+    df2 = spark.createDataFrame(rows2, TRIPLES_DDL)
+    out2 = sparql_select(
+        df2,
+        f"SELECT ?a ?b WHERE {{ ?x <{E}v> ?a . ?y <{E}v> ?b "
+        f"FILTER(?a < ?b) }}",
+    )
+    assert [(r.a, r.b) for r in out2.collect()] == [("apple", "banana")]
+
+
+def test_langmatches_star_through_front_end(edges):
+    """LANGMATCHES(LANG(?l), "*") via the string front-end (range arrives
+    as a compiled Column, not a Python str) matches any non-empty tag
+    (ADVICE r2)."""
+    out = sparql_select(
+        edges,
+        "SELECT ?s WHERE { ?s <http://www.w3.org/2000/01/rdf-schema#label>"
+        ' ?l FILTER(LANGMATCHES(LANG(?l), "*")) }',
+    )
+    assert [r.s for r in out.collect()] == [f"{E}alice"]

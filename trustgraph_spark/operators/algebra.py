@@ -352,12 +352,16 @@ def _strafter(c: Column, s) -> Column:
 
 def _langmatches(lang_col: Column, rng) -> Column:
     """RFC 4647 basic filtering: '*' matches any non-empty tag; otherwise
-    case-insensitive exact tag or prefix-followed-by-'-' match."""
+    case-insensitive exact tag or prefix-followed-by-'-' match.  The '*'
+    wildcard is handled in column space so it also works when the range
+    arrives as a compiled Column from the SPARQL front-end (not just a
+    Python str)."""
     if isinstance(rng, str) and rng == "*":
         return lang_col != ""
     r = F.lower(_as_col(rng))
     low = F.lower(lang_col)
-    return (low == r) | low.startswith(F.concat(r, F.lit("-")))
+    basic = (low == r) | low.startswith(F.concat(r, F.lit("-")))
+    return F.when(r == "*", lang_col != "").otherwise(basic)
 
 
 # direct 1:1 mappings to pyspark.sql.functions (reference dispatch table

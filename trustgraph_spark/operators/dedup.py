@@ -59,13 +59,35 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_freq: int = 1000,
 ) -> DataFrame:
+    """Exact-Jaccard near-duplicate pairs.  Public entry point — routes to
+    the AllPairs/PPJoin prefix-filtered implementation
+    (ngram_jaccard_pairs_prefix), which produces the identical result set
+    (asserted across thresholds in test_dedup_bruteforce) without the
+    hot-shingle ~df^2 candidate term of the plain inverted-index join.
+    The superseded plain-index body survives as
+    _ngram_jaccard_pairs_invindex for parity testing only."""
+    return ngram_jaccard_pairs_prefix(
+        documents, id_col, text_col, n, threshold, max_shingle_freq
+    )
+
+
+def _ngram_jaccard_pairs_invindex(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
     """Near-duplicate pairs by shingle-set Jaccard: inverted-index join on
     shingle (each shingle a blocking key; hot shingles above
     max_shingle_freq dropped as stop-shingles), count intersections per
     pair, then |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
 
-    The pair space is bounded by per-shingle doc frequency — this is the
-    scalable MinHash-free exact-Jaccard path for moderate doc sizes.
+    Superseded by ngram_jaccard_pairs_prefix (the public
+    ngram_jaccard_pairs routes there): this body carries a ~per-shingle
+    df^2 candidate term that the prefix filter eliminates. Kept private as
+    the independent implementation for the prefix==exact parity test.
 
     The score is the exact Jaccard of the KEPT-shingle sets (sizes and
     intersections both computed post-stop-shingle-filter) — computing sizes

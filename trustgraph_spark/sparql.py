@@ -805,12 +805,24 @@ class _Compiler:
             op, a, b = e[1], e[2], e[3]
             ca, na = self.expr(a, sol, plain)
             cb, nb = self.expr(b, sol, plain)
+            ops = {
+                "=": lambda x, y: x == y, "!=": lambda x, y: x != y,
+                "<": lambda x, y: x < y, ">": lambda x, y: x > y,
+                "<=": lambda x, y: x <= y, ">=": lambda x, y: x >= y,
+            }
             if na or nb:
-                ca, cb = ca.try_cast("double"), cb.try_cast("double")
-            return {
-                "=": ca == cb, "!=": ca != cb, "<": ca < cb,
-                ">": ca > cb, "<=": ca <= cb, ">=": ca >= cb,
-            }[op], False
+                return ops[op](ca.try_cast("double"), cb.try_cast("double")), False
+            # Neither side is statically numeric (e.g. FILTER(?a < ?b)):
+            # numeric-first comparison — when both term values parse as
+            # numbers compare as doubles, else lexically.  Mirrors the
+            # ORDER BY two-key approach; the reference compares typed
+            # rdflib literals so '9' < '37' must hold numerically.
+            da, db = ca.try_cast("double"), cb.try_cast("double")
+            return (
+                F.when(da.isNotNull() & db.isNotNull(), ops[op](da, db))
+                .otherwise(ops[op](ca, cb)),
+                False,
+            )
         if kind == "in":
             c, _ = self.expr(e[1], sol, plain)
             vals = [self.expr(x, sol, plain)[0] for x in e[2]]

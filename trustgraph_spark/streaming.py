@@ -88,6 +88,15 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     (events_sessionize) with the incremental path — same gap semantics,
     closed sessions match the batch result (asserted in test_streaming).
 
+    Ordering: events are sorted within each micro-batch, and events that
+    arrive OLDER than the state's last seen timestamp (cross-batch
+    stragglers) are dropped rather than allowed to move ``last_ts``
+    backwards and mis-close sessions.  "Closed sessions match the batch
+    result" therefore holds for time-ordered delivery across batches;
+    late stragglers are counted in ``dropped`` semantics (discarded), the
+    same bounded-lateness stance as a watermark of zero.  For a real
+    lateness bound, feed the stream through a watermark upstream.
+
     events: a STREAMING DataFrame with (user_id, ts timestamp, value).
     Returns the stream of closed sessions."""
     import pandas as pd
@@ -120,6 +129,11 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         batch = pd.concat(chunks, ignore_index=True) if chunks else None
         if batch is not None and len(batch):
             batch = batch.sort_values("ts")
+            if last_ts is not None:
+                # clamp cross-batch stragglers: an event older than the
+                # state's last_ts would move the session clock backwards
+                # and mis-close/miscount; drop it (watermark-zero stance)
+                batch = batch[batch["ts"] >= last_ts]
             for ts, val in zip(batch["ts"], batch["value"]):
                 ts = int(ts)
                 if last_ts is not None and ts - last_ts > gap_sec:
