@@ -979,6 +979,126 @@ def q_emb_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b")
 
 
+def _rag_chunk_tables(spark, sf_dir):
+    """Chunk store (vectors from the embeddings table) + chunk texts (the
+    documents table) under a shared chunk_id namespace."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    store = emb.select(
+        F.lit("default").alias("collection"),
+        F.concat(F.lit("c"), F.col("vec_id").cast("string")).alias("chunk_id"),
+        F.col("embedding").alias("vector"),
+    )
+    chunks = _docs(spark, sf_dir).select(
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("chunk_id"),
+        "text",
+    )
+    return store, chunks
+
+
+_RAG_QUERY_TEXTS = [
+    ("q0", "spark window hash table"),
+    ("q1", "stream filter vector scan"),
+    ("q2", "merge join batch query"),
+    ("q3", "table scan filter window"),
+    ("q4", "vector query stream hash"),
+]
+
+
+def _rag_concept_queries(spark, sf_dir):
+    """5 queries x 2 pre-embedded concepts each (vectors = embeddings rows
+    0..9; concept extraction is the LLM boundary) plus a query text for
+    the sparse path."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cv = emb.where(F.col("vec_id") < 10).select(
+        F.concat(F.lit("q"), (F.col("vec_id") / 2).cast("int").cast("string")).alias(
+            "query_id"
+        ),
+        (F.col("vec_id") % 2).cast("int").alias("concept_idx"),
+        F.col("embedding").alias("query_vector"),
+    )
+    grouped = cv.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("concept_idx", "query_vector"))
+        ).alias("concept_vecs")
+    )
+    qtext = spark.createDataFrame(_RAG_QUERY_TEXTS, "query_id string, query string")
+    return grouped.join(qtext, "query_id")
+
+
+def q_doc_rag_topk(spark, sf_dir):
+    """DocumentRAG dense retrieve loop (retrieval/document_rag): per-concept
+    top-k with per_concept_limit = fetch_limit // n_concepts, first-seen
+    dedup across concepts, chunk-text join, final doc_limit selection."""
+    from trustgraph_spark.operators.docrag import document_rag_retrieve
+
+    store, chunks = _rag_chunk_tables(spark, sf_dir)
+    queries_df = _rag_concept_queries(spark, sf_dir)
+    out = document_rag_retrieve(
+        queries_df, store, chunks, doc_limit=5, fetch_limit=8
+    )
+    return out.select(
+        "query_id",
+        "chunk_id",
+        F.round("score", 4).alias("score"),
+        F.col("final_rank").cast("long").alias("final_rank"),
+    )
+
+
+def q_doc_rag_bm25(spark, sf_dir):
+    """DocumentRAG sparse path: Okapi BM25 (k1=1.2, b=0.75) over the
+    keyword_index posting lists — the Spark-native stand-in for the
+    reference's external keyword-index service (retrieval mode
+    'keyword')."""
+    from trustgraph_spark.operators.docrag import (
+        document_rag_retrieve,
+        keyword_index,
+    )
+
+    store, chunks = _rag_chunk_tables(spark, sf_dir)
+    postings = keyword_index(chunks)
+    queries_df = spark.createDataFrame(
+        _RAG_QUERY_TEXTS[:2], "query_id string, query string"
+    )
+    out = document_rag_retrieve(
+        queries_df, store, chunks, doc_limit=10, mode="keyword",
+        postings=postings,
+    )
+    return out.select(
+        "query_id",
+        "chunk_id",
+        F.round("score", 4).alias("score"),
+        F.col("final_rank").cast("long").alias("final_rank"),
+    )
+
+
+def q_doc_rag_hybrid(spark, sf_dir):
+    """DocumentRAG hybrid retrieval: dense per-concept matches and BM25
+    keyword matches fused by weighted Reciprocal Rank Fusion (RRF_K=60,
+    weights 1.0/0.5), then the final doc_limit selection with assembled
+    context (document_rag.py rrf_fuse + get_docs hybrid branch)."""
+    from trustgraph_spark.operators.docrag import (
+        assemble_context,
+        document_rag_retrieve,
+        keyword_index,
+    )
+
+    store, chunks = _rag_chunk_tables(spark, sf_dir)
+    postings = keyword_index(chunks)
+    queries_df = _rag_concept_queries(spark, sf_dir)
+    sel = document_rag_retrieve(
+        queries_df, store, chunks, doc_limit=5, fetch_limit=10,
+        mode="hybrid", postings=postings, vector_weight=1.0,
+        keyword_weight=0.5,
+    )
+    ctx = assemble_context(sel)
+    return ctx.select(
+        "query_id",
+        F.array_join("chunk_ids", ",").alias("chunk_ids"),
+        F.md5("context").alias("context_md5"),
+        "n_chunks",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_mentions": q_kg_mentions,
@@ -1038,6 +1158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onto_select": q_onto_select,
         "rerank_topk": q_rerank_topk,
         "emb_near_dup": q_emb_near_dup,
+        "doc_rag_topk": q_doc_rag_topk,
+        "doc_rag_bm25": q_doc_rag_bm25,
+        "doc_rag_hybrid": q_doc_rag_hybrid,
     }
 
 
@@ -2016,5 +2139,156 @@ pairs AS (
 )
 SELECT id_a, id_b FROM pairs WHERE cos >= 0.95
 """
+
+    # --- DocumentRAG family -------------------------------------------------
+    # dense retrieve loop: per-concept top-k (per_concept_limit =
+    # fetch_limit // n_concepts = 8 // 2 = 4), first-seen dedup in
+    # (concept, rank) order, positions re-ranked, text join, doc_limit=5
+    sql["doc_rag_topk"] = """
+WITH store AS (SELECT 'c' || vec_id AS chunk_id, embedding AS vector FROM embeddings),
+chunks AS (SELECT 'c' || doc_id AS chunk_id, text FROM documents),
+cv AS (
+  SELECT 'q' || (vec_id // 2) AS query_id, (vec_id % 2)::INT AS concept_idx,
+         embedding AS qv
+  FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT cv.query_id, cv.concept_idx, s.chunk_id,
+         list_cosine_similarity(s.vector::DOUBLE[], cv.qv::DOUBLE[]) AS raw
+  FROM store s, cv
+), perc AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, concept_idx
+                                 ORDER BY raw DESC, chunk_id ASC) AS crank
+    FROM scored) WHERE crank <= 4
+), dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, chunk_id
+                                 ORDER BY concept_idx, crank) AS rn
+    FROM perc) WHERE rn = 1
+), pos AS (
+  SELECT query_id, chunk_id, raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY concept_idx, crank) AS pos
+  FROM dedup
+)
+SELECT p.query_id, p.chunk_id, round(p.raw, 4) AS score,
+       p.pos::BIGINT AS final_rank
+FROM pos p JOIN chunks c USING (chunk_id)
+WHERE p.pos <= 5
+"""
+
+    _BM25_CTES = """
+chunks AS (SELECT 'c' || doc_id AS chunk_id, text FROM documents),
+toks AS (
+  SELECT chunk_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                            x -> x <> '')) AS term
+  FROM chunks
+),
+tf AS (SELECT chunk_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT chunk_id, sum(tf) AS dl FROM tf GROUP BY 1),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (
+  SELECT query_id,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(query), '[^a-z0-9_]+'), x -> x <> ''))) AS term
+  FROM qdef
+),
+contrib AS (
+  SELECT qt.query_id, tf.chunk_id,
+         ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS part
+  FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (chunk_id)
+  CROSS JOIN stats s
+),
+bm25 AS (SELECT query_id, chunk_id, sum(part) AS score FROM contrib GROUP BY 1, 2),
+bm25r AS (
+  SELECT query_id, chunk_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, chunk_id ASC) AS krank
+  FROM bm25
+)"""
+
+    # sparse path: Okapi BM25 k1=1.2 b=0.75, [a-z0-9_]+ tokenizer, top-10
+    sql["doc_rag_bm25"] = (
+        """
+WITH qdef AS (
+  SELECT * FROM (VALUES ('q0', 'spark window hash table'),
+                        ('q1', 'stream filter vector scan')) AS v(query_id, query)
+),"""
+        + _BM25_CTES
+        + """
+SELECT r.query_id, r.chunk_id, round(r.score, 4) AS score,
+       r.krank::BIGINT AS final_rank
+FROM bm25r r JOIN chunks USING (chunk_id)
+WHERE r.krank <= 10
+"""
+    )
+
+    # hybrid: dense (fetch_count=10 -> per_concept 5) + BM25 top-10 fused by
+    # weighted RRF (k=60, weights 1.0 / 0.5), doc_limit=5, context assembled
+    # in fused-rank order
+    sql["doc_rag_hybrid"] = (
+        """
+WITH qdef AS (
+  SELECT * FROM (VALUES ('q0', 'spark window hash table'),
+                        ('q1', 'stream filter vector scan'),
+                        ('q2', 'merge join batch query'),
+                        ('q3', 'table scan filter window'),
+                        ('q4', 'vector query stream hash')) AS v(query_id, query)
+),"""
+        + _BM25_CTES
+        + """,
+store AS (SELECT 'c' || vec_id AS chunk_id, embedding AS vector FROM embeddings),
+cv AS (
+  SELECT 'q' || (vec_id // 2) AS query_id, (vec_id % 2)::INT AS concept_idx,
+         embedding AS qv
+  FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT cv.query_id, cv.concept_idx, s.chunk_id,
+         list_cosine_similarity(s.vector::DOUBLE[], cv.qv::DOUBLE[]) AS raw
+  FROM store s, cv
+), perc AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, concept_idx
+                                 ORDER BY raw DESC, chunk_id ASC) AS crank
+    FROM scored) WHERE crank <= 5
+), dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, chunk_id
+                                 ORDER BY concept_idx, crank) AS rn
+    FROM perc) WHERE rn = 1
+), densr AS (
+  SELECT query_id, chunk_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY concept_idx, crank) AS vrank
+  FROM dedup
+), parts AS (
+  SELECT query_id, chunk_id, 1.0 / (60 + vrank) AS part FROM densr
+  UNION ALL
+  SELECT query_id, chunk_id, 0.5 / (60 + krank) AS part
+  FROM bm25r WHERE krank <= 10
+), fused AS (
+  SELECT query_id, chunk_id, sum(part) AS score FROM parts GROUP BY 1, 2
+), fr AS (
+  SELECT query_id, chunk_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, chunk_id ASC) AS frank
+  FROM fused
+), sel AS (
+  SELECT f.query_id, f.chunk_id, f.frank, c.text
+  FROM fr f JOIN chunks c USING (chunk_id)
+  WHERE f.frank <= 5
+)
+SELECT query_id,
+       string_agg(chunk_id, ',' ORDER BY frank) AS chunk_ids,
+       md5(string_agg(text, chr(10) || chr(10) ORDER BY frank)) AS context_md5,
+       count(*)::BIGINT AS n_chunks
+FROM sel
+GROUP BY query_id
+"""
+    )
 
     return sql
