@@ -979,6 +979,37 @@ def q_emb_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b")
 
 
+def q_rows_store_query(spark, sf_dir):
+    """Structured rows store + query (storage/rows + query/rows): validated
+    planted rows -> the unified per-index layout with Cassandra PK upsert
+    (last write per (index_value, row_id) by doc_id), then an indexed
+    point-partition query with post-filter operators (eq / gte / lt /
+    contains) and string-sort by age."""
+    from trustgraph_spark.operators.extract_extras import validate_rows
+    from trustgraph_spark.operators.rows import rows_query, rows_store
+    from trustgraph_spark.planted import planted_row_objects
+
+    fields = [
+        {"name": "name", "type": "string", "primary": True},
+        {"name": "city", "type": "string", "enum_values": ["a", "b"],
+         "indexed": True},
+        {"name": "age", "type": "string"},
+    ]
+    v = validate_rows(planted_row_objects(_docs(spark, sf_dir)), fields)
+    store = rows_store(
+        v, fields, schema_name="person", upsert_order_col="doc_id"
+    )
+    out = rows_query(
+        store,
+        fields,
+        "person",
+        {"city": "a", "age_gte": 5, "age_lt": 80, "name_contains": "1"},
+        limit=1000,
+        order_by="age",
+    )
+    return out.select("name", "city", "age", "source")
+
+
 def _rag_chunk_tables(spark, sf_dir):
     """Chunk store (vectors from the embeddings table) + chunk texts (the
     documents table) under a shared chunk_id namespace."""
@@ -1161,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rag_topk": q_doc_rag_topk,
         "doc_rag_bm25": q_doc_rag_bm25,
         "doc_rag_hybrid": q_doc_rag_hybrid,
+        "rows_store_query": q_rows_store_query,
     }
 
 
@@ -2138,6 +2170,32 @@ pairs AS (
   WHERE l.vec_id < r.vec_id
 )
 SELECT id_a, id_b FROM pairs WHERE cos >= 0.95
+"""
+
+    # rows store/query: planted rows -> per-index layout with PK upsert
+    # (index 'city' keys on (city, name); last write = max doc_id), then
+    # the city='a' partition with numeric/string post-filters
+    sql["rows_store_query"] = """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 9 = 0 THEN ''
+         ELSE 'item ' || (doc_id % 50) END AS name,
+    CASE WHEN doc_id % 4 = 0 THEN 'x'
+         WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS city,
+    (doc_id % 90)::VARCHAR AS age
+  FROM documents
+), v AS (
+  SELECT * FROM t WHERE name <> '' AND city IN ('a', 'b')
+), up AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY city, name
+                                 ORDER BY doc_id DESC) AS rn
+    FROM v) WHERE rn = 1
+)
+SELECT name, city, age, '' AS source
+FROM up
+WHERE city = 'a' AND age::DOUBLE >= 5 AND age::DOUBLE < 80
+  AND name LIKE '%1%'
 """
 
     # --- DocumentRAG family -------------------------------------------------
