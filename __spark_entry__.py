@@ -1010,6 +1010,37 @@ def q_rows_store_query(spark, sf_dir):
     return out.select("name", "city", "age", "source")
 
 
+def q_graphql_rows(spark, sf_dir):
+    """GraphQL query surface (query/graphql): a parsed GraphQL document
+    with a variable, nested where-filter objects (eq/gte/lt/endsWith),
+    order_by and limit, compiled to the rows-store query path with typed
+    output columns (age: integer -> bigint)."""
+    from trustgraph_spark.graphql import graphql_rows_query
+    from trustgraph_spark.operators.extract_extras import validate_rows
+    from trustgraph_spark.operators.rows import rows_store
+    from trustgraph_spark.planted import planted_row_objects
+
+    fields = [
+        {"name": "name", "type": "string", "primary": True},
+        {"name": "city", "type": "string", "enum_values": ["a", "b"],
+         "indexed": True},
+        {"name": "age", "type": "integer"},
+    ]
+    v = validate_rows(planted_row_objects(_docs(spark, sf_dir)), fields)
+    store = rows_store(
+        v, fields, schema_name="person", upsert_order_col="doc_id"
+    )
+    out = graphql_rows_query(
+        store,
+        {"person": fields},
+        "query Q($c: String) { person(where: {city: {eq: $c}, "
+        'age: {gte: 10, lt: 70}, name: {endsWith: "3"}}, '
+        'order_by: "age", limit: 500) { name city age } }',
+        variables={"c": "b"},
+    )
+    return out["person"]
+
+
 def _rag_chunk_tables(spark, sf_dir):
     """Chunk store (vectors from the embeddings table) + chunk texts (the
     documents table) under a shared chunk_id namespace."""
@@ -1193,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rag_bm25": q_doc_rag_bm25,
         "doc_rag_hybrid": q_doc_rag_hybrid,
         "rows_store_query": q_rows_store_query,
+        "graphql_rows": q_graphql_rows,
     }
 
 
@@ -2196,6 +2228,31 @@ SELECT name, city, age, '' AS source
 FROM up
 WHERE city = 'a' AND age::DOUBLE >= 5 AND age::DOUBLE < 80
   AND name LIKE '%1%'
+"""
+
+    # GraphQL surface over the same planted rows store: city='b' partition,
+    # integer age filters, endsWith, typed output (age -> BIGINT)
+    sql["graphql_rows"] = """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 9 = 0 THEN ''
+         ELSE 'item ' || (doc_id % 50) END AS name,
+    CASE WHEN doc_id % 4 = 0 THEN 'x'
+         WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS city,
+    (doc_id % 90)::VARCHAR AS age
+  FROM documents
+), v AS (
+  SELECT * FROM t WHERE name <> '' AND city IN ('a', 'b')
+), up AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY city, name
+                                 ORDER BY doc_id DESC) AS rn
+    FROM v) WHERE rn = 1
+)
+SELECT name, city, age::BIGINT AS age
+FROM up
+WHERE city = 'b' AND age::DOUBLE >= 10 AND age::DOUBLE < 70
+  AND name LIKE '%3'
 """
 
     # --- DocumentRAG family -------------------------------------------------

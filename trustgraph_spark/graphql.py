@@ -1,0 +1,330 @@
+"""GraphQL query surface over the structured rows store.
+
+The reference (query/graphql/{schema,types,filters}.py + the resolver
+embedded in query/rows/cassandra/service.py:execute_graphql_query) builds
+a strawberry GraphQL schema dynamically from RowSchema definitions: every
+schema becomes a root query field taking ``where`` (per-field filter
+objects with eq/gt/gte/lt/lte/in/not/contains/startsWith/endsWith/not_in
+operators), ``order_by``, ``direction`` and ``limit``, resolving through
+the same rows-store query path.
+
+This module reproduces that surface without the strawberry dependency
+(not in this container): a hand-written tokenizer + recursive-descent
+parser for the GraphQL query-document subset the dynamic schema exposes,
+and a compiler from the parsed document to ``operators.rows.rows_query``
+DataFrame plans.  The where-clause flattening follows
+filters.py parse_where_clause exactly: ``{f: {eq: v}}`` -> ``{f: v}``,
+``{f: {gt: v}}`` -> ``{f_gt: v}``, ``in``/``not`` -> ``f_in``/``f_not``,
+etc.  Output columns are cast to the schema's declared GraphQL types
+(integer -> long, float -> double, boolean -> boolean, everything else
+string — schema.py _get_python_type).
+
+Like the reference, one executed document can select several root
+fields; the result is {field_alias: DataFrame}.  Variables ($x) are
+substituted from the ``variables`` dict (service.py passes
+variable_values through to strawberry's execute).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.rows import rows_query
+
+
+class GraphQLError(ValueError):
+    pass
+
+
+# --- where-clause flattening (filters.py parse_where_clause) ---------------
+
+#: operator key inside a filter object -> rows_query filter-key suffix
+_OP_KEYS = {
+    "eq": "",
+    "gt": "_gt",
+    "gte": "_gte",
+    "lt": "_lt",
+    "lte": "_lte",
+    "in": "_in",
+    "not": "_not",
+    "not_in": "_not_in",
+    "contains": "_contains",
+    "startsWith": "_startsWith",
+    "endsWith": "_endsWith",
+}
+
+
+def flatten_where(where: dict | None) -> dict:
+    """{field: {op: value}} -> the rows_query flat filter dict
+    (filters.py:47-106): eq maps to the bare field name, every other
+    operator to ``field_op``."""
+    if not where:
+        return {}
+    out = {}
+    for fname, ops in where.items():
+        if ops is None:
+            continue
+        if not isinstance(ops, dict):
+            raise GraphQLError(
+                f"where.{fname} must be a filter object, got {ops!r}"
+            )
+        for op, value in ops.items():
+            if value is None:
+                continue
+            if op not in _OP_KEYS:
+                raise GraphQLError(f"unknown filter operator {op!r}")
+            out[f"{fname}{_OP_KEYS[op]}"] = value
+    return out
+
+
+# --- tokenizer --------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>[\s,]+|\#[^\n]*)
+  | (?P<str>"(?:\\.|[^"\\])*")
+  | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<name>[_A-Za-z][_0-9A-Za-z]*)
+  | (?P<var>\$[_A-Za-z][_0-9A-Za-z]*)
+  | (?P<punct>[{}()\[\]:!=])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    toks = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise GraphQLError(f"lex error at {src[i:i+20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        toks.append((kind, m.group()))
+    toks.append(("eof", ""))
+    return toks
+
+
+# --- parser -----------------------------------------------------------------
+
+
+@dataclass
+class Selection:
+    """One root field: product(where: {...}, limit: 10) { sku name }"""
+
+    name: str
+    alias: str
+    args: dict = field(default_factory=dict)
+    fields: list = field(default_factory=list)
+
+
+@dataclass
+class GqlQuery:
+    selections: list
+
+
+class _Parser:
+    def __init__(self, src: str, variables: dict | None = None):
+        self.toks = _tokenize(src)
+        self.pos = 0
+        self.vars = variables or {}
+
+    def peek(self):
+        return self.toks[self.pos]
+
+    def next(self):
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def expect(self, text: str):
+        kind, val = self.next()
+        if val != text:
+            raise GraphQLError(f"expected {text!r}, got {val!r}")
+
+    def parse(self) -> GqlQuery:
+        kind, val = self.peek()
+        # optional 'query [Name] [(vardefs)]' header
+        if kind == "name" and val in ("query", "mutation", "subscription"):
+            if val != "query":
+                raise GraphQLError(f"{val} operations are not supported")
+            self.next()
+            if self.peek()[0] == "name":
+                self.next()  # operation name
+            if self.peek()[1] == "(":
+                # variable definitions: ($x: Int, ...) — types are ignored,
+                # values come from the variables dict
+                self.next()
+                while self.peek()[1] != ")":
+                    self.next()
+                self.next()
+        sels = self._selection_set(root=True)
+        if self.peek()[0] != "eof":
+            raise GraphQLError(f"trailing input at {self.peek()[1]!r}")
+        return GqlQuery(sels)
+
+    def _selection_set(self, root: bool = False) -> list:
+        self.expect("{")
+        sels = []
+        while self.peek()[1] != "}":
+            kind, val = self.next()
+            if kind != "name":
+                raise GraphQLError(f"expected field name, got {val!r}")
+            alias = name = val
+            if self.peek()[1] == ":":
+                self.next()
+                kind2, val2 = self.next()
+                if kind2 != "name":
+                    raise GraphQLError(f"expected field after alias {val!r}")
+                name = val2
+            args = {}
+            if self.peek()[1] == "(":
+                args = self._arguments()
+            fields = []
+            if self.peek()[1] == "{":
+                if not root:
+                    raise GraphQLError("nested selection sets not supported")
+                inner = self._selection_set()
+                fields = [s.name for s in inner]
+            elif root:
+                raise GraphQLError(f"root field {name!r} needs a selection set")
+            sels.append(Selection(name=name, alias=alias, args=args, fields=fields))
+        self.next()  # consume }
+        return sels
+
+    def _arguments(self) -> dict:
+        self.expect("(")
+        args = {}
+        while self.peek()[1] != ")":
+            kind, key = self.next()
+            if kind != "name":
+                raise GraphQLError(f"expected argument name, got {key!r}")
+            self.expect(":")
+            args[key] = self._value()
+        self.next()
+        return args
+
+    def _value(self):
+        kind, val = self.next()
+        if kind == "str":
+            body = val[1:-1]
+            return re.sub(
+                r"\\(.)",
+                lambda m: {"n": "\n", "t": "\t", '"': '"', "\\": "\\"}.get(
+                    m.group(1), "\\" + m.group(1)
+                ),
+                body,
+            )
+        if kind == "num":
+            return float(val) if ("." in val or "e" in val.lower()) else int(val)
+        if kind == "var":
+            name = val[1:]
+            if name not in self.vars:
+                raise GraphQLError(f"undefined variable ${name}")
+            return self.vars[name]
+        if kind == "name":
+            if val == "true":
+                return True
+            if val == "false":
+                return False
+            if val == "null":
+                return None
+            return val  # enum value (ASC / DESC)
+        if val == "{":
+            obj = {}
+            while self.peek()[1] != "}":
+                k_kind, k = self.next()
+                if k_kind != "name":
+                    raise GraphQLError(f"expected object key, got {k!r}")
+                self.expect(":")
+                obj[k] = self._value()
+            self.next()
+            return obj
+        if val == "[":
+            arr = []
+            while self.peek()[1] != "]":
+                arr.append(self._value())
+            self.next()
+            return arr
+        raise GraphQLError(f"unexpected value token {val!r}")
+
+
+def parse_graphql(src: str, variables: dict | None = None) -> GqlQuery:
+    """Parse a GraphQL query document (the dynamic-row-schema subset:
+    root fields with where/order_by/direction/limit arguments and flat
+    selection sets).  Variables are substituted at parse time."""
+    return _Parser(src, variables).parse()
+
+
+# --- compiler ---------------------------------------------------------------
+
+_CAST = {"integer": "long", "float": "double", "boolean": "boolean"}
+
+
+def graphql_rows_query(
+    store: DataFrame,
+    schemas: dict[str, list[dict]],
+    query: str,
+    variables: dict | None = None,
+    collection: str = "default",
+) -> dict[str, DataFrame]:
+    """Execute a GraphQL query document against the rows store: each root
+    field must name a registered RowSchema (schema.py registers one query
+    field per schema); its arguments compile to a rows_query plan and the
+    selection set prunes the output columns, cast to the schema's declared
+    types.  Returns {field alias: DataFrame} — the GraphQL ``data``
+    object with DataFrames as the list values."""
+    doc = parse_graphql(query, variables)
+    out: dict[str, DataFrame] = {}
+    for sel in doc.selections:
+        if sel.name not in schemas:
+            raise GraphQLError(
+                f"unknown query field {sel.name!r}; known: {sorted(schemas)}"
+            )
+        fields = schemas[sel.name]
+        known = {f["name"] for f in fields}
+        unknown = [f for f in sel.fields if f not in known]
+        if unknown:
+            raise GraphQLError(
+                f"unknown fields on {sel.name}: {unknown}; known: {sorted(known)}"
+            )
+        where = sel.args.get("where")
+        if where is not None and not isinstance(where, dict):
+            raise GraphQLError("where must be an object")
+        direction = sel.args.get("direction", "ASC")
+        if isinstance(direction, str):
+            direction = direction.lower()
+        if direction not in ("asc", "desc"):
+            raise GraphQLError(f"bad direction {direction!r}")
+        order_by = sel.args.get("order_by")
+        if order_by is not None and order_by not in known:
+            raise GraphQLError(f"order_by names unknown field {order_by!r}")
+        limit = sel.args.get("limit", 100)
+
+        rq = rows_query(
+            store,
+            fields,
+            sel.name,
+            flatten_where(where),
+            collection=collection,
+            limit=limit,
+            order_by=order_by,
+            direction=direction,
+        )
+        types = {f["name"]: f.get("type", "string") for f in fields}
+        cols = []
+        for fname in sel.fields:
+            c = F.col(fname)
+            t = _CAST.get(types.get(fname, "string"))
+            if t:
+                c = c.try_cast(t)
+            cols.append(c.alias(fname))
+        out[sel.alias] = rq.select(*cols)
+    return out
