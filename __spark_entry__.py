@@ -1010,6 +1010,19 @@ def q_rows_store_query(spark, sf_dir):
     return out.select("name", "city", "age", "source")
 
 
+def q_sparql_path_star(spark, sf_dir):
+    """SPARQL 1.1 property path through the string front-end: `co+`-style
+    transitive closure with zero-length star semantics from a bound seed
+    (<tg:batch> co_occurs_with* ?x). BEYOND the reference — its evaluator
+    has no path handlers; the closure runs the semi-naive fixpoint loop."""
+    from trustgraph_spark.sparql import sparql_select
+
+    edges = _cooccur_edges_table(spark, sf_dir)
+    return sparql_select(
+        edges, f"SELECT ?x WHERE {{ <{TG}batch> <{CO_URI}>* ?x }}"
+    )
+
+
 def q_graphql_rows(spark, sf_dir):
     """GraphQL query surface (query/graphql): a parsed GraphQL document
     with a variable, nested where-filter objects (eq/gte/lt/endsWith),
@@ -1225,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rag_hybrid": q_doc_rag_hybrid,
         "rows_store_query": q_rows_store_query,
         "graphql_rows": q_graphql_rows,
+        "sparql_path_star": q_sparql_path_star,
     }
 
 
@@ -2228,6 +2242,26 @@ SELECT name, city, age, '' AS source
 FROM up
 WHERE city = 'a' AND age::DOUBLE >= 5 AND age::DOUBLE < 80
   AND name LIKE '%1%'
+"""
+
+    # property path: recursive closure from the seed, seeded with the
+    # zero-length (identity) row for star semantics
+    sql["sparql_path_star"] = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), mentions AS (
+  SELECT DISTINCT doc_id, token AS entity FROM toks
+  WHERE token IN ({_VOCAB_SQL})
+), cooccur AS (
+  SELECT DISTINCT '{TG}' || a.entity AS s, '{TG}' || b.entity AS o
+  FROM mentions a JOIN mentions b USING (doc_id)
+  WHERE a.entity < b.entity
+), reach(x) AS (
+  SELECT '{TG}batch'
+  UNION
+  SELECT c.o FROM reach r JOIN cooccur c ON c.s = r.x
+)
+SELECT x FROM reach
 """
 
     # GraphQL surface over the same planted rows store: city='b' partition,

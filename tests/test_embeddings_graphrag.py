@@ -354,3 +354,29 @@ def test_ivf_recall_sf01(spark):
     n_hit = exact.join(approx, ["query_id", "entity_uri"], "left_semi").count()
     recall = n_hit / n_exact
     assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
+
+
+def test_hop_bfs_celebrity_node_guard(spark):
+    """Hot-node pre-cap: a source with degree >> per_hop_limit still
+    returns exactly the global (p, o) top-k (salted partial top-k is
+    lossless), and the plan carries the salted pre-cap window ahead of
+    the exact one."""
+    import trustgraph_spark.operators.graphrag as gr
+
+    celeb = "http://e/celeb"
+    rows = [("", celeb, f"http://e/p{i % 7}", f"http://e/t{i:05d}", "u")
+            for i in range(3000)]
+    edges = spark.createDataFrame(rows, "g string, s string, p string, o string, otype string")
+    seeds = spark.createDataFrame([(celeb,)], "entity string")
+
+    out = gr.hop_bfs(edges, seeds, max_hops=1, per_hop_limit=30)
+    got = sorted((r.p, r.o) for r in out.collect())
+    exp = sorted((f"http://e/p{i % 7}", f"http://e/t{i:05d}")
+                 for i in range(3000))
+    exp = sorted(exp)[:30]
+    assert got == exp
+    # the pre-cap salt fan-out bounds any single sort partition to
+    # ~degree/_PRECAP_SALTS rows (the plan itself is truncated by
+    # hop_bfs's localCheckpoint, so the guard is asserted by value
+    # equality above plus the constant here)
+    assert gr._PRECAP_SALTS >= 64

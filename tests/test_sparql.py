@@ -442,3 +442,109 @@ def test_langmatches_star_through_front_end(edges):
         ' ?l FILTER(LANGMATCHES(LANG(?l), "*")) }',
     )
     assert [r.s for r in out.collect()] == [f"{E}alice"]
+
+
+# --- property paths ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hierarchy(spark):
+    """subClassOf chain a->b->c->d plus a knows edge and labels."""
+    SC = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    rows = [
+        ("default", "", E + "a", SC, E + "b", "u", "", ""),
+        ("default", "", E + "b", SC, E + "c", "u", "", ""),
+        ("default", "", E + "c", SC, E + "d", "u", "", ""),
+        ("default", "", E + "x", E + "knows", E + "y", "u", "", ""),
+        ("default", "", E + "y", E + "knows", E + "z", "u", "", ""),
+        ("default", "", E + "y", RDF_LABEL, "Why", "l", "", ""),
+        ("default", "", E + "z", RDF_LABEL, "Zed", "l", "", ""),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_DDL).cache()
+    df.count()
+    return df
+
+
+def test_path_plus_transitive_closure(hierarchy):
+    out = sparql_select(
+        hierarchy,
+        f"SELECT ?x WHERE {{ <{E}a> "
+        "<http://www.w3.org/2000/01/rdf-schema#subClassOf>+ ?x } ORDER BY ?x",
+    )
+    assert [r.x for r in out.collect()] == [E + "b", E + "c", E + "d"]
+
+
+def test_path_star_includes_zero_length(hierarchy):
+    out = sparql_select(
+        hierarchy,
+        f"SELECT ?x WHERE {{ <{E}a> "
+        "<http://www.w3.org/2000/01/rdf-schema#subClassOf>* ?x } ORDER BY ?x",
+    )
+    assert [r.x for r in out.collect()] == [E + "a", E + "b", E + "c", E + "d"]
+
+
+def test_path_opt_zero_or_one(hierarchy):
+    out = sparql_select(
+        hierarchy,
+        f"SELECT ?x WHERE {{ <{E}a> "
+        "<http://www.w3.org/2000/01/rdf-schema#subClassOf>? ?x } ORDER BY ?x",
+    )
+    assert [r.x for r in out.collect()] == [E + "a", E + "b"]
+
+
+def test_path_inverse(hierarchy):
+    out = sparql_select(
+        hierarchy,
+        f"SELECT ?x WHERE {{ <{E}c> "
+        "^<http://www.w3.org/2000/01/rdf-schema#subClassOf> ?x }",
+    )
+    assert [r.x for r in out.collect()] == [E + "b"]
+
+
+def test_path_sequence_and_join_with_bgp(hierarchy):
+    # knows/label: two-step path ending at a literal, joined with a plain
+    # pattern in the same group
+    out = sparql_select(
+        hierarchy,
+        f"SELECT ?n WHERE {{ <{E}x> <{E}knows>/"
+        "<http://www.w3.org/2000/01/rdf-schema#label> ?n }",
+    )
+    assert [r.n for r in out.collect()] == ["Why"]
+
+
+def test_path_alternative(hierarchy):
+    out = sparql_select(
+        hierarchy,
+        f"SELECT ?o WHERE {{ <{E}y> (<{E}knows>|"
+        "<http://www.w3.org/2000/01/rdf-schema#label>) ?o } ORDER BY ?o",
+    )
+    assert [r.o for r in out.collect()] == ["Why", E + "z"]
+
+
+def test_path_plus_on_cycle_terminates(spark):
+    rows = [
+        ("default", "", E + "n1", E + "p", E + "n2", "u", "", ""),
+        ("default", "", E + "n2", E + "p", E + "n3", "u", "", ""),
+        ("default", "", E + "n3", E + "p", E + "n1", "u", "", ""),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = sparql_select(
+        df, f"SELECT ?a ?b WHERE {{ ?a <{E}p>+ ?b }}"
+    )
+    # closure of a 3-cycle: all 9 ordered pairs
+    assert out.count() == 9
+
+
+def test_path_inverse_sequence_combo(hierarchy):
+    # ^knows/knows: nodes sharing a knower with ?x... y: ^knows -> x,
+    # then knows -> y. So (y, y).
+    out = sparql_select(
+        hierarchy,
+        f"SELECT ?v WHERE {{ <{E}y> ^<{E}knows>/<{E}knows> ?v }}",
+    )
+    assert [r.v for r in out.collect()] == [E + "y"]
+
+
+def test_path_var_with_modifier_rejected():
+    with pytest.raises(ParseError):
+        parse_sparql("SELECT ?s WHERE { ?s ?p+ ?o }")

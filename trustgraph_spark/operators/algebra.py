@@ -98,6 +98,144 @@ def bgp(
     return reduce(join, sols)
 
 
+# --- property paths ---------------------------------------------------------
+# SPARQL 1.1 path operators: link, ^inverse, /sequence, |alternative and
+# the closures * + ?.  BEYOND the reference — its evaluator has no path
+# handlers (query/sparql/algebra.py dispatches no Path* nodes) — but a
+# natural fit here: closures are the same iterate-to-fixpoint DataFrame
+# pattern as connected_components (semi-naive frontier expansion with
+# localCheckpoint per round), so rdfs:subClassOf* costs O(diameter)
+# broadcast-frontier joins, never a full closure materialization up front.
+
+
+def _path_scan_base(
+    edges: DataFrame, g: str | None, collection: str | None
+) -> DataFrame:
+    df = edges
+    if collection is not None:
+        df = df.where(F.col("collection") == collection)
+    if g is not None:
+        df = df.where(F.col("g") == g)
+    return df
+
+
+def _identity_pairs(df: DataFrame) -> DataFrame:
+    """Zero-length path endpoints: every term occurring in the active
+    graph paired with itself (the standard engine approximation of the
+    spec's all-RDF-terms zero-length match)."""
+    s_term = _term_from(F.col("s"), F.lit(OTYPE_URI), F.lit(""), F.lit(""))
+    o_term = _term_from(F.col("o"), F.col("otype"), F.col("dtype"), F.col("lang"))
+    terms = df.select(s_term.alias("t")).union(df.select(o_term.alias("t"))).distinct()
+    return terms.select(F.col("t").alias("_ps"), F.col("t").alias("_po"))
+
+
+def _path_closure(pairs: DataFrame) -> DataFrame:
+    """Transitive closure by semi-naive iteration: each round extends only
+    the previous round's NEW pairs against the base relation and
+    anti-joins the accumulated set, so work per round is proportional to
+    the frontier, with localCheckpoint truncating lineage (the CC loop's
+    discipline).  Rounds = path diameter."""
+    base = pairs.distinct().localCheckpoint()
+    # renamed copy for the extension join (avoids self-join ambiguity)
+    right = base.select(
+        F.col("_ps").alias("_mid"), F.col("_po").alias("_po2")
+    )
+    acc = base
+    delta = base
+    while True:
+        delta = (
+            delta.select("_ps", F.col("_po").alias("_mid"))
+            .join(right, "_mid")
+            .select("_ps", F.col("_po2").alias("_po"))
+            .distinct()
+            .join(acc, ["_ps", "_po"], "left_anti")
+            .localCheckpoint()
+        )
+        if delta.isEmpty():
+            return acc
+        acc = acc.union(delta).localCheckpoint()
+
+
+def path_pairs(
+    edges: DataFrame,
+    path,
+    g: str | None = DEFAULT_GRAPH,
+    collection: str | None = None,
+) -> DataFrame:
+    """Evaluate a path expression to its endpoint-pair solution set
+    (_ps, _po term structs).  Path AST: ('link', iri) ('inv', p)
+    ('seq', [ps]) ('alt', [ps]) ('plus', p) ('star', p) ('opt', p).
+    seq keeps multiplicities (join), alt keeps them (union); the closure
+    forms are DISTINCT per the SPARQL spec."""
+    df = _path_scan_base(edges, g, collection)
+    return _path_pairs(df, path)
+
+
+def _path_pairs(df: DataFrame, path) -> DataFrame:
+    kind = path[0]
+    if kind == "link":
+        sel = df.where(F.col("p") == path[1])
+        s_term = _term_from(F.col("s"), F.lit(OTYPE_URI), F.lit(""), F.lit(""))
+        o_term = _term_from(
+            F.col("o"), F.col("otype"), F.col("dtype"), F.col("lang")
+        )
+        return sel.select(s_term.alias("_ps"), o_term.alias("_po"))
+    if kind == "inv":
+        inner = _path_pairs(df, path[1])
+        return inner.select(
+            F.col("_po").alias("_ps"), F.col("_ps").alias("_po")
+        )
+    if kind == "seq":
+        acc = _path_pairs(df, path[1][0])
+        for sub in path[1][1:]:
+            nxt = _path_pairs(df, sub)
+            acc = (
+                acc.alias("a")
+                .join(nxt.alias("b"), F.col("a._po") == F.col("b._ps"))
+                .select(F.col("a._ps").alias("_ps"), F.col("b._po").alias("_po"))
+            )
+        return acc
+    if kind == "alt":
+        return reduce(
+            lambda a, b: a.union(b), [_path_pairs(df, s) for s in path[1]]
+        )
+    if kind == "plus":
+        return _path_closure(_path_pairs(df, path[1]))
+    if kind == "star":
+        return (
+            _path_closure(_path_pairs(df, path[1]))
+            .union(_identity_pairs(df))
+            .distinct()
+        )
+    if kind == "opt":
+        return _path_pairs(df, path[1]).union(_identity_pairs(df)).distinct()
+    raise ValueError(f"unknown path node {kind!r}")
+
+
+def scan_path(
+    edges: DataFrame,
+    s,
+    path,
+    o,
+    g: str | None = DEFAULT_GRAPH,
+    collection: str | None = None,
+) -> DataFrame:
+    """One path triple pattern -> solution DataFrame, the scan_pattern
+    analog: Var endpoints project term-struct columns, constants filter on
+    the term value, a repeated Var forces endpoint equality."""
+    df = path_pairs(edges, path, g=g, collection=collection)
+    out_cols: dict[str, Column] = {}
+    for col, val in (("_ps", s), ("_po", o)):
+        if isinstance(val, Var):
+            if val.name in out_cols:
+                df = df.where(F.col(col) == out_cols[val.name])
+            else:
+                out_cols[val.name] = F.col(col)
+        elif val is not None:
+            df = df.where(F.col(col)["value"] == val)
+    return df.select([c.alias(n) for n, c in out_cols.items()])
+
+
 def _shared(l: DataFrame, r: DataFrame) -> list[str]:
     return [c for c in l.columns if c in set(r.columns)]
 

@@ -25,6 +25,10 @@ _SKIP_PREFIXES = (
     "http://www.w3.org/2002/07/owl#",
 )
 
+#: salt fan-out for the hop_bfs hot-node pre-cap: a source with degree D
+#: sorts in partitions of ~D/256 rows instead of one D-row partition
+_PRECAP_SALTS = 256
+
 
 def labels_dimension(edges: DataFrame) -> DataFrame:
     """(entity, label) dimension from rdfs:label edges — the broadcast
@@ -86,10 +90,25 @@ def hop_bfs(
         hop_edges = fwd.unionByName(rev).distinct()
         if seen_edges is not None:
             hop_edges = hop_edges.join(seen_edges, edge_key, "left_anti")
-        # per-(group, source) expansion cap (reference per-entity limit 30)
+        # per-(group, source) expansion cap (reference per-entity limit 30).
+        # Hot-node guard: the exact window alone would sort EVERY
+        # frontier-incident edge of a celebrity source in ONE partition —
+        # a skew stall at web-scale degrees. A salted partial top-k first
+        # bounds any single sort partition to ~degree/_PRECAP_SALTS rows;
+        # the exact cap then sees at most _PRECAP_SALTS * per_hop_limit
+        # rows per source. The global (p, o) top-k is contained in the
+        # union of per-salt top-ks, so results are identical (asserted
+        # against the unsalted window in test_embeddings_graphrag).
+        w_pre = Window.partitionBy(grp, "s", "_salt").orderBy("p", "o")
         w = Window.partitionBy(grp, "s").orderBy("p", "o")
         hop_edges = (
-            hop_edges.withColumn("rn", F.row_number().over(w))
+            hop_edges.withColumn(
+                "_salt", F.pmod(F.xxhash64("p", "o"), F.lit(_PRECAP_SALTS))
+            )
+            .withColumn("rn", F.row_number().over(w_pre))
+            .where(F.col("rn") <= per_hop_limit)
+            .drop("rn", "_salt")
+            .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= per_hop_limit)
             .drop("rn")
             .withColumn("hop", F.lit(hop))

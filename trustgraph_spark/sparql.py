@@ -26,8 +26,14 @@ solution, skipping rows with unbound template variables (SPARQL 1.1
 §16.2); DESCRIBE returns the simple concise-bounded description of the
 named/bound resources.
 
-Out of scope (as in the reference): property paths, federated SERVICE,
-variable GRAPH ?g.
+Property paths (link / ^inverse / sequence / | alternative / * + ?
+closures — SPARQL 1.1 grammar [88]-[94] minus !negation and {n,m}) are
+parsed here and evaluated by algebra.scan_path; the closures run the same
+semi-naive iterate-to-fixpoint loop as connected components.  This
+EXCEEDS the reference, whose evaluator has no path handlers.
+
+Out of scope (as in the reference): federated SERVICE, variable GRAPH ?g,
+!negated path sets, {n,m} path ranges.
 """
 
 from __future__ import annotations
@@ -70,7 +76,7 @@ _TOKEN_RE = re.compile(
   | (?P<PNAME>(?:[A-Za-z_][\w\-]*)?:[A-Za-z_0-9][\w.\-]*|(?:[A-Za-z_][\w\-]*)?:)
   | (?P<BLANK>_:[A-Za-z_0-9][\w\-]*)
   | (?P<NAME>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().,;=<>!+\-*/\[\]])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().,;=<>!+\-*/\[\]^|?])
     """,
     re.VERBOSE,
 )
@@ -467,7 +473,7 @@ class Parser:
         out = []
         s = self._term(subject=True)
         while True:
-            p = self._term(predicate=True)
+            p = self._path()
             o = self._term()
             out.append(TriplePat(s, p, o))
             while self.op(","):
@@ -479,6 +485,62 @@ class Parser:
                 continue
             break
         return out
+
+    # --- property paths (SPARQL 1.1 grammar [88]-[94] minus !negation
+    # and {n,m} ranges) — a plain IRI predicate stays a bare string so the
+    # non-path fast path is unchanged; anything else becomes a tagged
+    # path tuple evaluated by algebra.scan_path.
+
+    def _path(self):
+        parts = [self._path_seq()]
+        while self.op("|"):
+            parts.append(self._path_seq())
+        if len(parts) == 1:
+            return parts[0]
+        return ("alt", [self._as_path(p) for p in parts])
+
+    def _path_seq(self):
+        parts = [self._path_elt()]
+        while self.op("/"):
+            parts.append(self._path_elt())
+        if len(parts) == 1:
+            return parts[0]
+        return ("seq", [self._as_path(p) for p in parts])
+
+    def _path_elt(self):
+        inv = self.op("^")
+        prim = self._path_primary()
+        mod = None
+        if self.op("*"):
+            mod = "star"
+        elif self.op("+"):
+            mod = "plus"
+        elif self.op("?"):
+            mod = "opt"
+        if (inv or mod) and isinstance(prim, Var):
+            raise ParseError(
+                "SPARQL parse error: path operators need an IRI, not a variable"
+            )
+        p = prim
+        if mod:
+            p = (mod, self._as_path(p))
+        if inv:
+            p = ("inv", self._as_path(p))
+        return p
+
+    def _path_primary(self):
+        if self.op("("):
+            p = self._path()
+            self.expect_op(")")
+            return p
+        return self._term(predicate=True)
+
+    @staticmethod
+    def _as_path(p):
+        """Normalize a primary (bare IRI string) into path-AST form."""
+        if isinstance(p, str):
+            return ("link", p)
+        return p
 
     def _term(self, subject: bool = False, predicate: bool = False):
         t = self.next()
@@ -727,8 +789,23 @@ class _Compiler:
         for el in g.elements:
             kind = el[0]
             if kind == "triples":
-                pats = [(tp.s, tp.p, tp.o) for tp in el[1]]
-                merge(A.bgp(self.edges, pats, g=graph, collection=self.collection))
+                plain = [
+                    (tp.s, tp.p, tp.o)
+                    for tp in el[1]
+                    if not isinstance(tp.p, tuple)
+                ]
+                if plain:
+                    merge(
+                        A.bgp(self.edges, plain, g=graph, collection=self.collection)
+                    )
+                for tp in el[1]:
+                    if isinstance(tp.p, tuple):  # property path
+                        merge(
+                            A.scan_path(
+                                self.edges, tp.s, tp.p, tp.o,
+                                g=graph, collection=self.collection,
+                            )
+                        )
             elif kind == "optional":
                 inner = self.group(el[1], graph)
                 acc = A.left_join(self._unit() if acc is None else acc, inner)
