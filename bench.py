@@ -88,7 +88,10 @@ def run_pipeline_bench_mem(spark, sf: float) -> tuple[float, int]:
         wall = time.monotonic() - t0
     finally:
         shutil.rmtree(wh, ignore_errors=True)
-    return wall, n_turns
+    stages = {
+        k: v.get("wall_sec", 0.0) for k, v in pipe.metrics.items()
+    }
+    return wall, n_turns, stages
 
 
 def _burn(n: int) -> int:
@@ -155,12 +158,16 @@ def main():
         # report the warm run (JIT, Arrow, python worker pools warmed)
         cores = int(sys.argv[sys.argv.index("--scaling-child") + 1])
         spark = get_spark(app_name=f"tg-bench-{cores}", cores=cores)
-        walls = []
+        best = None
         for _ in range(2):
-            wall, n_turns = run_pipeline_bench_mem(spark, sf)
-            walls.append(wall)
+            wall, n_turns, stages = run_pipeline_bench_mem(spark, sf)
+            if best is None or wall < best[0]:
+                best = (wall, stages)
         spark.stop()
-        print(json.dumps({"cores": cores, "wall": min(walls), "turns": n_turns}))
+        print(json.dumps({
+            "cores": cores, "wall": best[0], "turns": n_turns,
+            "stages": best[1],
+        }))
         return
 
     if "--calibrate-child" in sys.argv:
@@ -236,6 +243,24 @@ def main():
         speedup = results[32]["turns_per_sec"] / results[8]["turns_per_sec"]
         eff = speedup / 4.0
         eff_host = speedup / host_ceiling if host_ceiling else eff
+
+        def stage_table() -> str:
+            s8 = min(runs[8], key=lambda r: r["wall"]).get("stages", {})
+            s32 = min(runs[32], key=lambda r: r["wall"]).get("stages", {})
+            lines = ["| stage | 8-core s | 32-core s | speedup |", "|---|---|---|---|"]
+            for k in s8:
+                a, b = s8.get(k, 0.0), s32.get(k, 0.0)
+                sp = f"{a / b:.2f}x" if b else "-"
+                lines.append(f"| {k} | {a:.1f} | {b:.1f} | {sp} |")
+            tot8, tot32 = sum(s8.values()), sum(s32.values())
+            w8 = results[8]["wall_sec"]
+            w32 = results[32]["wall_sec"]
+            lines.append(
+                f"| stage-sum (vs end-to-end wall) | {tot8:.1f} ({w8}) "
+                f"| {tot32:.1f} ({w32}) | |"
+            )
+            return "\n".join(lines)
+
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(
@@ -259,6 +284,14 @@ def main():
                 "VM multiplies only core count, and this host is additionally\n"
                 "oversubscribed (see ceiling). The host-normalized figure is the\n"
                 "defensible analog of the BASELINE.json >= 0.8 criterion.\n"
+                "\n## Serial-fraction accounting (per-stage walls, best run)\n\n"
+                "Independent stages are submitted from concurrent driver\n"
+                "threads (Pipeline._parallel_stages): provenance (wide)\n"
+                "overlaps the linking CC fixpoint (sequential small rounds),\n"
+                "content/entity-context extraction consumers overlap, and the\n"
+                "quads/nodes materializations overlap — a stage-sum larger\n"
+                "than the end-to-end wall is that overlap made visible.\n\n"
+                f"{stage_table()}\n"
                 "\n## Tuning note\n\n"
                 "Adequate driver heap is load-bearing for the wide 32-core\n"
                 "stages (edges dedup, quad explosion): at 24g the 3M-turn run\n"

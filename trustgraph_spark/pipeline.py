@@ -311,6 +311,23 @@ class Pipeline:
         ).hexdigest()[:16]
         return stored
 
+    def _parallel_stages(self, *thunks):
+        """Run INDEPENDENT stages concurrently from driver threads: Spark
+        accepts job submissions from multiple threads, so a wide stage
+        fills the executor slots a convergence-probe-bound stage (the CC
+        loop's small per-round jobs) leaves idle.  Back-to-back stage
+        submission is the pipeline's Amdahl term in the pinned scaling
+        runs — overlap attacks it directly.  Each thunk writes distinct
+        metrics/_stage_fps keys and distinct warehouse paths, so the only
+        shared driver state is dict insertion (GIL-atomic)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(thunks) == 1:
+            return [thunks[0]()]
+        with ThreadPoolExecutor(len(thunks)) as pool:
+            futs = [pool.submit(t) for t in thunks]
+            return [f.result() for f in futs]
+
     def run(self, transcripts: DataFrame, run_id: str = "run-0") -> dict[str, DataFrame]:
         cfg = self.config
         ex = cfg.extractor
@@ -326,48 +343,69 @@ class Pipeline:
         )
         defs, rels = split_extractions(extractions)
 
-        content = self._run_stage(
-            run_id, "content_triples", extractions,
-            lambda _: definitions_to_triples(defs).unionByName(
-                relationships_to_triples(rels)
+        content, ec = self._parallel_stages(
+            lambda: self._run_stage(
+                run_id, "content_triples", extractions,
+                lambda _: definitions_to_triples(defs).unionByName(
+                    relationships_to_triples(rels)
+                ),
+                deps=["extractions"],
             ),
-            deps=["extractions"],
-        )
-
-        ec = self._run_stage(
-            run_id, "entity_contexts", defs,
-            lambda df: definitions_entity_contexts(df), deps=["extractions"],
+            lambda: self._run_stage(
+                run_id, "entity_contexts", defs,
+                lambda df: definitions_entity_contexts(df),
+                deps=["extractions"],
+            ),
         )
 
         triples = content
         triple_deps = ["content_triples"]
+        # provenance (wide, embarrassingly parallel) overlaps the linking
+        # CC fixpoint (sequential small rounds) — the single biggest
+        # serial-fraction win: CC's convergence probes no longer stall
+        # the whole cluster
+        par: list = []
         if cfg.with_provenance:
-            prov = self._run_stage(
-                run_id, "provenance_triples", content,
-                lambda df: subgraph_provenance_triples(df, "kg-extract"),
-                deps=["content_triples"],
+            par.append(
+                lambda: self._run_stage(
+                    run_id, "provenance_triples", content,
+                    lambda df: subgraph_provenance_triples(df, "kg-extract"),
+                    deps=["content_triples"],
+                )
             )
+        if cfg.with_linking:
+            par.append(
+                lambda: self._run_stage(
+                    run_id, "canonical_mapping", content,
+                    lambda df: canonical_mapping(
+                        df, threshold=cfg.linking_threshold
+                    ),
+                    deps=["content_triples"],
+                )
+            )
+        results = self._parallel_stages(*par) if par else []
+        i = 0
+        if cfg.with_provenance:
+            prov = results[i]
+            i += 1
             triples = content.unionByName(prov)
             triple_deps.append("provenance_triples")
-
         if cfg.with_linking:
-            mapping = self._run_stage(
-                run_id, "canonical_mapping", content,
-                lambda df: canonical_mapping(df, threshold=cfg.linking_threshold),
-                deps=["content_triples"],
-            )
+            mapping = results[i]
             triples = canonicalize_triples(triples, mapping)
             triple_deps.append("canonical_mapping")
 
         edges = self._run_stage(
             run_id, "edges", triples, materialize_edges, deps=triple_deps
         )
-        quads = self._run_stage(
-            run_id, "quads_by_entity", edges, materialize_quads_by_entity,
-            deps=["edges"],
-        )
-        nodes = self._run_stage(
-            run_id, "nodes", edges, materialize_nodes, deps=["edges"]
+        quads, nodes = self._parallel_stages(
+            lambda: self._run_stage(
+                run_id, "quads_by_entity", edges, materialize_quads_by_entity,
+                deps=["edges"],
+            ),
+            lambda: self._run_stage(
+                run_id, "nodes", edges, materialize_nodes, deps=["edges"]
+            ),
         )
 
         return {
