@@ -1010,6 +1010,44 @@ def q_rows_store_query(spark, sf_dir):
     return out.select("name", "city", "age", "source")
 
 
+def q_row_emb_lookup(spark, sf_dir):
+    """Row-embeddings semantic index lookup (embeddings/row_embeddings +
+    storage/query row_embeddings): one embedding per DISTINCT index text,
+    queries are the texts themselves — top-1 through the real embed +
+    broadcast-cosine path is the exact match at cosine 1.0."""
+    from trustgraph_spark.operators.embeddings import embed_texts
+    from trustgraph_spark.operators.extract_extras import validate_rows
+    from trustgraph_spark.operators.rows import (
+        row_embeddings_query,
+        row_embeddings_store,
+    )
+    from trustgraph_spark.planted import planted_row_objects
+
+    fields = [
+        {"name": "name", "type": "string", "primary": True, "indexed": True},
+        {"name": "city", "type": "string", "enum_values": ["a", "b"],
+         "indexed": True},
+        {"name": "age", "type": "string"},
+    ]
+    v = validate_rows(planted_row_objects(_docs(spark, sf_dir)), fields)
+    store = row_embeddings_store(v, fields, "person")
+    qtexts = spark.createDataFrame(
+        [(f"item {k}",) for k in range(10)], "qtext string"
+    )
+    queries = embed_texts(qtexts, text_col="qtext", out_col="query_vector").select(
+        F.col("qtext").alias("query_id"), "query_vector"
+    )
+    out = row_embeddings_query(store, queries, limit=1, schema_name="person")
+    return out.select(
+        "query_id",
+        "index_name",
+        F.array_join("index_value", "|").alias("index_value"),
+        "text",
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_sparql_path_star(spark, sf_dir):
     """SPARQL 1.1 property path through the string front-end: `co+`-style
     transitive closure with zero-length star semantics from a bound seed
@@ -1239,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rows_store_query": q_rows_store_query,
         "graphql_rows": q_graphql_rows,
         "sparql_path_star": q_sparql_path_star,
+        "row_emb_lookup": q_row_emb_lookup,
     }
 
 
@@ -2242,6 +2281,15 @@ SELECT name, city, age, '' AS source
 FROM up
 WHERE city = 'a' AND age::DOUBLE >= 5 AND age::DOUBLE < 80
   AND name LIKE '%1%'
+"""
+
+    # row-embeddings exact lookup: each query text is its own top-1 at
+    # cosine 1.0 (texts verified distinct-by-hash at this dim)
+    sql["row_emb_lookup"] = """
+WITH qs AS (SELECT 'item ' || i AS q FROM range(10) t(i))
+SELECT q AS query_id, 'name' AS index_name, q AS index_value, q AS text,
+       1.0 AS score, 1::BIGINT AS rank
+FROM qs
 """
 
     # property path: recursive closure from the seed, seeded with the

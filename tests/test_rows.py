@@ -202,3 +202,58 @@ def test_upsert_last_write_wins(spark):
     # stale index copies linger under their old index_value)
     names = {tuple(r.index_value) for r in st.where(F.col("index_name") == "name").collect()}
     assert {("old",), ("new",)} <= names
+
+
+def test_row_embeddings_store_and_query(spark):
+    """Row-embeddings family: one embedding per DISTINCT index text
+    (embeddings.py:203-218 dedup), indexed-only fields, all-empty values
+    skipped; query returns (index_name, index_value) matches with an
+    optional index_name payload filter."""
+    from trustgraph_spark.operators.embeddings import HashEmbedder
+    from trustgraph_spark.operators.rows import (
+        row_embeddings_query,
+        row_embeddings_store,
+    )
+    import pandas as pd
+
+    objs = spark.createDataFrame(
+        [
+            ('{"sku": "s1", "name": "hammer", "price": "1", "category": "tool"}',),
+            ('{"sku": "s2", "name": "hammer", "price": "2", "category": "tool"}',),
+            ('{"sku": "s3", "name": "drill", "price": "3", "category": "toy"}',),
+            ('{"sku": "s4", "name": null, "price": "4", "category": "toy"}',),
+        ],
+        "obj_json string",
+    )
+    v = validate_rows(objs, FIELDS)
+    st = row_embeddings_store(v, FIELDS, "product", embedder=HashEmbedder(dim=16)).cache()
+    rows = st.collect()
+    # indexed fields are name + category (sku is primary-only -> excluded
+    # here, unlike the rows store); distinct texts: hammer, drill, tool, toy
+    assert sorted(r.text for r in rows) == ["drill", "hammer", "tool", "toy"]
+    by_text = {r.text: r for r in rows}
+    assert by_text["hammer"].index_name == "name"
+    assert by_text["hammer"].index_value == ["hammer"]
+    assert by_text["tool"].index_name == "category"
+
+    emb = HashEmbedder(dim=16)
+    qv = emb.embed(pd.Series(["drill", "tool"]))
+    queries = spark.createDataFrame(
+        [("q0", [float(x) for x in qv[0]]), ("q1", [float(x) for x in qv[1]])],
+        "query_id string, query_vector array<float>",
+    )
+    out = row_embeddings_query(st, queries, limit=1, schema_name="product")
+    got = {r.query_id: (r.index_name, r.index_value, round(r.score, 4))
+           for r in out.collect()}
+    assert got["q0"] == ("name", ["drill"], 1.0)
+    assert got["q1"] == ("category", ["tool"], 1.0)
+
+    # index_name payload filter restricts the search space
+    only_cat = row_embeddings_query(
+        st, queries, limit=1, schema_name="product", index_name="category"
+    ).collect()
+    assert all(r.index_name == "category" for r in only_cat)
+
+    # no indexed fields -> error
+    with pytest.raises(ValueError):
+        row_embeddings_store(v, [{"name": "x", "primary": True}], "s")

@@ -149,6 +149,104 @@ def rows_store(
     return out
 
 
+def row_embeddings_store(
+    validated: DataFrame,
+    fields: list[dict],
+    schema_name: str,
+    collection: str = "default",
+    embedder=None,
+) -> DataFrame:
+    """Row embeddings, stages 1+2 (embeddings/row_embeddings/
+    embeddings.py:145-218 + storage/row_embeddings/qdrant/write.py):
+    for each INDEXED field (primary alone does not qualify here, unlike
+    the rows store — get_index_names at embeddings.py:145-151 checks only
+    field.indexed), build the index_value list per row, skip all-empty
+    values, embed the space-joined text — ONE embedding per DISTINCT text
+    (the reference dedupes texts before calling the embedder; the
+    first-seen (index_name, index_value) is kept — reproduced
+    deterministically as the min struct).  Output: (collection,
+    schema_name, index_name, index_value, text, vector)."""
+    idx_names = [f["name"] for f in fields if f.get("indexed")]
+    if not idx_names:
+        raise ValueError(
+            f"schema {schema_name} has no indexed fields - nothing to embed"
+        )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("index_name"),
+                F.array(F.coalesce(F.col(n), F.lit(""))).alias("index_value"),
+            )
+            for n in idx_names
+        ]
+    )
+    exploded = (
+        validated.where(F.col("_valid"))
+        .select(F.explode(entries).alias("e"))
+        .select("e.index_name", "e.index_value")
+        .where(F.exists("index_value", lambda v: v != ""))
+        .withColumn("text", F.array_join("index_value", " "))
+    )
+    deduped = exploded.groupBy("text").agg(
+        F.min(F.struct("index_name", "index_value")).alias("m")
+    )
+    from .embeddings import embed_texts
+
+    emb = embed_texts(deduped, text_col="text", out_col="vector", embedder=embedder)
+    return emb.select(
+        F.lit(collection).alias("collection"),
+        F.lit(schema_name).alias("schema_name"),
+        F.col("m.index_name").alias("index_name"),
+        F.col("m.index_value").alias("index_value"),
+        "text",
+        "vector",
+    )
+
+
+def row_embeddings_query(
+    store: DataFrame,
+    queries: DataFrame,
+    limit: int = 10,
+    schema_name: str | None = None,
+    collection: str | None = "default",
+    index_name: str | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+) -> DataFrame:
+    """Semantic row-index lookup (query/row_embeddings/qdrant/
+    service.py:103-150): per query vector, the ``limit`` closest embedded
+    index texts, optionally restricted to one index_name (the reference's
+    Qdrant payload filter), returning (index_name, index_value, text,
+    score) for the subsequent rows-store point lookups.  Same
+    batch-broadcast shape as the chunk-embeddings query."""
+    from pyspark.sql import Window
+
+    from .embeddings import _cosine_expr
+
+    src = store
+    if collection is not None and "collection" in store.columns:
+        src = src.where(F.col("collection") == collection)
+    if schema_name is not None and "schema_name" in store.columns:
+        src = src.where(F.col("schema_name") == schema_name)
+    if index_name is not None:
+        src = src.where(F.col("index_name") == index_name)
+    joined = src.alias("v").join(
+        F.broadcast(queries.select(query_id_col, query_vec_col).alias("q"))
+    )
+    scored = joined.select(
+        F.col(f"q.{query_id_col}").alias("query_id"),
+        F.col("v.index_name").alias("index_name"),
+        F.col("v.index_value").alias("index_value"),
+        F.col("v.text").alias("text"),
+        _cosine_expr(F.col("v.vector"), F.col(f"q.{query_vec_col}")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("text"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= limit)
+    )
+
+
 def _parse_filter_key(key: str) -> tuple[str, str]:
     """'price_gt' -> ('price', 'gt'); bare key -> eq (service.py:374-385).
     '_not_in' is matched before the single-token rsplit — the reference's
