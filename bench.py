@@ -292,14 +292,20 @@ def main():
                 "quads/nodes materializations overlap — a stage-sum larger\n"
                 "than the end-to-end wall is that overlap made visible.\n\n"
                 f"{stage_table()}\n"
-                "\n## Tuning note\n\n"
-                "Adequate driver heap is load-bearing for the wide 32-core\n"
-                "stages (edges dedup, quad explosion): at 24g the 3M-turn run\n"
-                "GC-walls and 32-core throughput DROPS below its 1M-turn rate\n"
-                "(25.2k vs 32.0k turns/s) while 8 cores stay linear; at 48g it\n"
-                "reaches 37.0k turns/s. Local mode is driver-only — the heap\n"
-                "carries all executor state; on a real cluster this is ordinary\n"
-                "per-executor memory sizing.\n"
+                "\n## Tuning notes\n\n"
+                "- Adequate driver heap is load-bearing for the wide 32-core\n"
+                "  stages (edges dedup, quad explosion): at 24g the 3M-turn run\n"
+                "  GC-walls and 32-core throughput DROPS below its 1M-turn rate\n"
+                "  (25.2k vs 32.0k turns/s) while 8 cores stay linear; at 48g\n"
+                "  it recovers. Local mode is driver-only — the heap carries\n"
+                "  all executor state; on a real cluster this is ordinary\n"
+                "  per-executor memory sizing.\n"
+                "- Concurrent stage submission (r3) lifted raw efficiency\n"
+                "  0.668 -> 0.92 and 32-core throughput 37.0k -> 49.4k\n"
+                "  turns/s on the same input: the CC fixpoint's small\n"
+                "  sequential rounds no longer serialize the whole pipeline\n"
+                "  because provenance/materialization stages fill the idle\n"
+                "  slots (see the stage-sum > wall evidence above).\n"
             )
         print(json.dumps({
             "scaling_efficiency": round(eff, 3),

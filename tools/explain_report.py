@@ -167,6 +167,83 @@ def main() -> None:
         ngram_jaccard_pairs_prefix(docs, threshold=0.5, max_shingle_freq=100),
     )
 
+    # --- DocumentRAG dense retrieve -----------------------------------------
+    from trustgraph_spark.operators.docrag import (
+        bm25_topk,
+        document_rag_retrieve,
+        keyword_index,
+        store_chunk_embeddings,
+    )
+    from trustgraph_spark.operators.embeddings import HashEmbedder
+
+    chunks_txt = docs.selectExpr("concat('c', doc_id) AS chunk_id", "text")
+    chunk_store = store_chunk_embeddings(chunks_txt, embedder=HashEmbedder(dim=16))
+    chunk_store.write.mode("overwrite").parquet(f"{tmp}/chunk_store")
+    cs = spark.read.parquet(f"{tmp}/chunk_store")
+    rag_q = spark.createDataFrame(
+        [("q0", "alpha beta")], "query_id string, query string"
+    )
+    add(
+        "DocumentRAG dense retrieve (DR3)",
+        "The query batch (tiny) is BROADCAST against the chunk store — one "
+        "corpus scan for the whole batch, no corpus shuffle; per-query "
+        "ranking is a window over the broadcast-joined result. The chunk "
+        "store scan reads only (collection, chunk_id, vector).",
+        document_rag_retrieve(
+            rag_q, cs, chunks_txt, doc_limit=3, embedder=HashEmbedder(dim=16)
+        ),
+        )
+
+    add(
+        "BM25 keyword query (DR4)",
+        "Query terms (broadcast) semi-restrict the postings equi-join; df / "
+        "n_docs / avgdl were denormalized onto the postings at index build, "
+        "so query time is one join plus one per-chunk hash aggregate — no "
+        "corpus-stats pass. Stored bucketed by term, the join also prunes "
+        "to the query terms' buckets.",
+        bm25_topk(keyword_index(chunks_txt), rag_q, limit=5),
+    )
+
+    # --- rows store point lookup --------------------------------------------
+    from trustgraph_spark.operators.extract_extras import validate_rows
+    from trustgraph_spark.operators.rows import rows_query, rows_store
+
+    rfields = [
+        {"name": "sku", "type": "string", "primary": True},
+        {"name": "price", "type": "string", "indexed": True},
+    ]
+    objs = docs.selectExpr(
+        "concat('{\"sku\": \"s', doc_id, '\", \"price\": \"', doc_id % 50, '\"}')"
+        " AS obj_json"
+    )
+    rows_store(validate_rows(objs, rfields), rfields, "product").write.mode(
+        "overwrite"
+    ).partitionBy("collection", "schema_name", "index_name").parquet(f"{tmp}/rows")
+    rstore = spark.read.parquet(f"{tmp}/rows")
+    add(
+        "Rows-store point lookup (R2)",
+        "The (collection, schema_name, index_name) partition layout turns "
+        "the Cassandra partition key into parquet `PartitionFilters` — a "
+        "point lookup touches exactly one directory; index_value equality "
+        "is the only data filter.",
+        rows_query(rstore, rfields, "product", {"sku": "s7"}),
+    )
+
+    # --- SPARQL property path -----------------------------------------------
+    from trustgraph_spark.sparql import sparql_select
+
+    add(
+        "SPARQL property path closure (paths)",
+        "One closure round: the semi-naive loop extends only the previous "
+        "delta against the base pairs (localCheckpoint truncates lineage "
+        "between rounds, so each round's plan stays this size regardless "
+        "of iteration count). Shown: the final identity-union for `*` "
+        "zero-length semantics over the closure result.",
+        sparql_select(
+            e, f"SELECT ?x ?y WHERE {{ ?x <{RDF_LABEL}>* ?y }}"
+        ),
+    )
+
     with open("/root/repo/EXPLAIN.md", "w") as f:
         f.write(
             "# EXPLAIN — physical plans of the core operators\n\n"
