@@ -1010,6 +1010,32 @@ def q_rows_store_query(spark, sf_dir):
     return out.select("name", "city", "age", "source")
 
 
+def q_sparql_graph_var(spark, sf_dir):
+    """GRAPH ?g over named graphs: the graph IRI binds as a variable
+    (the reference only parses GRAPH; this evaluates it, variable form
+    included)."""
+    from trustgraph_spark.operators.extract import (
+        RuleExtractor,
+        definitions_to_triples,
+        extract_definitions,
+    )
+    from trustgraph_spark.operators.provenance import subgraph_provenance_triples
+    from trustgraph_spark.planted import planted_def_chunks
+    from trustgraph_spark.sparql import sparql_select
+
+    chunks = planted_def_chunks(_docs(spark, sf_dir))
+    content = definitions_to_triples(extract_definitions(chunks, RuleExtractor()))
+    edges = content.unionByName(
+        subgraph_provenance_triples(content, "kg-extract"),
+        allowMissingColumns=True,
+    )
+    return sparql_select(
+        edges,
+        "SELECT ?g ?sg ?chunk WHERE { GRAPH ?g "
+        "{ ?sg <http://www.w3.org/ns/prov#wasDerivedFrom> ?chunk } }",
+    )
+
+
 def q_row_emb_lookup(spark, sf_dir):
     """Row-embeddings semantic index lookup (embeddings/row_embeddings +
     storage/query row_embeddings): one embedding per DISTINCT index text,
@@ -1278,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphql_rows": q_graphql_rows,
         "sparql_path_star": q_sparql_path_star,
         "row_emb_lookup": q_row_emb_lookup,
+        "sparql_graph_var": q_sparql_graph_var,
     }
 
 
@@ -2002,6 +2029,15 @@ FROM t
 , u AS (SELECT *, 'urn:chunk:' || doc_id AS chunk_id FROM ext)
 , k AS (SELECT DISTINCT chunk_id, sha256(chunk_id || ':kg-extract') AS h FROM u)
 SELECT 'https://trustgraph.ai/subgraph/' || h AS sg, chunk_id AS chunk FROM k
+"""
+
+    # GRAPH ?g: same derivation edges, with the named-graph IRI bound
+    sql["sparql_graph_var"] = _DEF_TXT + """
+, u AS (SELECT *, 'urn:chunk:' || doc_id AS chunk_id FROM ext)
+, k AS (SELECT DISTINCT chunk_id, sha256(chunk_id || ':kg-extract') AS h FROM u)
+SELECT 'urn:graph:source' AS g,
+       'https://trustgraph.ai/subgraph/' || h AS sg, chunk_id AS chunk
+FROM k
 """
 
     # V1/V2: crc32 recomputed in SQL with a table-driven fold (bit-exact

@@ -548,3 +548,25 @@ def test_path_inverse_sequence_combo(hierarchy):
 def test_path_var_with_modifier_rejected():
     with pytest.raises(ParseError):
         parse_sparql("SELECT ?s WHERE { ?s ?p+ ?o }")
+
+
+def test_graph_variable_binds_named_graphs(edges):
+    """GRAPH ?g ranges over NAMED graphs only and binds the graph IRI
+    (the reference's parser accepts this but its evaluator does not)."""
+    out = sparql_select(
+        edges, "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s ?p ?o } }"
+    )
+    rows = out.collect()
+    # only the one named-graph triple (urn:g:x); default-graph rows excluded
+    assert len(rows) == 1
+    assert rows[0].g == "urn:g:x" and rows[0].o == "s3"
+
+
+def test_graph_variable_joins_with_default(edges):
+    out = sparql_select(
+        edges,
+        "SELECT ?g ?name WHERE { GRAPH ?g { ?s ?p ?o } . "
+        "?s <http://www.w3.org/2000/01/rdf-schema#label> ?name }",
+    )
+    rows = out.collect()
+    assert [(r.g, r.name) for r in rows] == [("urn:g:x", "Alice")]

@@ -62,7 +62,11 @@ def scan_pattern(
     df = edges
     if collection is not None:
         df = df.where(F.col("collection") == collection)
-    if g is not None:
+    if isinstance(g, Var):
+        # GRAPH ?g ranges over NAMED graphs only (SPARQL 1.1 §13.3); the
+        # graph name binds like any other variable below
+        df = df.where(F.col("g") != "")
+    elif g is not None:
         df = df.where(F.col("g") == g)
 
     uri_term = lambda c: _term_from(F.col(c), F.lit(OTYPE_URI), F.lit(""), F.lit(""))
@@ -70,6 +74,7 @@ def scan_pattern(
 
     out_cols: dict[str, Column] = {}
     for pos, val, term in (
+        ("g", g if isinstance(g, Var) else None, uri_term("g")),
         ("s", s, uri_term("s")),
         ("p", p, uri_term("p")),
         ("o", o, o_term),
@@ -114,6 +119,11 @@ def _path_scan_base(
     df = edges
     if collection is not None:
         df = df.where(F.col("collection") == collection)
+    if isinstance(g, Var):
+        raise ValueError(
+            "property paths inside GRAPH ?g are not supported (a closure "
+            "would have to run per named graph)"
+        )
     if g is not None:
         df = df.where(F.col("g") == g)
     return df

@@ -32,8 +32,11 @@ parsed here and evaluated by algebra.scan_path; the closures run the same
 semi-naive iterate-to-fixpoint loop as connected components.  This
 EXCEEDS the reference, whose evaluator has no path handlers.
 
-Out of scope (as in the reference): federated SERVICE, variable GRAPH ?g,
-!negated path sets, {n,m} path ranges.
+GRAPH accepts a constant IRI or a variable (GRAPH ?g ranges over named
+graphs and binds ?g — the reference only parses GRAPH).
+
+Out of scope (as in the reference): federated SERVICE, !negated path
+sets, {n,m} path ranges, property paths inside GRAPH ?g.
 """
 
 from __future__ import annotations
@@ -393,9 +396,12 @@ class Parser:
                     graph = t.text[1:-1]
                 elif t.kind == "PNAME":
                     graph = self._expand_pname(t.text)
+                elif t.kind == "VAR":
+                    # GRAPH ?g: ranges over named graphs, binding ?g
+                    graph = Var(t.text[1:])
                 else:
                     raise ParseError(
-                        "SPARQL parse error: GRAPH needs a constant IRI (variable graphs unsupported)"
+                        "SPARQL parse error: GRAPH needs an IRI or variable"
                     )
                 g.elements.append(("graph", graph, self._group()))
             elif t.kind == "OP" and t.text == "{":
