@@ -979,6 +979,47 @@ def q_emb_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b")
 
 
+def q_doc_rag_rerank(spark, sf_dir):
+    """DocumentRAG dense retrieve WITH the cross-encoder rerank seam:
+    fetch pool = OVERFETCH_FACTOR x doc_limit (reference fetch-count
+    derivation), token-Jaccard scoring (the deterministic scorer), final
+    top doc_limit per query by (score desc, chunk_id asc)."""
+    from trustgraph_spark.operators.admin import OverlapReranker
+    from trustgraph_spark.operators.docrag import document_rag_retrieve
+
+    store, chunks = _rag_chunk_tables(spark, sf_dir)
+    queries_df = _rag_concept_queries(spark, sf_dir)
+    out = document_rag_retrieve(
+        queries_df, store, chunks, doc_limit=5, reranker=OverlapReranker()
+    )
+    return out.select(
+        "query_id",
+        "chunk_id",
+        F.round("score", 6).alias("score"),
+        F.col("final_rank").cast("long").alias("final_rank"),
+    )
+
+
+def q_doc_rag_mmr(spark, sf_dir):
+    """DocumentRAG with MMR diversity selection (rerank.py mmr_select):
+    min-max normalized scores + greedy token-Jaccard diversity, lambda
+    0.5, over the dense candidate pool.  Iterative greedy selection is
+    not SQL-expressible - rows-only driver check; exact semantics are
+    pytest-verified against an independent Python replay (test_docrag)."""
+    from trustgraph_spark.operators.docrag import document_rag_retrieve
+
+    store, chunks = _rag_chunk_tables(spark, sf_dir)
+    queries_df = _rag_concept_queries(spark, sf_dir)
+    out = document_rag_retrieve(
+        queries_df, store, chunks, doc_limit=5, fetch_limit=10,
+        diversity="mmr", diversity_lambda=0.5,
+    )
+    return out.select(
+        "query_id", "chunk_id",
+        F.col("final_rank").cast("long").alias("final_rank"),
+    )
+
+
 def q_rows_store_query(spark, sf_dir):
     """Structured rows store + query (storage/rows + query/rows): validated
     planted rows -> the unified per-index layout with Cassandra PK upsert
@@ -1305,6 +1346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_star": q_sparql_path_star,
         "row_emb_lookup": q_row_emb_lookup,
         "sparql_graph_var": q_sparql_graph_var,
+        "doc_rag_rerank": q_doc_rag_rerank,
+        "doc_rag_mmr": q_doc_rag_mmr,
     }
 
 
@@ -2291,6 +2334,60 @@ pairs AS (
   WHERE l.vec_id < r.vec_id
 )
 SELECT id_a, id_b FROM pairs WHERE cos >= 0.95
+"""
+
+    # DocumentRAG + rerank: dense pool (fetch 15 -> per-concept 7,
+    # first-seen dedup), token-Jaccard rerank, top-5 per query
+    sql["doc_rag_rerank"] = """
+WITH store AS (SELECT 'c' || vec_id AS chunk_id, embedding AS vector FROM embeddings),
+chunks AS (SELECT 'c' || doc_id AS chunk_id, text FROM documents),
+qdef AS (
+  SELECT * FROM (VALUES ('q0', 'spark window hash table'),
+                        ('q1', 'stream filter vector scan'),
+                        ('q2', 'merge join batch query'),
+                        ('q3', 'table scan filter window'),
+                        ('q4', 'vector query stream hash')) AS v(query_id, query)
+), cv AS (
+  SELECT 'q' || (vec_id // 2) AS query_id, (vec_id % 2)::INT AS concept_idx,
+         embedding AS qv
+  FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT cv.query_id, cv.concept_idx, s.chunk_id,
+         list_cosine_similarity(s.vector::DOUBLE[], cv.qv::DOUBLE[]) AS raw
+  FROM store s, cv
+), perc AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, concept_idx
+                                 ORDER BY raw DESC, chunk_id ASC) AS crank
+    FROM scored) WHERE crank <= 7
+), dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, chunk_id
+                                 ORDER BY concept_idx, crank) AS rn
+    FROM perc) WHERE rn = 1
+), cand AS (
+  SELECT d.query_id, d.chunk_id, c.text, q.query
+  FROM dedup d JOIN chunks c USING (chunk_id) JOIN qdef q USING (query_id)
+), toks AS (
+  SELECT query_id, chunk_id,
+    list_distinct(list_filter(string_split_regex(lower(query), '\\s+'),
+                              x -> x <> '')) AS qt,
+    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS tt
+  FROM cand
+), rs AS (
+  SELECT query_id, chunk_id,
+    CASE WHEN len(qt) = 0 OR len(tt) = 0 THEN 0.0
+         ELSE len(list_intersect(qt, tt))::DOUBLE
+              / (len(qt) + len(tt) - len(list_intersect(qt, tt)))
+    END AS score
+  FROM toks
+)
+SELECT query_id, chunk_id, round(score, 6) AS score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, chunk_id ASC)::BIGINT AS final_rank
+FROM rs
+QUALIFY final_rank <= 5
 """
 
     # rows store/query: planted rows -> per-index layout with PK upsert

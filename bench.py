@@ -123,6 +123,13 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_window_agg",
     "pricing_summary",
+    "doc_rag_topk",
+    "doc_rag_bm25",
+    "doc_rag_hybrid",
+    "rows_store_query",
+    "graphql_rows",
+    "sparql_path_star",
+    "row_emb_lookup",
 ]
 
 

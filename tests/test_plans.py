@@ -182,3 +182,46 @@ def test_trace_provenance_never_broadcasts_derived(spark, edges_parquet):
         broadcast_part.find("LocalTableScan"), broadcast_part.find("Scan ExistingRDD")
     )
     assert local_pos != -1 and (scan_pos == -1 or local_pos < scan_pos)
+
+
+def test_docrag_dense_broadcasts_query_batch(spark, tmp_path):
+    """DR2/DR3: the (small) query batch broadcasts against the chunk
+    store — a BroadcastNestedLoopJoin over the scan, never a
+    CartesianProduct, and the store scan reads only the needed columns."""
+    from trustgraph_spark.operators.docrag import query_chunk_embeddings
+    from trustgraph_spark.operators.embeddings import HashEmbedder
+    from trustgraph_spark.operators.docrag import store_chunk_embeddings
+
+    chunks = spark.createDataFrame(
+        [(f"c{i}", f"text {i} alpha") for i in range(50)],
+        "chunk_id string, text string",
+    )
+    path = str(tmp_path / "chunk_store")
+    store_chunk_embeddings(chunks, embedder=HashEmbedder(dim=8)).write.parquet(path)
+    store = spark.read.parquet(path)
+    queries = spark.createDataFrame(
+        [("q0", [1.0] * 8)], "query_id string, query_vector array<float>"
+    )
+    plan = _plan(query_chunk_embeddings(store, queries, limit=3))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # collection pruning reaches the scan
+    assert "PushedFilters" in plan and "collection" in plan.split("PushedFilters")[1][:300]
+
+
+def test_bm25_broadcasts_query_terms(spark):
+    """DR4: the postings join broadcasts the exploded query terms (tiny
+    side), keeping the posting-list scan shuffle-free on the query side."""
+    from trustgraph_spark.operators.docrag import bm25_topk, keyword_index
+
+    chunks = spark.createDataFrame(
+        [(f"c{i}", f"alpha beta w{i}") for i in range(50)],
+        "chunk_id string, text string",
+    )
+    postings = keyword_index(chunks)
+    queries = spark.createDataFrame(
+        [("q0", "alpha w3")], "query_id string, query string"
+    )
+    plan = _plan(bm25_topk(postings, queries, limit=5))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
