@@ -323,7 +323,14 @@ def main():
         return
 
     spark = get_spark(app_name="tg-bench", cores=CPUS)
-    pipeline_wall, n_turns = run_pipeline_bench(spark, sf)
+    # warm best-of-2 (fresh warehouse each run, so checkpoint reuse can't
+    # fake the second run): single-shot pipeline walls swung 32s vs 58s
+    # on this shared VM across identical code — round-over-round deltas
+    # need the min of two
+    pipeline_wall = None
+    for _ in range(2):
+        wall, n_turns = run_pipeline_bench(spark, sf)
+        pipeline_wall = wall if pipeline_wall is None else min(pipeline_wall, wall)
     qtimes = run_query_bench(spark, SF_DIR)
     spark.stop()
 

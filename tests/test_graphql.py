@@ -155,3 +155,32 @@ def test_execute_unknown_schema_or_field(store):
         graphql_rows_query(
             store, SCHEMAS, '{ product(order_by: "bogus") { sku } }'
         )
+
+
+def test_structured_query_orchestration(store):
+    """question -> translator (LLM seam) -> GraphQL -> rows store
+    (retrieval/structured_query service.py flow), with the reference's
+    error shaping."""
+    from trustgraph_spark.graphql import structured_query
+
+    def translator(q):
+        # deterministic stand-in for the nlp_query two-pass LLM
+        assert "cheap" in q
+        return (
+            "query Q($m: Float) { product(where: {price: {lt: $m}}) { sku price } }",
+            {"m": 50},  # non-string variable -> stringified by transport
+        )
+
+    out = structured_query(store, SCHEMAS, "cheap products", translator)
+    assert out["errors"] == []
+    assert sorted(r.sku for r in out["data"]["product"].collect()) == ["s1", "s3"]
+
+    # empty translation raises (service.py:95-96)
+    with pytest.raises(ValueError):
+        structured_query(store, SCHEMAS, "q", lambda q: ("", {}))
+
+    # execution errors -> errors list, data None
+    bad = structured_query(
+        store, SCHEMAS, "q", lambda q: ("{ nope { x } }", {})
+    )
+    assert bad["data"] is None and len(bad["errors"]) == 1

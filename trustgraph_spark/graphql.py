@@ -328,3 +328,37 @@ def graphql_rows_query(
             cols.append(c.alias(fname))
         out[sel.alias] = rq.select(*cols)
     return out
+
+
+def structured_query(
+    store: DataFrame,
+    schemas: dict[str, list[dict]],
+    question: str,
+    translator,
+    collection: str = "default",
+) -> dict:
+    """The structured-query orchestration (retrieval/structured_query/
+    service.py:72-141): natural-language question -> GraphQL via a
+    pluggable question-to-GraphQL ``translator`` (the nlp_query LLM
+    boundary — retrieval/nlp_query's two-pass prompts; the translator
+    returns (graphql_query, variables)) -> execution against the rows
+    store -> {"data": {field: DataFrame}, "errors": [...]}.
+
+    Mirrors the reference's error shaping: an empty translated query
+    raises (service.py:95-96); GraphQL execution errors are collected
+    into the errors list with data=None (service.py:128-141); variables
+    are stringified as the transport does (service.py:105-111)."""
+    gql, variables = translator(question)
+    if not gql:
+        raise ValueError("NLP query service returned empty GraphQL query")
+    vars_str = {
+        k: v if isinstance(v, str) else str(v)
+        for k, v in (variables or {}).items()
+    }
+    try:
+        data = graphql_rows_query(
+            store, schemas, gql, vars_str, collection=collection
+        )
+        return {"data": data, "errors": []}
+    except GraphQLError as e:
+        return {"data": None, "errors": [str(e)]}

@@ -29,10 +29,12 @@ pools (<= fetch_limit rows) make the inherently sequential MMR step a
 grouped applyInPandas over each query's own candidates (bounded memory,
 fully parallel across queries).
 
-The sparse path is a genuine addition the reference delegates to an
-external keyword-index service: a BM25 (Okapi, k1=1.2 b=0.75) posting-list
-index as a DataFrame — term df / corpus stats are precomputed at index
-build so query time is one semi-join on query terms plus a per-chunk agg.
+The sparse path replaces the reference's keyword-index service
+(storage/kw_index/fts5/service.py — SQLite FTS5 BM25 over chunk text,
+single local file) with a DataFrame-native BM25 (Okapi, k1=1.2 b=0.75)
+posting-list index: term df / corpus stats are precomputed at index build
+so query time is one semi-join on query terms plus a per-chunk agg, and
+the index shards with the cluster instead of living in one SQLite file.
 """
 
 from __future__ import annotations
