@@ -1020,6 +1020,26 @@ def q_doc_rag_mmr(spark, sf_dir):
     )
 
 
+def q_diag_detect_type(spark, sf_dir):
+    """Structured-data type diagnosis (retrieval/structured_diag
+    type_detector.detect_data_type): planted per-modulus wrappers turn the
+    documents corpus into json/xml/csv/empty samples; pure column logic."""
+    from trustgraph_spark.operators.diagnose import detect_types
+
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 5
+    planted = d.select(
+        "doc_id",
+        F.when(m == 0, F.concat(F.lit("{"), F.col("text")))
+        .when(m == 1, F.concat(F.lit("<?xml version=\"1.0\"?>"), F.col("text")))
+        .when(m == 2, F.concat(F.lit("<a>"), F.col("text"), F.lit("</a>")))
+        .when(m == 3, F.lit("   "))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return detect_types(planted)
+
+
 def q_rows_store_query(spark, sf_dir):
     """Structured rows store + query (storage/rows + query/rows): validated
     planted rows -> the unified per-index layout with Cassandra PK upsert
@@ -1348,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph_var": q_sparql_graph_var,
         "doc_rag_rerank": q_doc_rag_rerank,
         "doc_rag_mmr": q_doc_rag_mmr,
+        "diag_detect_type": q_diag_detect_type,
     }
 
 
@@ -2388,6 +2409,29 @@ SELECT query_id, chunk_id, round(score, 6) AS score,
                           ORDER BY score DESC, chunk_id ASC)::BIGINT AS final_rank
 FROM rs
 QUALIFY final_rank <= 5
+"""
+
+    # structured-diag type detection: the shipped prefix heuristic
+    sql["diag_detect_type"] = """
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN '{' || text
+         WHEN doc_id % 5 = 1 THEN '<?xml version="1.0"?>' || text
+         WHEN doc_id % 5 = 2 THEN '<a>' || text || '</a>'
+         WHEN doc_id % 5 = 3 THEN '   '
+         ELSE text END AS text
+  FROM documents
+), t AS (SELECT doc_id, trim(text) AS s FROM planted)
+SELECT doc_id,
+  CASE WHEN s = '' THEN NULL
+       WHEN s LIKE '<?xml%' OR (s LIKE '<%' AND contains(s, '</')) THEN 'xml'
+       WHEN s LIKE '{%' OR s LIKE '[%' THEN 'json'
+       ELSE 'csv' END AS detected_type,
+  CASE WHEN s = '' THEN 0.0
+       WHEN s LIKE '<?xml%' OR (s LIKE '<%' AND contains(s, '</')) THEN 0.9
+       WHEN s LIKE '{%' OR s LIKE '[%' THEN 0.9
+       ELSE 0.8 END AS confidence
+FROM t
 """
 
     # rows store/query: planted rows -> per-index layout with PK upsert
