@@ -192,11 +192,20 @@ def ngram_jaccard_pairs_prefix(
     )
 
     idx = docs_arr.select(
-        F.col(id_col), F.col("sz"), F.explode("prefix").alias("shingle")
+        F.col(id_col),
+        F.col("sz"),
+        F.posexplode("prefix").alias("pos", "shingle"),
     )
-    # length filter (AllPairs): J(A,B) >= t forces t*|A| <= |B| <= |A|/t —
-    # applied inside the index join, before the distinct, so size-mismatched
-    # candidates never materialize
+    # Two PPJoin filters inside the index join, before the distinct:
+    # - length filter (AllPairs): J(A,B) >= t forces t*|A| <= |B| <= |A|/t;
+    # - positional filter (PPJoin proper): a shared prefix token at
+    #   0-based sorted positions (i, j) bounds the overlap by
+    #   min(|A|-i, |B|-j) (all common tokens sort at-or-after the shared
+    #   one), and J >= t needs overlap >= t*(|A|+|B|)/(1+t).  A true
+    #   positive always passes at its FIRST common token, so keeping
+    #   pairs where ANY shared token passes is lossless (asserted vs the
+    #   plain-index path in tests) while pruning candidates whose shared
+    #   tokens sit too deep in either prefix.
     cand = (
         idx.alias("a")
         .join(idx.alias("b"), "shingle")
@@ -204,6 +213,13 @@ def ngram_jaccard_pairs_prefix(
             (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
             & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+            & (
+                F.least(
+                    F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+                )
+                >= F.lit(threshold) / (1.0 + threshold)
+                * (F.col("a.sz") + F.col("b.sz"))
+            )
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
