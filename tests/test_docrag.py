@@ -412,3 +412,34 @@ def test_retrieve_mmr_diversity(spark):
     ).collect()
     ids = {r.chunk_id for r in mmr}
     assert len(ids) == 2 and not ({"d1", "d2"} <= ids)
+
+
+def test_chunk_ann_index_recall(spark, chunks, chunk_store, tmp_path):
+    """IVF chunk index: top-k through the partitioned index with full
+    probing equals the exact brute-force top-k; fewer probes trade
+    recall."""
+    from trustgraph_spark.operators.docrag import (
+        build_chunk_ann_index,
+        query_chunk_embeddings_ivf,
+    )
+
+    path = str(tmp_path / "chunk_ivf")
+    assigned, centroids = build_chunk_ann_index(chunk_store, path, n_lists=4)
+    assert "list_id" in assigned.columns
+
+    qv = _np_embed(["spark join window"])
+    queries = spark.createDataFrame(
+        [("q0", [float(x) for x in qv[0]])],
+        "query_id string, query_vector array<float>",
+    )
+    exact = {
+        (r.chunk_id, round(r.score, 5))
+        for r in query_chunk_embeddings(chunk_store, queries, limit=3).collect()
+    }
+    full_probe = {
+        (r.chunk_id, round(r.score, 5))
+        for r in query_chunk_embeddings_ivf(
+            assigned, centroids, queries, limit=3, nprobe=4
+        ).collect()
+    }
+    assert full_probe == exact

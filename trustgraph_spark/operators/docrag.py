@@ -115,6 +115,55 @@ def query_chunk_embeddings(
     )
 
 
+def build_chunk_ann_index(
+    store: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    collection: str | None = "default",
+):
+    """The 100-TB dense path for the chunk store: train an IVF quantizer
+    (distributed Lloyd's on a bounded sample — operators/embeddings
+    ivf_kmeans), assign every chunk vector to its nearest list, and write
+    the index partitioned by list_id so queries dynamic-partition-prune
+    to their probed lists.  Returns (assigned_df_read_back, centroids).
+    The brute-force query_chunk_embeddings stays the exact baseline; this
+    is its sublinear-scan drop-in for corpora where scanning every vector
+    per query batch stops being acceptable."""
+    from .embeddings import ivf_assign, ivf_kmeans, ivf_write
+
+    src = store
+    if collection is not None and "collection" in store.columns:
+        src = store.where(F.col("collection") == collection)
+    centroids = ivf_kmeans(src, n_lists=n_lists, id_col="chunk_id", vec_col="vector")
+    assigned = ivf_assign(src, centroids, vec_col="vector")
+    ivf_write(assigned, path)
+    spark = store.sparkSession
+    return spark.read.parquet(path), centroids
+
+
+def query_chunk_embeddings_ivf(
+    assigned: DataFrame,
+    centroids,
+    queries: DataFrame,
+    limit: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF variant of query_chunk_embeddings: probe the nprobe nearest
+    lists per query and rerank exactly inside them (same output schema —
+    query_id, chunk_id, score, rank).  Recall/latency knob is nprobe."""
+    from .embeddings import ivf_topk
+
+    return ivf_topk(
+        assigned,
+        centroids,
+        queries,
+        k=limit,
+        nprobe=nprobe,
+        id_col="chunk_id",
+        vec_col="vector",
+    )
+
+
 def concept_vector_matches(
     store: DataFrame,
     concept_vecs: DataFrame,
