@@ -443,3 +443,23 @@ def test_chunk_ann_index_recall(spark, chunks, chunk_store, tmp_path):
         ).collect()
     }
     assert full_probe == exact
+
+
+def test_retrieve_rerank_same_query_text_distinct_ids(spark, chunks, chunk_store):
+    """Two query_ids with IDENTICAL query text must keep independent
+    rerank cap/limit windows (partition on query_id, not the text)."""
+    from trustgraph_spark.operators.admin import OverlapReranker
+
+    queries = spark.createDataFrame(
+        [("qa", "spark join window"), ("qb", "spark join window")],
+        "query_id string, query string",
+    )
+    out = document_rag_retrieve(
+        queries, chunk_store, chunks, doc_limit=2,
+        reranker=OverlapReranker(), embedder=HashEmbedder(dim=32),
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, set()).add(r.chunk_id)
+    assert per_q["qa"] == per_q["qb"]
+    assert len(per_q["qa"]) == 2

@@ -153,13 +153,20 @@ def rerank(
     text_col: str = "text",
     limit: int = 25,
     max_input: int = 350,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Score (query, text) pairs with the pluggable cross-encoder seam and
     keep the top `limit` per query (reference caps reranker input at 350
-    and returns edge_limit 25 — graph_rag.py:442-450)."""
-    scorer = scorer or OverlapReranker()
+    and returns edge_limit 25 — graph_rag.py:442-450).
 
-    w_in = Window.partitionBy(query_col).orderBy(F.asc(text_col))
+    partition_col: the per-query identity for the cap/limit windows
+    (defaults to query_col).  Pass a query-ID column when two distinct
+    queries can carry the SAME query text — partitioning on the text
+    alone would pool their candidates under one cap."""
+    scorer = scorer or OverlapReranker()
+    part = partition_col or query_col
+
+    w_in = Window.partitionBy(part).orderBy(F.asc(text_col))
     capped = (
         candidates.withColumn("_rn", F.row_number().over(w_in))
         .where(F.col("_rn") <= max_input)
@@ -171,7 +178,7 @@ def rerank(
         return scorer.score(q, t)
 
     scored = capped.withColumn("score", score_udf(F.col(query_col), F.col(text_col)))
-    w = Window.partitionBy(query_col).orderBy(F.desc("score"), F.asc(text_col))
+    w = Window.partitionBy(part).orderBy(F.desc("score"), F.asc(text_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= limit)

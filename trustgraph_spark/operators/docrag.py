@@ -539,6 +539,7 @@ def document_rag_retrieve(
             text_col="text",
             limit=fetch_count,
             max_input=fetch_count,
+            partition_col="query_id",  # distinct queries may share text
         ).drop("_q")
         # rerank partitions by the query TEXT column; re-key on query_id
         scored = reranked.select("query_id", "chunk_id", "score", "text")
