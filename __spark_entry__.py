@@ -1097,6 +1097,20 @@ def q_sparql_graph_var(spark, sf_dir):
     )
 
 
+def q_sparql_subquery(spark, sf_dir):
+    """Nested subquery (beyond the reference): aggregate-in-subquery
+    joined and filtered in the outer group."""
+    from trustgraph_spark.sparql import sparql_select
+
+    edges = _cooccur_edges_table(spark, sf_dir)
+    out = sparql_select(
+        edges,
+        "SELECT ?x ?n WHERE { { SELECT ?x (COUNT(?y) AS ?n) WHERE "
+        f"{{ ?x <{CO_URI}> ?y }} GROUP BY ?x }} FILTER(?n > 3) }}",
+    )
+    return out.select("x", F.col("n").cast("long").alias("n"))
+
+
 def q_row_emb_lookup(spark, sf_dir):
     """Row-embeddings semantic index lookup (embeddings/row_embeddings +
     storage/query row_embeddings): one embedding per DISTINCT index text,
@@ -1369,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rag_rerank": q_doc_rag_rerank,
         "doc_rag_mmr": q_doc_rag_mmr,
         "diag_detect_type": q_diag_detect_type,
+        "sparql_subquery": q_sparql_subquery,
     }
 
 
@@ -1805,6 +1820,11 @@ FROM events GROUP BY 1, 2
     sql["sparql_two_hop"] = _COOCCUR_CTE + (
         "SELECT a.s AS x, b.o AS z "
         "FROM cooccur a JOIN cooccur b ON a.o = b.s WHERE a.s <> b.o"
+    )
+
+    sql["sparql_subquery"] = _COOCCUR_CTE + (
+        "SELECT s AS x, count(*)::BIGINT AS n FROM cooccur "
+        "GROUP BY s HAVING count(*) > 3"
     )
 
     sql["sparql_group_count"] = _COOCCUR_CTE + (

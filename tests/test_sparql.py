@@ -570,3 +570,45 @@ def test_graph_variable_joins_with_default(edges):
     )
     rows = out.collect()
     assert [(r.g, r.name) for r in rows] == [("urn:g:x", "Alice")]
+
+
+# --- subqueries -------------------------------------------------------------
+
+
+def test_subquery_aggregate_join(edges):
+    """{ SELECT (COUNT AS ?n) GROUP BY } joined with an outer pattern on
+    the shared variable (term-struct join, not value-string join)."""
+    out = sparql_select(
+        edges,
+        "SELECT ?name ?n WHERE { "
+        "  ?p <http://www.w3.org/2000/01/rdf-schema#label> ?name . "
+        f" {{ SELECT ?p (COUNT(?o) AS ?n) WHERE {{ ?p <{E}knows> ?o }} "
+        "    GROUP BY ?p } }",
+    )
+    got = {(r.name, int(r.n)) for r in out.collect()}
+    assert got == {("Alice", 1), ("Bob", 1)}
+
+
+def test_subquery_order_limit(edges):
+    """ORDER BY + LIMIT inside the subquery: top-1 by numeric age, outer
+    pattern resolves the label."""
+    out = sparql_select(
+        edges,
+        "SELECT ?name WHERE { "
+        "  ?p <http://www.w3.org/2000/01/rdf-schema#label> ?name . "
+        f" {{ SELECT ?p WHERE {{ ?p <{E}age> ?a }} ORDER BY DESC(?a) "
+        "    LIMIT 1 } }",
+    )
+    assert [r.name for r in out.collect()] == ["Alice"]  # age 42 > 37
+
+
+def test_subquery_projection_scoping(edges):
+    """Variables not projected by the subquery are invisible outside —
+    ?o below must be unbound (null), not leak from the inner scope."""
+    out = sparql_select(
+        edges,
+        f"SELECT ?p ?o WHERE {{ {{ SELECT ?p WHERE {{ ?p <{E}knows> ?o }} }} }}",
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r.o is None for r in rows)

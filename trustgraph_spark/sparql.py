@@ -33,7 +33,9 @@ semi-naive iterate-to-fixpoint loop as connected components.  This
 EXCEEDS the reference, whose evaluator has no path handlers.
 
 GRAPH accepts a constant IRI or a variable (GRAPH ?g ranges over named
-graphs and binds ?g — the reference only parses GRAPH).
+graphs and binds ?g — the reference only parses GRAPH).  Nested
+subqueries ({ SELECT ... }) evaluate to term-struct solution sets joined
+on shared variables (projection scoping per SPARQL 1.1 §12).
 
 Out of scope (as in the reference): federated SERVICE, !negated path
 sets, {n,m} path ranges, property paths inside GRAPH ?g.
@@ -405,11 +407,22 @@ class Parser:
                     )
                 g.elements.append(("graph", graph, self._group()))
             elif t.kind == "OP" and t.text == "{":
-                sub = self._group()
-                groups = [sub]
-                while self.kw("UNION"):
-                    groups.append(self._group())
-                g.elements.append(("union", groups) if len(groups) > 1 else ("group", sub))
+                nxt = self.peek(1)
+                if nxt.kind == "NAME" and nxt.text.upper() == "SELECT":
+                    # nested subquery: { SELECT ... } — evaluated to a
+                    # term-struct solution set and joined on shared vars
+                    self.next()  # consume '{'
+                    subq = self._select()
+                    self.expect_op("}")
+                    g.elements.append(("subquery", subq))
+                else:
+                    sub = self._group()
+                    groups = [sub]
+                    while self.kw("UNION"):
+                        groups.append(self._group())
+                    g.elements.append(
+                        ("union", groups) if len(groups) > 1 else ("group", sub)
+                    )
             else:
                 g.elements.append(("triples", self._triples_block()))
             self.op(".")
@@ -835,6 +848,13 @@ class _Compiler:
                 )
             elif kind == "values":
                 merge(A.values(self.spark, el[1]))
+            elif kind == "subquery":
+                merge(
+                    _eval_select(
+                        self.edges, el[1], self.collection,
+                        term_mode=True, graph=graph,
+                    )
+                )
             elif kind == "graph":
                 merge(self.group(el[2], graph=el[1]))
             else:  # pragma: no cover
@@ -1015,9 +1035,37 @@ def sparql_select(
         return _eval_describe(edges, q, collection)
     if q.query_type != "select":
         raise EvaluationError(f"{q.query_type} evaluation not supported")
+    return _eval_select(edges, q, collection)
 
+
+def _lit_term(col) -> Column:
+    """Wrap a computed/aggregate plain value as a literal term struct (the
+    subquery projection encoding for non-variable projections)."""
+    return F.struct(
+        col.cast("string").alias("value"),
+        F.lit("l").alias("otype"),
+        F.lit("").alias("dtype"),
+        F.lit("").alias("lang"),
+    )
+
+
+_NULL_TERM_T = "struct<value:string,otype:string,dtype:string,lang:string>"
+
+
+def _eval_select(
+    edges: DataFrame,
+    q: Query,
+    collection: str | None,
+    term_mode: bool = False,
+    graph: str | None = DEFAULT_GRAPH,
+) -> DataFrame:
+    """SELECT evaluation.  term_mode=False (top level) projects plain
+    value columns; term_mode=True (nested subqueries) keeps the full
+    term-struct encoding for projected variables — the outer group joins
+    the subquery solution on shared variables comparing TERMS, not just
+    values — and wraps computed/aggregate projections as literal terms."""
     c = _Compiler(edges, collection)
-    sol = c.group(q.where)
+    sol = c.group(q.where, graph)
 
     # split projections into plain vars / computed / aggregates
     agg_specs: dict[str, tuple] = {}
@@ -1086,15 +1134,18 @@ def sparql_select(
         proj_cols = []
         for name, e in out_exprs:
             if e[0] == "var" and e[1] in q.group_by:
-                proj_cols.append(F.col(f"{e[1]}.value").alias(name))
+                proj_cols.append(
+                    (F.col(e[1]) if term_mode else F.col(f"{e[1]}.value")).alias(name)
+                )
             elif e[0] == "var" and e[1] in agg_specs:
-                proj_cols.append(F.col(e[1]).alias(name))
+                col = F.col(e[1])
+                proj_cols.append((_lit_term(col) if term_mode else col).alias(name))
             else:
                 # mixed expression over group vars (term) and agg aliases
                 # (plain): compile in a context where group vars resolve to
                 # .value and agg aliases are plain
                 col = _plain_over_grouped(c, e, q.group_by, agg_specs)
-                proj_cols.append(col.alias(name))
+                proj_cols.append((_lit_term(col) if term_mode else col).alias(name))
         if q.having is not None:
             hv = _plain_over_grouped(
                 c, _replace_aggs(q.having, agg_alias), q.group_by, agg_specs
@@ -1105,17 +1156,31 @@ def sparql_select(
         if q.projections and q.projections[0][0] == "*":
             names = [col for col in sol.columns if not col.startswith("__")]
             q.variables = names
-            proj_cols = [F.col(f"{v_}.value").alias(v_) for v_ in names]
+            proj_cols = [
+                (F.col(v_) if term_mode else F.col(f"{v_}.value")).alias(v_)
+                for v_ in names
+            ]
         else:
             proj_cols = []
             for name, e in q.projections:
                 if e is None:
                     if name in sol.columns:
-                        proj_cols.append(F.col(f"{name}.value").alias(name))
+                        proj_cols.append(
+                            (F.col(name) if term_mode
+                             else F.col(f"{name}.value")).alias(name)
+                        )
+                    elif term_mode:
+                        proj_cols.append(
+                            F.lit(None).cast(_NULL_TERM_T).alias(name)
+                        )
                     else:
                         proj_cols.append(F.lit(None).cast("string").alias(name))
                 else:
-                    proj_cols.append(c.expr(e, sol)[0].cast("string").alias(name))
+                    col = c.expr(e, sol)[0]
+                    proj_cols.append(
+                        (_lit_term(col) if term_mode
+                         else col.cast("string")).alias(name)
+                    )
         # ORDER BY evaluates pre-projection (may use non-projected vars) —
         # but ONLY when no DISTINCT follows: dropDuplicates inserts an
         # exchange that destroys the sort, so the distinct path orders
@@ -1151,7 +1216,16 @@ def sparql_select(
     if q.order_by and (has_agg or q.distinct):
         keys = []
         for e, d in q.order_by:
-            col = c.expr(e, out, plain=True)[0]
+            if term_mode:
+                # projected columns are term structs here; only variable
+                # comparators are meaningful inside a subquery
+                if e[0] != "var":
+                    raise EvaluationError(
+                        "subquery ORDER BY supports variable comparators only"
+                    )
+                col = F.col(e[1])["value"]
+            else:
+                col = c.expr(e, out, plain=True)[0]
             num = col.try_cast("double")
             if d == "desc":
                 keys.extend([num.desc_nulls_last(), col.desc()])
