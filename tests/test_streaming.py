@@ -176,3 +176,45 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
         for s in range(2):
             expected.add((u, base + s * 10_000, 4, 6.0))
     assert got == expected
+
+
+def test_streaming_chunk_embeddings_matches_batch(spark, tmp_path):
+    """Chunk stream -> incrementally appended doc-embeddings store equals
+    the one-shot batch store over the same chunks; a query against the
+    streamed store returns the batch answer."""
+    from trustgraph_spark.operators.docrag import (
+        query_chunk_embeddings,
+        store_chunk_embeddings,
+    )
+    from trustgraph_spark.operators.embeddings import HashEmbedder
+    from trustgraph_spark.streaming import start_chunk_embeddings_ingest
+
+    tmp = str(tmp_path)
+    rows = [(f"c{i:02d}", f"alpha w{i} beta gamma") for i in range(20)]
+    df = spark.createDataFrame(rows, "chunk_id string, text string")
+    df.repartition(4).write.parquet(f"{tmp}/chunks_src")
+
+    stream = (
+        spark.readStream.schema("chunk_id string, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{tmp}/chunks_src")
+    )
+    q = start_chunk_embeddings_ingest(
+        stream, f"{tmp}/store", f"{tmp}/ckpt", embedder=HashEmbedder(dim=16)
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(f"{tmp}/store")
+    batch = store_chunk_embeddings(df, embedder=HashEmbedder(dim=16))
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+    import pandas as pd
+
+    qv = HashEmbedder(dim=16).embed(pd.Series(["alpha w3"]))
+    queries = spark.createDataFrame(
+        [("q0", [float(x) for x in qv[0]])],
+        "query_id string, query_vector array<float>",
+    )
+    top = query_chunk_embeddings(streamed, queries, limit=1).collect()
+    assert top[0].chunk_id == "c03"

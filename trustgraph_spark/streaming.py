@@ -70,6 +70,38 @@ def start_ingest(
     )
 
 
+def start_chunk_embeddings_ingest(
+    chunk_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    embedder=None,
+    collection: str = "default",
+):
+    """Chunk stream -> doc-embeddings store maintained incrementally: each
+    micro-batch runs the SAME store_chunk_embeddings batch operator and
+    appends to the store (the streaming analog of the reference's
+    chunk-consuming doc-embeddings writer, storage/doc_embeddings — it
+    consumes the ingestion stream one message at a time; here one
+    micro-batch at a time with checkpointed offsets).  Queries read the
+    store as-of the last committed append; re-ingesting a chunk_id appends
+    a second copy, deduplicated at query time or by compaction (Iceberg
+    MERGE in production), matching start_ingest's stance."""
+    from .operators.docrag import store_chunk_embeddings
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        store = store_chunk_embeddings(
+            batch_df, embedder=embedder, collection=collection
+        )
+        store.write.mode("append").parquet(store_path)
+
+    return (
+        chunk_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id string, session_start bigint, session_end bigint, "
     "n_events bigint, total_value double"
