@@ -463,3 +463,18 @@ def test_retrieve_rerank_same_query_text_distinct_ids(spark, chunks, chunk_store
         per_q.setdefault(r.query_id, set()).add(r.chunk_id)
     assert per_q["qa"] == per_q["qb"]
     assert len(per_q["qa"]) == 2
+
+
+def test_duplicate_store_rows_fill_one_topk_slot(spark, chunks):
+    """Streaming re-ingest appends duplicate chunk rows; the dense query
+    dedups per chunk_id before ranking (review r3)."""
+    st = store_chunk_embeddings(chunks, embedder=HashEmbedder(dim=32))
+    doubled = st.unionByName(st.where(F.col("chunk_id") == "c02"))
+    qv = _np_embed(["spark join window"])
+    queries = spark.createDataFrame(
+        [("q0", [float(x) for x in qv[0]])],
+        "query_id string, query_vector array<float>",
+    )
+    top2 = [r.chunk_id for r in query_chunk_embeddings(doubled, queries, limit=2)
+            .orderBy("rank").collect()]
+    assert top2 == ["c02", "c01"]  # not c02 twice

@@ -184,3 +184,39 @@ def test_structured_query_orchestration(store):
         store, SCHEMAS, "q", lambda q: ("{ nope { x } }", {})
     )
     assert bad["data"] is None and len(bad["errors"]) == 1
+
+
+def test_stringified_limit_variable_coerced(store):
+    """Variables arrive stringified through the transport; a string limit
+    must coerce to int, not crash in DataFrame.limit (review r3)."""
+    from trustgraph_spark.graphql import structured_query
+
+    out = structured_query(
+        store, SCHEMAS, "q",
+        lambda q: ("query Q($n: Int) { product(limit: $n) { sku } }", {"n": 2}),
+    )
+    assert out["errors"] == [] and out["data"]["product"].count() == 2
+    bad = structured_query(
+        store, SCHEMAS, "q",
+        lambda q: ("query Q($n: Int) { product(limit: $n) { sku } }", {"n": "x"}),
+    )
+    assert bad["data"] is None and "limit" in bad["errors"][0]
+
+
+def test_unicode_escape_in_string_value(store):
+    """\\uXXXX escapes decode per the GraphQL spec (review r3)."""
+    q = parse_graphql('{ product(where: {name: {eq: "caf\\u00e9"}}) { sku } }')
+    assert q.selections[0].args["where"]["name"]["eq"] == "café"
+
+
+def test_nonnumeric_filter_value_shapes_as_empty(store):
+    """A non-numeric value on a numeric operator excludes all rows (the
+    reference's per-row float() ValueError path), never crashes plan
+    build (review r3)."""
+    from trustgraph_spark.graphql import structured_query
+
+    out = structured_query(
+        store, SCHEMAS, "q",
+        lambda q: ('{ product(where: {price: {gt: "abc"}}) { sku } }', {}),
+    )
+    assert out["errors"] == [] and out["data"]["product"].count() == 0

@@ -612,3 +612,12 @@ def test_subquery_projection_scoping(edges):
     rows = out.collect()
     assert len(rows) == 2
     assert all(r.o is None for r in rows)
+
+
+def test_path_var_in_sequence_rejected():
+    """A variable inside a path sequence/alternative is a ParseError, not
+    a TypeError deep in evaluation (review r3)."""
+    with pytest.raises(ParseError):
+        parse_sparql(f"SELECT ?s ?o WHERE {{ ?s ?p/<{E}x> ?o }}")
+    with pytest.raises(ParseError):
+        parse_sparql(f"SELECT ?s ?o WHERE {{ ?s ?p|<{E}x> ?o }}")

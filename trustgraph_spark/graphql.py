@@ -215,13 +215,18 @@ class _Parser:
         kind, val = self.next()
         if kind == "str":
             body = val[1:-1]
-            return re.sub(
-                r"\\(.)",
-                lambda m: {"n": "\n", "t": "\t", '"': '"', "\\": "\\"}.get(
-                    m.group(1), "\\" + m.group(1)
-                ),
-                body,
-            )
+
+            def _unescape(m):
+                # GraphQL spec EscapedUnicode (\uXXXX) + EscapedCharacter
+                if m.group(1) is not None:
+                    return chr(int(m.group(1), 16))
+                c = m.group(2)
+                return {"n": "\n", "t": "\t", "r": "\r", "b": "\b",
+                        "f": "\f", "/": "/", '"': '"', "\\": "\\"}.get(
+                    c, "\\" + c
+                )
+
+            return re.sub(r"\\u([0-9A-Fa-f]{4})|\\(.)", _unescape, body)
         if kind == "num":
             return float(val) if ("." in val or "e" in val.lower()) else int(val)
         if kind == "var":
@@ -307,6 +312,14 @@ def graphql_rows_query(
         if order_by is not None and order_by not in known:
             raise GraphQLError(f"order_by names unknown field {order_by!r}")
         limit = sel.args.get("limit", 100)
+        if limit is not None:
+            # variables arrive stringified through the transport
+            # (structured_query / the reference's Map(String) schema);
+            # strawberry coerces Int variables — coerce here too
+            try:
+                limit = int(limit)
+            except (TypeError, ValueError):
+                raise GraphQLError(f"limit must be an integer, got {limit!r}")
 
         rq = rows_query(
             store,

@@ -148,9 +148,17 @@ def diagnose(
     every sample, CSV options attached where the detected type is csv
     (null otherwise).  Descriptor generation is the LLM boundary."""
     types = detect_types(documents, id_col, text_col)
-    opts = detect_csv_options(documents, id_col, text_col)
+    # run the Python sniffing seam ONLY over csv-typed samples (the join
+    # below left-nulls the rest) — on a mostly-json/xml corpus this keeps
+    # the pandas UDF off most of the data
+    csv_rows = documents.join(
+        types.where(F.col("detected_type") == "csv").select(id_col),
+        id_col,
+        "left_semi",
+    )
+    opts = detect_csv_options(csv_rows, id_col, text_col)
     return (
-        types.join(opts, id_col)
+        types.join(opts, id_col, "left")
         .select(
             id_col,
             "detected_type",

@@ -108,9 +108,13 @@ def query_chunk_embeddings(
         F.col("v.chunk_id").alias("chunk_id"),
         _cosine_expr(F.col("v.vector"), F.col(f"q.{query_vec_col}")).alias("score"),
     )
+    # per-chunk dedup BEFORE ranking: the streaming ingest appends a second
+    # copy on re-ingest (deduplicated at query time, streaming.py) — without
+    # this a duplicate would fill two top-k slots
+    best = scored.groupBy("query_id", "chunk_id").agg(F.max("score").alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("chunk_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        best.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= limit)
     )
 
@@ -202,6 +206,10 @@ def concept_vector_matches(
         F.col("q._pcl").alias("_pcl"),
         F.col("v.chunk_id").alias("chunk_id"),
         _cosine_expr(F.col("v.vector"), F.col("q.query_vector")).alias("score"),
+    )
+    # duplicate store rows (streaming re-ingest) collapse before ranking
+    scored = scored.groupBy("query_id", "concept_idx", "_pcl", "chunk_id").agg(
+        F.max("score").alias("score")
     )
     w_c = Window.partitionBy("query_id", "concept_idx").orderBy(
         F.desc("score"), F.asc("chunk_id")

@@ -273,7 +273,14 @@ def _filter_cond(field: str, op: str, val) -> F.Column:
         cond = c == str(val)
     elif op in ("gt", "gte", "lt", "lte"):
         n = c.try_cast("double")  # ANSI-safe: malformed -> NULL -> excluded
-        v = F.lit(float(val))
+        try:
+            v = F.lit(float(val))
+        except (TypeError, ValueError):
+            # non-numeric FILTER VALUE: the reference's per-row float()
+            # raises and excludes every row (service.py:394-427) — the
+            # plan-time equivalent is a constant-false predicate, not a
+            # crash at plan build
+            return F.lit(False)
         cond = {"gt": n > v, "gte": n >= v, "lt": n < v, "lte": n <= v}[op]
     elif op == "contains":
         cond = c.contains(str(val))

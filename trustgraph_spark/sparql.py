@@ -516,6 +516,7 @@ class Parser:
             parts.append(self._path_seq())
         if len(parts) == 1:
             return parts[0]
+        self._no_path_vars(parts)
         return ("alt", [self._as_path(p) for p in parts])
 
     def _path_seq(self):
@@ -524,7 +525,18 @@ class Parser:
             parts.append(self._path_elt())
         if len(parts) == 1:
             return parts[0]
+        self._no_path_vars(parts)
         return ("seq", [self._as_path(p) for p in parts])
+
+    @staticmethod
+    def _no_path_vars(parts):
+        """Sequences/alternatives are IRI paths; a variable inside one is
+        a parse error (same rule as the ^/*/+/? modifiers), caught here
+        rather than as a TypeError deep in evaluation."""
+        if any(isinstance(p, Var) for p in parts):
+            raise ParseError(
+                "SPARQL parse error: path operators need an IRI, not a variable"
+            )
 
     def _path_elt(self):
         inv = self.op("^")
