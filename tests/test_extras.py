@@ -250,3 +250,48 @@ def test_multimodal_resize_plumbing(spark):
     # deterministic: same input -> same resized payload
     again = {r.media_id: bytes(r.payload) for r in resize_images(media, 32, 32).collect()}
     assert all(bytes(rows[k].payload) == v for k, v in again.items())
+
+
+def test_decode_documents_pdf_plumbing(spark):
+    """decoding/pdf plumbing: %PDF- magic validation drops non-PDF rows
+    (the reference logs and ignores), base64 payloads decode, and the
+    page seam explodes one row per page; strict mode raises loudly."""
+    import base64
+
+    import pytest as _pytest
+
+    from trustgraph_spark.multimodal import (
+        decode_documents,
+        fake_pdf_pages,
+        strict_pdf_pages,
+    )
+
+    rows = [
+        ("d1", b"%PDF-1.7 fake body one"),
+        ("d2", b"  \n%PDF-1.4 leading whitespace ok"),
+        ("d3", b"GIF89a not a pdf"),
+        ("d4", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, data binary")
+    out = decode_documents(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.page, r.text))
+    assert set(by_doc) == {"d1", "d2"}  # d3 fails magic, d4 null
+    assert [p for p, _ in sorted(by_doc["d1"])] == list(
+        range(1, len(fake_pdf_pages(rows[0][1])) + 1)
+    )
+    assert by_doc["d1"] == [
+        (i + 1, t) for i, t in enumerate(fake_pdf_pages(rows[0][1]))
+    ]
+
+    # base64 transport form (pdf_decoder.py:104-110)
+    b64 = spark.createDataFrame(
+        [("e1", base64.b64encode(b"%PDF-1.5 via b64"))],
+        "doc_id string, data binary",
+    )
+    out64 = decode_documents(b64, base64_encoded=True).collect()
+    assert {r.doc_id for r in out64} == {"e1"}
+
+    with _pytest.raises(Exception):
+        decode_documents(docs, pages_fn=strict_pdf_pages).collect()

@@ -145,6 +145,82 @@ def resize_images(
     return media.mapInPandas(gen, MEDIA_SCHEMA)
 
 
+# --- document (PDF) decoding ------------------------------------------------
+# Reference: decoding/pdf/pdf_decoder.py — base64 payload, %PDF- magic
+# validation (_looks_like_pdf:35-36), non-PDF documents dropped with a
+# logged error (:130-134), PyPDFLoader page split -> one TextDocument per
+# page.  PyPDF is not in this container, so page extraction is the same
+# declared stub seam as media decode; the validation, base64 handling, and
+# per-page explode plumbing are real.
+
+
+def looks_like_pdf(col):
+    """%PDF- magic check on a binary column (pdf_decoder.py:35-36), as a
+    pure column expression: lstrip ASCII whitespace then prefix match."""
+    head = F.decode(F.substring(col, 1, 64), "ISO-8859-1")
+    # regexp strip (F.ltrim removes spaces only; bytes.lstrip() in the
+    # reference removes all ASCII whitespace incl. \n \t \r)
+    return F.regexp_replace(head, r"^\s+", "").startswith("%PDF-")
+
+
+def fake_pdf_pages(payload: bytes) -> list[str]:
+    """Deterministic stand-in for PyPDF page extraction. STUB — a real
+    loader drops into decode_documents(pages_fn=...)."""
+    if payload is None:
+        return []
+    h = hashlib.sha256(payload).hexdigest()
+    n = int(h[:2], 16) % 3 + 1
+    return [f"page {i + 1} of {h[:12]}" for i in range(n)]
+
+
+def strict_pdf_pages(payload: bytes) -> list[str]:
+    raise NotImplementedError(
+        "PDF decoding requires pypdf, not present in this image; plug a "
+        "real loader into decode_documents(pages_fn=...)"
+    )
+
+
+def decode_documents(
+    docs: DataFrame,
+    pages_fn: Callable[[bytes], list[str]] = fake_pdf_pages,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    base64_encoded: bool = False,
+    batch_rows: int = 16,
+) -> DataFrame:
+    """Binary documents -> one row per extracted page
+    (doc_id, page, text), mirroring decoding/pdf: optional base64 decode,
+    %PDF- magic validation (non-PDF rows DROP, as the reference logs and
+    ignores them), then the pluggable page-extraction seam over small
+    Arrow batches (large blobs — keep batches tiny)."""
+    src = docs
+    payload = F.col(data_col)
+    if base64_encoded:
+        payload = F.unbase64(payload.cast("string"))
+        src = src.withColumn(data_col, payload)
+    valid = src.where(looks_like_pdf(F.col(data_col)))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("page", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                part = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for _, r in part.iterrows():
+                    for i, text in enumerate(pages_fn(r[data_col])):
+                        rows.append((str(r[id_col]), i + 1, text))
+                yield pd.DataFrame(rows, columns=["doc_id", "page", "text"])
+
+    return valid.select(id_col, data_col).mapInPandas(gen, schema=out_schema)
+
+
 def synth_media(spark, n: int = 32) -> DataFrame:
     """Deterministic fake media table for tests."""
     kinds = ["image", "audio", "video"]
