@@ -162,6 +162,11 @@ def ngram_jaccard_pairs_prefix(
     sh = shingles(documents, id_col, text_col, n).select(
         F.col(id_col), F.xxhash64("shingle").alias("shingle")
     )
+    # materialize the shingle set ONCE: it feeds the df count, the
+    # stop-shingle anti-join and (via docs_arr) four downstream joins —
+    # unchecked, Catalyst re-runs the whole split/slice/explode chain per
+    # reference (~5x measured at sf0.1; 19s -> ~6s for the operator)
+    sh = sh.localCheckpoint()
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sh_kept = sh.join(
         F.broadcast(freq.where(F.col("df") > max_shingle_freq).select("shingle")),
@@ -189,6 +194,9 @@ def ngram_jaccard_pairs_prefix(
                 (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
             ),
         )
+        # referenced by both sides of the index self-join AND both verify
+        # joins — materialize instead of recomputing the groupBy 4x
+        .localCheckpoint()
     )
 
     idx = docs_arr.select(
