@@ -621,3 +621,41 @@ def test_path_var_in_sequence_rejected():
         parse_sparql(f"SELECT ?s ?o WHERE {{ ?s ?p/<{E}x> ?o }}")
     with pytest.raises(ParseError):
         parse_sparql(f"SELECT ?s ?o WHERE {{ ?s ?p|<{E}x> ?o }}")
+
+
+def test_path_negated_property_set(hierarchy):
+    """!iri and !(iri|^iri) — grammar [89] (completes the path grammar
+    except {n,m} ranges)."""
+    SC = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    # everything EXCEPT subClassOf and label out of y: only knows
+    out = sparql_select(
+        hierarchy,
+        f"SELECT ?o WHERE {{ <{E}y> !(<{SC}>|"
+        "<http://www.w3.org/2000/01/rdf-schema#label>) ?o }",
+    )
+    assert [r.o for r in out.collect()] == [E + "z"]
+    # single-IRI form: x's non-label edges
+    out2 = sparql_select(
+        hierarchy,
+        "SELECT ?o WHERE { <http://e/x> "
+        "!<http://www.w3.org/2000/01/rdf-schema#label> ?o }",
+    )
+    assert [r.o for r in out2.collect()] == [E + "y"]
+    # only-inverse members: !(^p) == ^(!(p)) (SPARQL 1.1 §9.1) — pure
+    # reverse traversal; y's only incoming edge IS knows, so nothing
+    # survives the exclusion
+    out3 = sparql_select(
+        hierarchy,
+        f"SELECT ?x WHERE {{ <{E}y> !(^<{E}knows>) ?x }}",
+    )
+    assert out3.count() == 0
+    # mixed set: forward non-label edges of y UNION reverse non-subClassOf
+    # arrivals at y
+    out4 = sparql_select(
+        hierarchy,
+        "SELECT ?x WHERE { <http://e/y> "
+        "!(<http://www.w3.org/2000/01/rdf-schema#label>|"
+        "^<http://www.w3.org/2000/01/rdf-schema#subClassOf>) ?x } ORDER BY ?x",
+    )
+    # forward: knows->z; reverse: x knows y -> x
+    assert [r.x for r in out4.collect()] == [E + "x", E + "z"]

@@ -219,6 +219,23 @@ def _path_pairs(df: DataFrame, path) -> DataFrame:
         )
     if kind == "opt":
         return _path_pairs(df, path[1]).union(_identity_pairs(df)).distinct()
+    if kind == "nps":
+        # negated property set (grammar [89]): forward edges whose
+        # predicate is outside the forward set, union reversed edges
+        # whose predicate is outside the inverse set (SPARQL 1.1 §9.1)
+        fwd_iris, inv_iris = path[1], path[2]
+        s_term = _term_from(F.col("s"), F.lit(OTYPE_URI), F.lit(""), F.lit(""))
+        o_term = _term_from(
+            F.col("o"), F.col("otype"), F.col("dtype"), F.col("lang")
+        )
+        parts = []
+        if fwd_iris or not inv_iris:
+            sel = df.where(~F.col("p").isin(fwd_iris)) if fwd_iris else df
+            parts.append(sel.select(s_term.alias("_ps"), o_term.alias("_po")))
+        if inv_iris:
+            sel = df.where(~F.col("p").isin(inv_iris))
+            parts.append(sel.select(o_term.alias("_ps"), s_term.alias("_po")))
+        return reduce(lambda a, b: a.union(b), parts)
     raise ValueError(f"unknown path node {kind!r}")
 
 

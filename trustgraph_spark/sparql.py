@@ -27,18 +27,19 @@ solution, skipping rows with unbound template variables (SPARQL 1.1
 named/bound resources.
 
 Property paths (link / ^inverse / sequence / | alternative / * + ?
-closures — SPARQL 1.1 grammar [88]-[94] minus !negation and {n,m}) are
-parsed here and evaluated by algebra.scan_path; the closures run the same
-semi-naive iterate-to-fixpoint loop as connected components.  This
-EXCEEDS the reference, whose evaluator has no path handlers.
+closures / !negated property sets incl. mixed-direction — SPARQL 1.1
+grammar [88]-[94] minus only {n,m} ranges) are parsed here and evaluated
+by algebra.scan_path; the closures run the same semi-naive
+iterate-to-fixpoint loop as connected components.  This EXCEEDS the
+reference, whose evaluator has no path handlers.
 
 GRAPH accepts a constant IRI or a variable (GRAPH ?g ranges over named
 graphs and binds ?g — the reference only parses GRAPH).  Nested
 subqueries ({ SELECT ... }) evaluate to term-struct solution sets joined
 on shared variables (projection scoping per SPARQL 1.1 §12).
 
-Out of scope (as in the reference): federated SERVICE, !negated path
-sets, {n,m} path ranges, property paths inside GRAPH ?g.
+Out of scope (as in the reference): federated SERVICE, {n,m} path
+ranges, property paths inside GRAPH ?g.
 """
 
 from __future__ import annotations
@@ -560,11 +561,38 @@ class Parser:
         return p
 
     def _path_primary(self):
+        if self.op("!"):
+            return self._negated_property_set()
         if self.op("("):
             p = self._path()
             self.expect_op(")")
             return p
         return self._term(predicate=True)
+
+    def _negated_property_set(self):
+        """!iri or !(iri1|^iri2|...): grammar [89] PathNegatedPropertySet.
+        AST ('nps', fwd_iris, inv_iris) — matches any edge whose predicate
+        is NOT in the set (inverse items match reversed edges)."""
+        fwd: list = []
+        inv: list = []
+
+        def one():
+            is_inv = self.op("^")
+            t = self._term(predicate=True)
+            if isinstance(t, Var):
+                raise ParseError(
+                    "SPARQL parse error: negated property sets need IRIs"
+                )
+            (inv if is_inv else fwd).append(t)
+
+        if self.op("("):
+            one()
+            while self.op("|"):
+                one()
+            self.expect_op(")")
+        else:
+            one()
+        return ("nps", fwd, inv)
 
     @staticmethod
     def _as_path(p):
