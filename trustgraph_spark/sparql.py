@@ -26,10 +26,11 @@ solution, skipping rows with unbound template variables (SPARQL 1.1
 §16.2); DESCRIBE returns the simple concise-bounded description of the
 named/bound resources.
 
-Property paths (link / ^inverse / sequence / | alternative / * + ?
-closures / !negated property sets incl. mixed-direction — SPARQL 1.1
-grammar [88]-[94] minus only {n,m} ranges) are parsed here and evaluated
-by algebra.scan_path; the closures run the same semi-naive
+Property paths — the COMPLETE SPARQL 1.1 path grammar [88]-[94]
+(link / ^inverse / sequence / | alternative / * + ? closures / !negated
+property sets incl. mixed-direction; {n,m} ranges existed only in
+working drafts, not the final spec) — are parsed here and evaluated by
+algebra.scan_path; the closures run the same semi-naive
 iterate-to-fixpoint loop as connected components.  This EXCEEDS the
 reference, whose evaluator has no path handlers.
 
@@ -38,8 +39,8 @@ graphs and binds ?g — the reference only parses GRAPH).  Nested
 subqueries ({ SELECT ... }) evaluate to term-struct solution sets joined
 on shared variables (projection scoping per SPARQL 1.1 §12).
 
-Out of scope (as in the reference): federated SERVICE, {n,m} path
-ranges, property paths inside GRAPH ?g.
+Out of scope (as in the reference): federated SERVICE, property paths
+inside GRAPH ?g.
 """
 
 from __future__ import annotations
