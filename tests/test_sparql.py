@@ -659,3 +659,33 @@ def test_path_negated_property_set(hierarchy):
     )
     # forward: knows->z; reverse: x knows y -> x
     assert [r.x for r in out4.collect()] == [E + "x", E + "z"]
+
+
+def test_path_inside_graph_variable(spark):
+    """A closure inside GRAPH ?g runs per named graph: chains never cross
+    graphs, and ?g binds alongside the path endpoints."""
+    P = E + "next"
+    rows = [
+        # graph g1: a -> b -> c
+        ("default", "urn:g:1", E + "a", P, E + "b", "u", "", ""),
+        ("default", "urn:g:1", E + "b", P, E + "c", "u", "", ""),
+        # graph g2: c -> d (must NOT extend g1's chain)
+        ("default", "urn:g:2", E + "c", P, E + "d", "u", "", ""),
+        # default graph: x -> y (invisible to GRAPH ?g)
+        ("default", "", E + "x", P, E + "y", "u", "", ""),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = sparql_select(
+        df,
+        f"SELECT ?g ?x WHERE {{ GRAPH ?g {{ <{E}a> <{P}>+ ?x }} }} ORDER BY ?x",
+    )
+    got = [(r.g, r.x) for r in out.collect()]
+    # reachable from a only inside g1: b, c — never d (lives in g2)
+    assert got == [("urn:g:1", E + "b"), ("urn:g:1", E + "c")]
+
+    # constant-graph path still works through the same machinery
+    out2 = sparql_select(
+        df,
+        f"SELECT ?x WHERE {{ GRAPH <urn:g:2> {{ ?s <{P}>* ?x }} }} ORDER BY ?x",
+    )
+    assert {r.x for r in out2.collect()} == {E + "c", E + "d"}

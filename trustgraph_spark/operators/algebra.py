@@ -116,27 +116,40 @@ def bgp(
 def _path_scan_base(
     edges: DataFrame, g: str | None, collection: str | None
 ) -> DataFrame:
+    """Edge frame for path evaluation, tagged with the active-graph key
+    ``_pg``: a CONSTANT '' for a fixed graph (single active graph after
+    the filter), or the edge's own graph for GRAPH ?g — every downstream
+    join/closure keys on ``_pg`` too, so a variable-graph path never
+    chains edges across graphs (the closure effectively runs per named
+    graph in one job)."""
     df = edges
     if collection is not None:
         df = df.where(F.col("collection") == collection)
     if isinstance(g, Var):
-        raise ValueError(
-            "property paths inside GRAPH ?g are not supported (a closure "
-            "would have to run per named graph)"
-        )
-    if g is not None:
+        df = df.where(F.col("g") != "")  # named graphs only (§13.3)
+        tag = F.col("g")
+    elif g is not None:
         df = df.where(F.col("g") == g)
-    return df
+        tag = F.lit("")
+    else:
+        tag = F.lit("")
+    return df.select(
+        tag.alias("_pg"), "s", "p", "o", "otype", "dtype", "lang"
+    )
 
 
 def _identity_pairs(df: DataFrame) -> DataFrame:
     """Zero-length path endpoints: every term occurring in the active
-    graph paired with itself (the standard engine approximation of the
-    spec's all-RDF-terms zero-length match)."""
+    graph paired with itself, PER graph key (the standard engine
+    approximation of the spec's all-RDF-terms zero-length match)."""
     s_term = _term_from(F.col("s"), F.lit(OTYPE_URI), F.lit(""), F.lit(""))
     o_term = _term_from(F.col("o"), F.col("otype"), F.col("dtype"), F.col("lang"))
-    terms = df.select(s_term.alias("t")).union(df.select(o_term.alias("t"))).distinct()
-    return terms.select(F.col("t").alias("_ps"), F.col("t").alias("_po"))
+    terms = (
+        df.select("_pg", s_term.alias("t"))
+        .union(df.select("_pg", o_term.alias("t")))
+        .distinct()
+    )
+    return terms.select("_pg", F.col("t").alias("_ps"), F.col("t").alias("_po"))
 
 
 def _path_closure(pairs: DataFrame) -> DataFrame:
@@ -146,19 +159,20 @@ def _path_closure(pairs: DataFrame) -> DataFrame:
     the frontier, with localCheckpoint truncating lineage (the CC loop's
     discipline).  Rounds = path diameter."""
     base = pairs.distinct().localCheckpoint()
-    # renamed copy for the extension join (avoids self-join ambiguity)
+    # renamed copy for the extension join (avoids self-join ambiguity);
+    # the graph key participates so closures never cross graphs
     right = base.select(
-        F.col("_ps").alias("_mid"), F.col("_po").alias("_po2")
+        "_pg", F.col("_ps").alias("_mid"), F.col("_po").alias("_po2")
     )
     acc = base
     delta = base
     while True:
         delta = (
-            delta.select("_ps", F.col("_po").alias("_mid"))
-            .join(right, "_mid")
-            .select("_ps", F.col("_po2").alias("_po"))
+            delta.select("_pg", "_ps", F.col("_po").alias("_mid"))
+            .join(right, ["_pg", "_mid"])
+            .select("_pg", "_ps", F.col("_po2").alias("_po"))
             .distinct()
-            .join(acc, ["_ps", "_po"], "left_anti")
+            .join(acc, ["_pg", "_ps", "_po"], "left_anti")
             .localCheckpoint()
         )
         if delta.isEmpty():
@@ -173,10 +187,11 @@ def path_pairs(
     collection: str | None = None,
 ) -> DataFrame:
     """Evaluate a path expression to its endpoint-pair solution set
-    (_ps, _po term structs).  Path AST: ('link', iri) ('inv', p)
-    ('seq', [ps]) ('alt', [ps]) ('plus', p) ('star', p) ('opt', p).
-    seq keeps multiplicities (join), alt keeps them (union); the closure
-    forms are DISTINCT per the SPARQL spec."""
+    (_pg graph key, _ps, _po term structs).  Path AST: ('link', iri)
+    ('inv', p) ('seq', [ps]) ('alt', [ps]) ('plus', p) ('star', p)
+    ('opt', p) ('nps', fwd, inv).  seq keeps multiplicities (join), alt
+    keeps them (union); the closure forms are DISTINCT per the SPARQL
+    spec."""
     df = _path_scan_base(edges, g, collection)
     return _path_pairs(df, path)
 
@@ -189,11 +204,11 @@ def _path_pairs(df: DataFrame, path) -> DataFrame:
         o_term = _term_from(
             F.col("o"), F.col("otype"), F.col("dtype"), F.col("lang")
         )
-        return sel.select(s_term.alias("_ps"), o_term.alias("_po"))
+        return sel.select("_pg", s_term.alias("_ps"), o_term.alias("_po"))
     if kind == "inv":
         inner = _path_pairs(df, path[1])
         return inner.select(
-            F.col("_po").alias("_ps"), F.col("_ps").alias("_po")
+            "_pg", F.col("_po").alias("_ps"), F.col("_ps").alias("_po")
         )
     if kind == "seq":
         acc = _path_pairs(df, path[1][0])
@@ -201,8 +216,16 @@ def _path_pairs(df: DataFrame, path) -> DataFrame:
             nxt = _path_pairs(df, sub)
             acc = (
                 acc.alias("a")
-                .join(nxt.alias("b"), F.col("a._po") == F.col("b._ps"))
-                .select(F.col("a._ps").alias("_ps"), F.col("b._po").alias("_po"))
+                .join(
+                    nxt.alias("b"),
+                    (F.col("a._pg") == F.col("b._pg"))
+                    & (F.col("a._po") == F.col("b._ps")),
+                )
+                .select(
+                    F.col("a._pg").alias("_pg"),
+                    F.col("a._ps").alias("_ps"),
+                    F.col("b._po").alias("_po"),
+                )
             )
         return acc
     if kind == "alt":
@@ -231,10 +254,14 @@ def _path_pairs(df: DataFrame, path) -> DataFrame:
         parts = []
         if fwd_iris or not inv_iris:
             sel = df.where(~F.col("p").isin(fwd_iris)) if fwd_iris else df
-            parts.append(sel.select(s_term.alias("_ps"), o_term.alias("_po")))
+            parts.append(
+                sel.select("_pg", s_term.alias("_ps"), o_term.alias("_po"))
+            )
         if inv_iris:
             sel = df.where(~F.col("p").isin(inv_iris))
-            parts.append(sel.select(o_term.alias("_ps"), s_term.alias("_po")))
+            parts.append(
+                sel.select("_pg", o_term.alias("_ps"), s_term.alias("_po"))
+            )
         return reduce(lambda a, b: a.union(b), parts)
     raise ValueError(f"unknown path node {kind!r}")
 
@@ -252,6 +279,10 @@ def scan_path(
     the term value, a repeated Var forces endpoint equality."""
     df = path_pairs(edges, path, g=g, collection=collection)
     out_cols: dict[str, Column] = {}
+    if isinstance(g, Var):
+        out_cols[g.name] = _term_from(
+            F.col("_pg"), F.lit(OTYPE_URI), F.lit(""), F.lit("")
+        )
     for col, val in (("_ps", s), ("_po", o)):
         if isinstance(val, Var):
             if val.name in out_cols:

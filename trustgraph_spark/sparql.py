@@ -39,8 +39,11 @@ graphs and binds ?g — the reference only parses GRAPH).  Nested
 subqueries ({ SELECT ... }) evaluate to term-struct solution sets joined
 on shared variables (projection scoping per SPARQL 1.1 §12).
 
-Out of scope (as in the reference): federated SERVICE, property paths
-inside GRAPH ?g.
+Property paths compose with GRAPH — constant or variable: every path
+pair carries the active-graph key, so a closure inside GRAPH ?g runs per
+named graph in one job, never chaining edges across graphs.
+
+Out of scope (as in the reference): federated SERVICE.
 """
 
 from __future__ import annotations
