@@ -1097,6 +1097,25 @@ def q_sparql_graph_var(spark, sf_dir):
     )
 
 
+def q_sparql_path_nps(spark, sf_dir):
+    """Negated property set through the front-end: everything EXCEPT
+    rdfs:label out of each minted entity — exactly the skos:definition
+    edges (grammar [89], evaluated per SPARQL 1.1 §9.1)."""
+    from trustgraph_spark.operators.extract import (
+        RuleExtractor,
+        definitions_to_triples,
+        extract_definitions,
+    )
+    from trustgraph_spark.planted import planted_def_chunks
+    from trustgraph_spark.sparql import sparql_select
+
+    chunks = planted_def_chunks(_docs(spark, sf_dir))
+    edges = definitions_to_triples(extract_definitions(chunks, RuleExtractor()))
+    return sparql_select(
+        edges, f"SELECT ?s ?o WHERE {{ ?s !<{RDF_LABEL}> ?o }}"
+    )
+
+
 def q_sparql_subquery(spark, sf_dir):
     """Nested subquery (beyond the reference): aggregate-in-subquery
     joined and filtered in the outer group."""
@@ -1384,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rag_mmr": q_doc_rag_mmr,
         "diag_detect_type": q_diag_detect_type,
         "sparql_subquery": q_sparql_subquery,
+        "sparql_path_nps": q_sparql_path_nps,
     }
 
 
@@ -1516,6 +1536,12 @@ WITH txt AS (
 SELECT s_uri AS s, '{RDF_LABEL}' AS p, entity AS o, 'l' AS otype FROM u
 UNION ALL
 SELECT s_uri, '{SKOS_DEF}', definition, 'l' FROM u
+"""
+
+    # NPS: non-label edges out of each entity = the definition edges
+    sql["sparql_path_nps"] = _DEF_TXT + f"""
+, u AS (SELECT *, {_uri('entity')} AS s_uri FROM ext)
+SELECT s_uri AS s, definition AS o FROM u
 """
 
     sql["kg_entity_contexts"] = _DEF_TXT + f"""
