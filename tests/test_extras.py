@@ -295,3 +295,19 @@ def test_decode_documents_pdf_plumbing(spark):
 
     with _pytest.raises(Exception):
         decode_documents(docs, pages_fn=strict_pdf_pages).collect()
+
+
+def test_decode_documents_malformed_base64_drops(spark):
+    """A malformed-base64 row must DROP (reference log-and-ignore), not
+    abort the job under ANSI mode (review r3)."""
+    import base64
+
+    from trustgraph_spark.multimodal import decode_documents
+
+    rows = [
+        ("ok", base64.b64encode(b"%PDF-1.4 good")),
+        ("bad", b"!!not-base64!!"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, data binary")
+    out = decode_documents(docs, base64_encoded=True).collect()
+    assert {r.doc_id for r in out} == {"ok"}

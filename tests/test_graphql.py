@@ -220,3 +220,17 @@ def test_nonnumeric_filter_value_shapes_as_empty(store):
         lambda q: ('{ product(where: {price: {gt: "abc"}}) { sku } }', {}),
     )
     assert out["errors"] == [] and out["data"]["product"].count() == 0
+
+
+def test_surrogate_pair_escape_decodes(store):
+    q = parse_graphql('{ product(where: {name: {eq: "\\ud83d\\ude00"}}) { sku } }')
+    v = q.selections[0].args["where"]["name"]["eq"]
+    assert v == "😀" and v.encode("utf-8")  # encodable, no lone surrogates
+
+
+def test_fractional_limit_rejected(store):
+    with pytest.raises(GraphQLError):
+        graphql_rows_query(store, SCHEMAS, "{ product(limit: 2.9) { sku } }")
+    # integral float is fine (GraphQL Int coercion accepts 3.0)
+    out = graphql_rows_query(store, SCHEMAS, "{ product(limit: 3.0) { sku } }")
+    assert out["product"].count() == 3

@@ -689,3 +689,44 @@ def test_path_inside_graph_variable(spark):
         f"SELECT ?x WHERE {{ GRAPH <urn:g:2> {{ ?s <{P}>* ?x }} }} ORDER BY ?x",
     )
     assert {r.x for r in out2.collect()} == {E + "c", E + "d"}
+
+
+def test_subquery_inside_graph_var_per_graph(spark):
+    """Graph(?g, {subquery}): the subquery evaluates PER named graph —
+    aggregates group per graph and ?g binds (review r3 #2)."""
+    P = E + "knows"
+    rows = [
+        ("default", "urn:g:1", E + "a", P, E + "b", "u", "", ""),
+        ("default", "urn:g:1", E + "b", P, E + "c", "u", "", ""),
+        ("default", "urn:g:2", E + "x", P, E + "y", "u", "", ""),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = sparql_select(
+        df,
+        "SELECT ?g ?n WHERE { GRAPH ?g { { SELECT (COUNT(?o) AS ?n) "
+        f"WHERE {{ ?s <{P}> ?o }} }} }} }}".replace("} } }", "} } }"),
+    )
+    got = sorted((r.g, int(r.n)) for r in out.collect())
+    assert got == [("urn:g:1", 2), ("urn:g:2", 1)]
+    # per-graph LIMIT: top-1 subject per graph, not a global single row
+    out2 = sparql_select(
+        df,
+        "SELECT ?g ?s WHERE { GRAPH ?g { { SELECT ?s WHERE "
+        f"{{ ?s <{P}> ?o }} ORDER BY ?s LIMIT 1 }} }} }}",
+    )
+    got2 = sorted((r.g, r.s) for r in out2.collect())
+    assert got2 == [("urn:g:1", E + "a"), ("urn:g:2", E + "x")]
+
+
+def test_subquery_unbound_projected_var_is_compatible(edges):
+    """A projected-but-never-bound subquery variable joins as UNBOUND
+    (compatible with any outer binding), not as a NULL that kills the
+    join (review r3 #4)."""
+    out = sparql_select(
+        edges,
+        "SELECT ?p ?name WHERE { "
+        f"?p <{RDF_LABEL}> ?name . "
+        f"{{ SELECT ?p ?name WHERE {{ ?p <{E}knows> ?o }} }} }}",
+    )
+    got = {(r.p, r.name) for r in out.collect()}
+    assert got == {(E + "alice", "Alice"), (E + "bob", "Bob")}

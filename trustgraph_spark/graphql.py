@@ -226,7 +226,13 @@ class _Parser:
                     c, "\\" + c
                 )
 
-            return re.sub(r"\\u([0-9A-Fa-f]{4})|\\(.)", _unescape, body)
+            out = re.sub(r"\\u([0-9A-Fa-f]{4})|\\(.)", _unescape, body)
+            if any("\ud800" <= ch <= "\udfff" for ch in out):
+                # \uXXXX surrogate-pair escapes decode to lone surrogate
+                # code points; recombine them into supplementary chars
+                # (GraphQL spec: a pair of EscapedUnicode surrogates)
+                out = out.encode("utf-16", "surrogatepass").decode("utf-16")
+            return out
         if kind == "num":
             return float(val) if ("." in val or "e" in val.lower()) else int(val)
         if kind == "var":
@@ -315,7 +321,13 @@ def graphql_rows_query(
         if limit is not None:
             # variables arrive stringified through the transport
             # (structured_query / the reference's Map(String) schema);
-            # strawberry coerces Int variables — coerce here too
+            # strawberry coerces Int variables — coerce here too, but
+            # REJECT non-integral values per GraphQL Int coercion
+            # (strawberry errors on limit: 2.9 / true, never truncates)
+            if isinstance(limit, bool) or (
+                isinstance(limit, float) and not limit.is_integer()
+            ):
+                raise GraphQLError(f"limit must be an integer, got {limit!r}")
             try:
                 limit = int(limit)
             except (TypeError, ValueError):

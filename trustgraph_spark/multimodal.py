@@ -33,6 +33,16 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def _bounded_batches(
+    batches: Iterator[pd.DataFrame], batch_rows: int
+) -> Iterator[pd.DataFrame]:
+    """Sub-chunk incoming Arrow batches so per-batch memory stays bounded
+    for large blobs — shared by every decode seam in this module."""
+    for pdf in batches:
+        for start in range(0, len(pdf), batch_rows):
+            yield pdf.iloc[start : start + batch_rows]
+
+
 def fake_decode(payload: bytes, kind: str) -> np.ndarray:
     """Deterministic stand-in for a real decoder: derives a fixed-size
     feature vector from the payload bytes. STUB — replace with a real
@@ -70,20 +80,18 @@ def extract_media_features(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for start in range(0, len(pdf), batch_rows):
-                part = pdf.iloc[start : start + batch_rows]
-                feats = [
-                    [float(x) for x in decode_fn(p, k)[:feature_dim]]
-                    for p, k in zip(part["payload"], part["kind"])
-                ]
-                yield pd.DataFrame(
-                    {
-                        "media_id": part["media_id"].values,
-                        "kind": part["kind"].values,
-                        "feature": feats,
-                    }
-                )
+        for part in _bounded_batches(batches, batch_rows):
+            feats = [
+                [float(x) for x in decode_fn(p, k)[:feature_dim]]
+                for p, k in zip(part["payload"], part["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": part["media_id"].values,
+                    "kind": part["kind"].values,
+                    "feature": feats,
+                }
+            )
 
     return media.select("media_id", "kind", "payload").mapInPandas(gen, out_schema)
 
@@ -131,16 +139,15 @@ def resize_images(
     drop-in replacements."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for start in range(0, len(pdf), batch_rows):
-                part = pdf.iloc[start : start + batch_rows].copy()
-                is_img = part["kind"] == "image"
-                part.loc[is_img, "payload"] = part.loc[is_img, "payload"].map(
-                    lambda p: bytearray(resize_fn(p, width, height))
-                )
-                part.loc[is_img, "width"] = width
-                part.loc[is_img, "height"] = height
-                yield part
+        for chunk in _bounded_batches(batches, batch_rows):
+            part = chunk.copy()
+            is_img = part["kind"] == "image"
+            part.loc[is_img, "payload"] = part.loc[is_img, "payload"].map(
+                lambda p: bytearray(resize_fn(p, width, height))
+            )
+            part.loc[is_img, "width"] = width
+            part.loc[is_img, "height"] = height
+            yield part
 
     return media.mapInPandas(gen, MEDIA_SCHEMA)
 
@@ -156,8 +163,11 @@ def resize_images(
 
 def looks_like_pdf(col):
     """%PDF- magic check on a binary column (pdf_decoder.py:35-36), as a
-    pure column expression: lstrip ASCII whitespace then prefix match."""
-    head = F.decode(F.substring(col, 1, 64), "ISO-8859-1")
+    pure column expression: lstrip ASCII whitespace then prefix match.
+    Inspects a 4096-byte head (the reference lstrips the whole payload;
+    more than 4 KB of leading whitespace before the magic is not a real
+    PDF) — bounded so huge blobs never round-trip through a string."""
+    head = F.decode(F.substring(col, 1, 4096), "ISO-8859-1")
     # regexp strip (F.ltrim removes spaces only; bytes.lstrip() in the
     # reference removes all ASCII whitespace incl. \n \t \r)
     return F.regexp_replace(head, r"^\s+", "").startswith("%PDF-")
@@ -194,10 +204,14 @@ def decode_documents(
     ignores them), then the pluggable page-extraction seam over small
     Arrow batches (large blobs — keep batches tiny)."""
     src = docs
-    payload = F.col(data_col)
     if base64_encoded:
-        payload = F.unbase64(payload.cast("string"))
-        src = src.withColumn(data_col, payload)
+        # try_to_binary: malformed base64 -> NULL -> fails the magic
+        # check and drops, like the reference's log-and-ignore; plain
+        # unbase64 would ABORT the job under ANSI mode
+        src = src.withColumn(
+            data_col,
+            F.try_to_binary(F.col(data_col).cast("string"), F.lit("base64")),
+        )
     valid = src.where(looks_like_pdf(F.col(data_col)))
 
     out_schema = T.StructType(
@@ -209,14 +223,12 @@ def decode_documents(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for start in range(0, len(pdf), batch_rows):
-                part = pdf.iloc[start : start + batch_rows]
-                rows = []
-                for _, r in part.iterrows():
-                    for i, text in enumerate(pages_fn(r[data_col])):
-                        rows.append((str(r[id_col]), i + 1, text))
-                yield pd.DataFrame(rows, columns=["doc_id", "page", "text"])
+        for part in _bounded_batches(batches, batch_rows):
+            rows = []
+            for _, r in part.iterrows():
+                for i, text in enumerate(pages_fn(r[data_col])):
+                    rows.append((str(r[id_col]), i + 1, text))
+            yield pd.DataFrame(rows, columns=["doc_id", "page", "text"])
 
     return valid.select(id_col, data_col).mapInPandas(gen, schema=out_schema)
 

@@ -1093,9 +1093,6 @@ def _lit_term(col) -> Column:
     )
 
 
-_NULL_TERM_T = "struct<value:string,otype:string,dtype:string,lang:string>"
-
-
 def _eval_select(
     edges: DataFrame,
     q: Query,
@@ -1107,9 +1104,26 @@ def _eval_select(
     value columns; term_mode=True (nested subqueries) keeps the full
     term-struct encoding for projected variables — the outer group joins
     the subquery solution on shared variables comparing TERMS, not just
-    values — and wraps computed/aggregate projections as literal terms."""
+    values — and wraps computed/aggregate projections as literal terms.
+
+    Inside GRAPH ?g the subquery evaluates PER NAMED GRAPH (SPARQL 1.1
+    Graph(var, P): union over graphs gi of Join(eval(D(gi), P),
+    {var -> gi})): the graph variable joins the grouping keys, is carried
+    in the output, and LIMIT/OFFSET apply per graph."""
     c = _Compiler(edges, collection)
     sol = c.group(q.where, graph)
+
+    # GRAPH ?g around a subquery: make the per-graph semantics explicit —
+    # the graph var becomes an implicit group key + output column, and
+    # the slice modifiers become per-graph windows below
+    gvar = graph.name if isinstance(graph, Var) else None
+    if gvar and term_mode and gvar in sol.columns:
+        if not any(name == gvar for name, _ in q.projections):
+            q.projections = list(q.projections) + [(gvar, None)]
+        if gvar not in q.variables:
+            q.variables = list(q.variables) + [gvar]
+    else:
+        gvar = None
 
     # split projections into plain vars / computed / aggregates
     agg_specs: dict[str, tuple] = {}
@@ -1125,6 +1139,10 @@ def _eval_select(
         _collect_aggs(q.having, having_aggs)
         if having_aggs:
             has_agg = True
+
+    if gvar and has_agg and gvar not in q.group_by:
+        # per-graph aggregation: the graph var is an implicit group key
+        q.group_by = list(q.group_by) + [gvar]
 
     if has_agg:
         # pre-bind aggregate argument expressions to hidden vars
@@ -1214,9 +1232,11 @@ def _eval_select(
                              else F.col(f"{name}.value")).alias(name)
                         )
                     elif term_mode:
-                        proj_cols.append(
-                            F.lit(None).cast(_NULL_TERM_T).alias(name)
-                        )
+                        # a projected-but-never-bound variable stays
+                        # UNBOUND: omit the column so the outer natural
+                        # join treats it as compatible-with-anything (a
+                        # NULL struct would poison the inner equi-join)
+                        continue
                     else:
                         proj_cols.append(F.lit(None).cast("string").alias(name))
                 else:
@@ -1276,10 +1296,43 @@ def _eval_select(
             else:
                 keys.extend([num.asc_nulls_first(), col.asc()])
         out = out.orderBy(*keys)
-    if q.offset:
-        out = out.offset(q.offset)
-    if q.limit is not None:
-        out = out.limit(q.limit)
+    if q.offset or q.limit is not None:
+        if gvar is not None:
+            # slice PER GRAPH (Graph(var, P) evaluates P per named graph,
+            # so the subquery's LIMIT/OFFSET scope to one graph at a time)
+            from pyspark.sql import Window as _W
+
+            if q.order_by:
+                okeys = []
+                for e, d in q.order_by:
+                    if e[0] != "var" or e[1] not in out.columns:
+                        raise EvaluationError(
+                            "per-graph LIMIT needs projected variable "
+                            "ORDER BY comparators"
+                        )
+                    col = F.col(e[1])["value"]
+                    num = col.try_cast("double")
+                    okeys.extend(
+                        [num.desc_nulls_last(), col.desc()]
+                        if d == "desc"
+                        else [num.asc_nulls_first(), col.asc()]
+                    )
+            else:
+                okeys = [F.col(c2) for c2 in out.columns if c2 != gvar] or [
+                    F.lit(1)
+                ]
+            w = _W.partitionBy(F.col(gvar)).orderBy(*okeys)
+            out = out.withColumn("__rn", F.row_number().over(w))
+            lo = q.offset or 0
+            cond = F.col("__rn") > lo
+            if q.limit is not None:
+                cond = cond & (F.col("__rn") <= lo + q.limit)
+            out = out.where(cond).drop("__rn")
+        else:
+            if q.offset:
+                out = out.offset(q.offset)
+            if q.limit is not None:
+                out = out.limit(q.limit)
     return out
 
 
