@@ -67,7 +67,7 @@ def run_pipeline_bench(spark, sf: float, checkpointing: bool = True) -> tuple[fl
     return wall, n_turns
 
 
-def run_pipeline_bench_mem(spark, sf: float) -> tuple[float, int]:
+def run_pipeline_bench_mem(spark, sf: float) -> tuple[float, int, dict]:
     """Throughput-measurement variant: in-memory stage materialization
     (no per-stage parquet round-trips, no per-partition histograms;
     lineage/metrics still recorded) at ~30x the default bench corpus so

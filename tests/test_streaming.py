@@ -166,9 +166,10 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
+    out_rows = spark.sql("SELECT * FROM closed_sessions").collect()
     got = {
         (r.user_id, r.session_start, r.n_events, r.total_value)
-        for r in spark.sql("SELECT * FROM closed_sessions").collect()
+        for r in out_rows
     }
     # expected: per user, sessions 1 and 2 closed (4 events, 6.0 value each)
     expected = set()
@@ -176,6 +177,53 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
         for s in range(2):
             expected.add((u, base + s * 10_000, 4, 6.0))
     assert got == expected
+    # time-ordered delivery -> the straggler counter reads zero everywhere
+    assert all(r.n_dropped == 0 for r in out_rows)
+
+
+def test_sessionize_stream_counts_dropped_stragglers(spark, tmp_path):
+    """A cross-batch straggler (older than the state's last_ts) is dropped
+    from the session math — and the drop is OBSERVABLE via the n_dropped
+    column on the next closed session, not silent."""
+    from pyspark.sql import functions as F
+
+    from trustgraph_spark.streaming import sessionize_stream
+
+    t0 = 1_700_000_000
+    # batch 1: two in-session events; batch 2 leads with a straggler older
+    # than last_ts, then a gap-crossing event that closes session 1
+    batches = [
+        [("u1", t0), ("u1", t0 + 60)],
+        [("u1", t0 + 30), ("u1", t0 + 60 + 10_000)],
+    ]
+    src = str(tmp_path / "events_src")
+    for i, chunk in enumerate(batches):
+        spark.createDataFrame(
+            [(u, ts, 1.0) for (u, ts) in chunk],
+            "user_id string, epoch long, value double",
+        ).select(
+            "user_id", F.timestamp_seconds("epoch").alias("ts"), "value"
+        ).coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_sec=1800)
+        .writeStream.format("memory")
+        .queryName("straggler_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM straggler_sessions").collect()
+    assert [
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.n_dropped)
+        for r in rows
+    ] == [("u1", t0, t0 + 60, 2, 1)]
 
 
 def test_streaming_chunk_embeddings_matches_batch(spark, tmp_path):

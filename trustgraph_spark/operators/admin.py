@@ -152,12 +152,15 @@ def rerank(
     query_col: str = "query",
     text_col: str = "text",
     limit: int = 25,
-    max_input: int = 350,
+    max_input: int | None = 350,
     partition_col: str | None = None,
 ) -> DataFrame:
     """Score (query, text) pairs with the pluggable cross-encoder seam and
     keep the top `limit` per query (reference caps reranker input at 350
-    and returns edge_limit 25 — graph_rag.py:442-450).
+    and returns edge_limit 25 — graph_rag.py:442-450).  max_input=None
+    scores the whole pool uncapped — DocumentRAG's contract, where the
+    candidate pool is already bounded upstream (document_rag.py reranks
+    every fetched doc).
 
     partition_col: the per-query identity for the cap/limit windows
     (defaults to query_col).  Pass a query-ID column when two distinct
@@ -166,12 +169,15 @@ def rerank(
     scorer = scorer or OverlapReranker()
     part = partition_col or query_col
 
-    w_in = Window.partitionBy(part).orderBy(F.asc(text_col))
-    capped = (
-        candidates.withColumn("_rn", F.row_number().over(w_in))
-        .where(F.col("_rn") <= max_input)
-        .drop("_rn")
-    )
+    if max_input is None:
+        capped = candidates
+    else:
+        w_in = Window.partitionBy(part).orderBy(F.asc(text_col))
+        capped = (
+            candidates.withColumn("_rn", F.row_number().over(w_in))
+            .where(F.col("_rn") <= max_input)
+            .drop("_rn")
+        )
 
     @F.pandas_udf(T.DoubleType())
     def score_udf(q: pd.Series, t: pd.Series) -> pd.Series:

@@ -468,9 +468,15 @@ def document_rag_retrieve(
     silently, matching the reference's fetch failure path) -> optional
     cross-encoder rerank seam -> optional MMR diversity -> final
     doc_limit selection.  fetch-count derivation matches the reference
-    (document_rag.py:325-331): with a reranker, fetch_limit or
+    (document_rag.py:390-399): with a reranker (or MMR, which here can
+    run without one — an extension), fetch_limit or
     OVERFETCH_FACTOR*doc_limit (never below doc_limit); without, exactly
-    doc_limit.
+    doc_limit — fetch_limit is IGNORED, as in the reference.  In the
+    no-reranker/no-MMR path the reference hands the ENTIRE deduped
+    candidate list to synthesis with no final cut, so when
+    n_concepts > doc_limit (per-concept limit floors at 1) more than
+    doc_limit chunks come back; we reproduce that, including the
+    untruncated tail.
 
     Returns one row per selected chunk: (query_id, chunk_id, score,
     final_rank, text).  Feed to assemble_context for the per-query prompt
@@ -478,7 +484,10 @@ def document_rag_retrieve(
     if reranker is not None or diversity == "mmr":
         fetch_count = max(fetch_limit or OVERFETCH_FACTOR * doc_limit, doc_limit)
     else:
-        fetch_count = fetch_limit or doc_limit
+        # reference: fetch_count = doc_limit, byte-identical pre-reranker
+        # behaviour (document_rag.py:398-399) — an explicit fetch_limit is
+        # not consulted on this path
+        fetch_count = doc_limit
 
     if mode not in ("vector", "keyword", "hybrid"):
         raise ValueError(f"unknown retrieval mode {mode!r}")
@@ -540,13 +549,18 @@ def document_rag_retrieve(
 
         qtext = queries.select("query_id", F.col("query").alias("_q"))
         pairs = withtext.join(F.broadcast(qtext), "query_id")
+        # the reference reranks the WHOLE fetched pool (document_rag.py:436
+        # scores every doc; the 350-cap is a GraphRAG-only behaviour), so no
+        # max_input cap here — the pool is already bounded by fetch_count
+        # upstream except the n_concepts > fetch_count edge, where truncating
+        # before scoring would diverge
         reranked = rerank(
             pairs.drop("score", "rank"),
             scorer=reranker,
             query_col="_q",
             text_col="text",
             limit=fetch_count,
-            max_input=fetch_count,
+            max_input=None,
             partition_col="query_id",  # distinct queries may share text
         ).drop("_q")
         # rerank partitions by the query TEXT column; re-key on query_id
@@ -565,12 +579,16 @@ def document_rag_retrieve(
             F.col("mmr_rank").alias("final_rank"), "text",
         )
 
-    return (
-        withtext.where(F.col("rank") <= doc_limit)
-        .select(
-            "query_id", "chunk_id", "score",
-            F.col("rank").alias("final_rank"), "text",
-        )
+    if reranker is not None:
+        # rerank path without diversity: the reference asks the reranker for
+        # exactly doc_limit results (document_rag.py:430 rerank_limit)
+        withtext = withtext.where(F.col("rank") <= doc_limit)
+    # no-reranker path: ALL deduped candidates flow to synthesis untruncated
+    # (document_rag.py get_docs returns the full list; the only bound is
+    # fetch_count, already applied per arm)
+    return withtext.select(
+        "query_id", "chunk_id", "score",
+        F.col("rank").alias("final_rank"), "text",
     )
 
 

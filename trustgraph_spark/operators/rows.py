@@ -319,8 +319,11 @@ def rows_query(
     2. post-filter — every filter re-checked against the data map with
        the `field_op` suffix operators.
     3. limit in clustering order (index_value, row_id — the Cassandra
-       page order), THEN sort by the order_by field's string value
-       (service.py:350-358 sorts after fetch).
+       page order; a content tiebreaker — source + key-sorted data JSON —
+       keeps the cut deterministic even in append-log mode, where
+       duplicate (index_value, row_id) rows exist because the store was
+       built without upsert_order_col), THEN sort by the order_by field's
+       string value (service.py:350-358 sorts after fetch).
 
     Returns one string column per schema field (the reference's row_dict)
     plus source."""
@@ -362,7 +365,16 @@ def rows_query(
     matched = scan.where(cond)
 
     if limit:
-        matched = matched.orderBy("index_value", "row_id").limit(limit)
+        # (index_value, row_id) is unique only in upsert mode; append-log
+        # stores keep duplicate PK rows, so break ties on content (sorted
+        # map entries — map iteration order itself is not deterministic)
+        # to make the limit cut stable across runs
+        matched = matched.orderBy(
+            "index_value",
+            "row_id",
+            "source",
+            F.to_json(F.array_sort(F.map_entries("data"))),
+        ).limit(limit)
 
     out = matched.select(
         *[F.col("data").getItem(f["name"]).alias(f["name"]) for f in fields],

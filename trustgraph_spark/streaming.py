@@ -104,10 +104,11 @@ def start_chunk_embeddings_ingest(
 
 SESSION_OUT_SCHEMA = (
     "user_id string, session_start bigint, session_end bigint, "
-    "n_events bigint, total_value double"
+    "n_events bigint, total_value double, n_dropped bigint"
 )
 _SESSION_STATE_SCHEMA = (
-    "last_ts bigint, session_start bigint, n_events bigint, total_value double"
+    "last_ts bigint, session_start bigint, n_events bigint, "
+    "total_value double, n_dropped bigint"
 )
 
 
@@ -125,9 +126,13 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     stragglers) are dropped rather than allowed to move ``last_ts``
     backwards and mis-close sessions.  "Closed sessions match the batch
     result" therefore holds for time-ordered delivery across batches;
-    late stragglers are counted in ``dropped`` semantics (discarded), the
-    same bounded-lateness stance as a watermark of zero.  For a real
-    lateness bound, feed the stream through a watermark upstream.
+    late stragglers are discarded — the same bounded-lateness stance as
+    a watermark of zero — but NOT silently: each closed-session row
+    carries ``n_dropped``, the count of stragglers discarded for that
+    user since the previous emission, so batch/stream divergence is
+    observable in the output (sum(n_dropped) > 0) instead of appearing
+    only as missing value/counts.  For a real lateness bound, feed the
+    stream through a watermark upstream.
 
     events: a STREAMING DataFrame with (user_id, ts timestamp, value).
     Returns the stream of closed sessions."""
@@ -144,11 +149,12 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
         if state.exists:
-            last_ts, start, n, tot = state.get
+            last_ts, start, n, tot, dropped = state.get
         else:
             last_ts = None
             start = n = 0
             tot = 0.0
+            dropped = 0
         closed = []
         # one global sort over the group's whole micro-batch: events can
         # arrive split across multiple Arrow chunks in shuffle order, and
@@ -165,23 +171,28 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
                 # clamp cross-batch stragglers: an event older than the
                 # state's last_ts would move the session clock backwards
                 # and mis-close/miscount; drop it (watermark-zero stance)
+                # but COUNT it so the divergence surfaces in n_dropped
+                before = len(batch)
                 batch = batch[batch["ts"] >= last_ts]
+                dropped += before - len(batch)
             for ts, val in zip(batch["ts"], batch["value"]):
                 ts = int(ts)
                 if last_ts is not None and ts - last_ts > gap_sec:
-                    closed.append((user_id, start, last_ts, n, round(tot, 2)))
-                    start, n, tot = ts, 0, 0.0
+                    closed.append(
+                        (user_id, start, last_ts, n, round(tot, 2), dropped)
+                    )
+                    start, n, tot, dropped = ts, 0, 0.0, 0
                 elif last_ts is None:
                     start = ts
                 n += 1
                 tot += float(val)
                 last_ts = ts
-        state.update((last_ts, start, n, tot))
+        state.update((last_ts, start, n, tot, dropped))
         if closed:
             yield pd.DataFrame(
                 closed,
                 columns=["user_id", "session_start", "session_end",
-                         "n_events", "total_value"],
+                         "n_events", "total_value", "n_dropped"],
             )
 
     return prepped.groupBy("user_id").applyInPandasWithState(
