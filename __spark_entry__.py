@@ -1333,6 +1333,120 @@ def q_doc_rag_hybrid(spark, sf_dir):
     )
 
 
+_NLQ_NS = "http://example.org/"
+
+
+def _nlq_elements(spark):
+    """Ontology dimension for the NL-query gated entries — element texts
+    tuned (fixture-verified) so the question segments match exactly the
+    device class at cosine 1.0 and nothing else crosses the 0.6 query
+    threshold."""
+    return spark.createDataFrame(
+        [
+            ("kb", "class", "device", None, None, None, None, None, None),
+            ("kb", "class", "sensor", None, None, "device", None, None, None),
+            ("kb", "objectProperty", "connects", None, None, None,
+             "device", "sensor", "attached"),
+            ("kb", "objectProperty", "attached", None, None, None,
+             "sensor", "device", "connects"),
+            ("kb", "objectProperty", "linkswith", None, None, None,
+             "device", "sensor", None),
+            ("kb", "datatypeProperty", "sensorcount", None, "meter", None,
+             "device", None, None),
+        ],
+        "ontology_id string, element_type string, element_id string, "
+        "label string, comment string, subclass_of string, domain string, "
+        "range string, inverse_of string",
+    )
+
+
+def q_onto_match_query(spark, sf_dir):
+    """Query-variant ontology matcher (query/ontology/ontology_matcher.py):
+    the top_k=15 / threshold=0.6 parameterization of the OntoRAG subset
+    selector over question segments, plus the question-type enhancements —
+    RETRIEVAL adds domain-hit properties, RELATIONSHIP adds connecting
+    object properties (domain OR range), AGGREGATION adds count/number
+    datatype properties.  Three questions exercise all three branches
+    through the real embedding + broadcast-cosine + enhancement-join
+    path; the oracle is the analytically-derived selection."""
+    from trustgraph_spark.nlquery import match_question_to_ontology
+
+    elements = _nlq_elements(spark)
+    parts = []
+    for qid, question in [
+        ("ret", "find all Device"),
+        ("rel", "how is Device related to Sensor"),
+        ("agg", "count the Device readings"),
+    ]:
+        out = match_question_to_ontology(question, elements)
+        parts.append(out.withColumn("question_id", F.lit(qid)))
+    allq = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return allq.select(
+        "question_id", "ontology_id", "element_type", "element_id", "role",
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_nl2sparql_exec(spark, sf_dir):
+    """NL->SPARQL orchestration, executed-SPARQL leg (the triple-store
+    twin of graphql.structured_query; query/ontology/query_service.py
+    flow): question analysis -> query-variant ontology match -> the
+    deterministic retrieval template (sparql_generator.py:131-147) ->
+    execution through the Catalyst SPARQL engine over a typed+labelled
+    entity graph planted on the documents corpus.  Answer shaping and the
+    translator/error paths are pytest-gated (test_nlquery)."""
+    from trustgraph_spark.constants import RDF_TYPE
+    from trustgraph_spark.nlquery import nl_graph_query
+
+    d = _docs(spark, sf_dir)
+    ent = F.concat(F.lit(_NLQ_NS + "dev"), F.col("doc_id").cast("string"))
+    cls = F.when(F.col("doc_id") % 3 == 0, F.lit(_NLQ_NS + "sensor")).otherwise(
+        F.lit(_NLQ_NS + "device")
+    )
+    types = d.select(
+        F.lit("default").alias("collection"), F.lit("").alias("g"),
+        ent.alias("s"), F.lit(RDF_TYPE).alias("p"), cls.alias("o"),
+        F.lit("u").alias("otype"), F.lit("").alias("dtype"),
+        F.lit("").alias("lang"),
+    )
+    labels = d.select(
+        F.lit("default").alias("collection"), F.lit("").alias("g"),
+        ent.alias("s"), F.lit(RDF_LABEL).alias("p"),
+        F.concat(F.lit("device "), F.col("doc_id").cast("string")).alias("o"),
+        F.lit("l").alias("otype"), F.lit("").alias("dtype"),
+        F.lit("").alias("lang"),
+    )
+    edges = types.unionByName(labels)
+    out = nl_graph_query(
+        edges, _nlq_elements(spark), "find all Device", namespace=_NLQ_NS
+    )
+    assert out["metadata"].get("error") is None, out["metadata"]
+    return out["result"].select("entity", "label")
+
+
+def q_doc_rag_mmr_pool(spark, sf_dir):
+    """The SQL-expressible prefix of the MMR stage (rerank.py:92-106):
+    the dense candidate pool exactly as the doc_rag_mmr entry fetches it
+    (document_rag_candidates, fetch_count = max(fetch_limit=10,
+    doc_limit=5)) with per-query min-max normalized relevance.  Only the
+    greedy selection itself remains on the rows-only exception."""
+    from trustgraph_spark.operators.docrag import (
+        document_rag_candidates,
+        mmr_normalized_pool,
+    )
+
+    store, chunks = _rag_chunk_tables(spark, sf_dir)
+    queries_df = _rag_concept_queries(spark, sf_dir)
+    pool = mmr_normalized_pool(
+        document_rag_candidates(queries_df, store, chunks, fetch_count=10)
+    )
+    return pool.select(
+        "query_id", "chunk_id",
+        F.round("score", 4).alias("score"),
+        F.round("norm_score", 4).alias("norm_score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's CORRECTNESS snapshot covers the FIRST 50
     # registry entries (observed in r02 and r03).  Entries that have never had
@@ -1341,6 +1455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds of green driver history rotate to the back.
     return {
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
+        "onto_match_query": q_onto_match_query,
+        "nl2sparql_exec": q_nl2sparql_exec,
+        "doc_rag_mmr_pool": q_doc_rag_mmr_pool,
         "text_embed_bucket": q_text_embed_bucket,
         "term_reconstruct": q_term_reconstruct,
         "graph_embed_map": q_graph_embed_map,
@@ -2718,5 +2835,70 @@ FROM sel
 GROUP BY query_id
 """
     )
+
+    # query-variant ontology matcher: the analytically-derived selection —
+    # each question's segments match exactly the device class at cosine
+    # 1.0 (verified against a HashEmbedder replica at fixture-build time);
+    # enhancements follow the question type deterministically
+    sql["onto_match_query"] = """
+SELECT * FROM (VALUES
+  ('ret', 'kb', 'class', 'device', 'selected', 1.0),
+  ('ret', 'kb', 'objectProperty', 'connects', 'traversal', CAST(NULL AS DOUBLE)),
+  ('ret', 'kb', 'objectProperty', 'linkswith', 'traversal', CAST(NULL AS DOUBLE)),
+  ('ret', 'kb', 'datatypeProperty', 'sensorcount', 'traversal', CAST(NULL AS DOUBLE)),
+  ('rel', 'kb', 'class', 'device', 'selected', 1.0),
+  ('rel', 'kb', 'objectProperty', 'connects', 'traversal', CAST(NULL AS DOUBLE)),
+  ('rel', 'kb', 'objectProperty', 'linkswith', 'traversal', CAST(NULL AS DOUBLE)),
+  ('rel', 'kb', 'objectProperty', 'attached', 'traversal', CAST(NULL AS DOUBLE)),
+  ('agg', 'kb', 'class', 'device', 'selected', 1.0),
+  ('agg', 'kb', 'datatypeProperty', 'sensorcount', 'traversal', CAST(NULL AS DOUBLE))
+) AS t(question_id, ontology_id, element_type, element_id, role, score)
+"""
+
+    # NL->SPARQL executed leg: 'find all Device' compiles to the retrieval
+    # template (?entity rdf:type :device OPTIONAL label) over the planted
+    # typed graph — devices are the doc_id % 3 <> 0 rows
+    sql["nl2sparql_exec"] = """
+SELECT 'http://example.org/dev' || doc_id AS entity,
+       'device ' || doc_id AS label
+FROM documents
+WHERE doc_id % 3 <> 0
+"""
+
+    # MMR pool prefix: dense candidates at fetch_count=10 (per-concept 5,
+    # first-seen dedup), chunk-text join, per-query min-max normalization
+    # (all-equal -> 0.5)
+    sql["doc_rag_mmr_pool"] = """
+WITH store AS (SELECT 'c' || vec_id AS chunk_id, embedding AS vector FROM embeddings),
+chunks AS (SELECT 'c' || doc_id AS chunk_id, text FROM documents),
+cv AS (
+  SELECT 'q' || (vec_id // 2) AS query_id, (vec_id % 2)::INT AS concept_idx,
+         embedding AS qv
+  FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT cv.query_id, cv.concept_idx, s.chunk_id,
+         list_cosine_similarity(s.vector::DOUBLE[], cv.qv::DOUBLE[]) AS raw
+  FROM store s, cv
+), perc AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, concept_idx
+                                 ORDER BY raw DESC, chunk_id ASC) AS crank
+    FROM scored) WHERE crank <= 5
+), dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, chunk_id
+                                 ORDER BY concept_idx, crank) AS rn
+    FROM perc) WHERE rn = 1
+), pool AS (
+  SELECT d.query_id, d.chunk_id, d.raw
+  FROM dedup d JOIN chunks c USING (chunk_id)
+), mm AS (
+  SELECT query_id, min(raw) AS lo, max(raw) AS hi FROM pool GROUP BY 1
+)
+SELECT p.query_id, p.chunk_id, round(p.raw, 4) AS score,
+       round(CASE WHEN m.hi = m.lo THEN 0.5
+                  ELSE (p.raw - m.lo) / (m.hi - m.lo) END, 4) AS norm_score
+FROM pool p JOIN mm m USING (query_id)
+"""
 
     return sql

@@ -435,6 +435,96 @@ def mmr_select(
 # ---------------------------------------------------------------------------
 
 
+def document_rag_candidates(
+    queries: DataFrame,
+    store: DataFrame,
+    chunks: DataFrame,
+    fetch_count: int,
+    mode: str = "vector",
+    postings: DataFrame | None = None,
+    vector_weight: float = 1.0,
+    keyword_weight: float = 1.0,
+    embedder=None,
+    collection: str | None = "default",
+    chunk_id_col: str = "chunk_id",
+    chunk_text_col: str = "text",
+) -> DataFrame:
+    """The candidate-fetch prefix of the retrieve loop (the reference's
+    Query.get_docs up to fetch_chunk): dense per-concept matches / BM25 /
+    RRF-fused hybrid, then the chunk-text join.  Shared by
+    ``document_rag_retrieve`` and the MMR pool inspection path — both see
+    byte-identical candidates.  Returns (query_id, chunk_id, score, rank,
+    text)."""
+
+    def dense() -> DataFrame:
+        if "concept_vecs" in queries.columns:
+            cv = queries.select(
+                "query_id", F.explode("concept_vecs").alias("c")
+            ).select(
+                "query_id",
+                F.col("c.concept_idx").alias("concept_idx"),
+                F.col("c.query_vector").alias("query_vector"),
+            )
+        else:
+            concepts = (
+                queries.select("query_id", F.col("concepts").alias("cs"))
+                if "concepts" in queries.columns
+                else queries.select(
+                    "query_id", F.array(F.col("query")).alias("cs")
+                )
+            )
+            exploded = concepts.select(
+                "query_id",
+                F.posexplode("cs").alias("concept_idx", "concept_text"),
+            )
+            cv = embed_texts(
+                exploded, text_col="concept_text", out_col="query_vector",
+                embedder=embedder,
+            ).select("query_id", "concept_idx", "query_vector")
+        m = concept_vector_matches(
+            store, cv, fetch_limit=fetch_count, collection=collection
+        )
+        # rank for fusion = position in the first-seen candidate list
+        return m.select("query_id", "chunk_id", "score", F.col("pos").alias("rank"))
+
+    if mode == "vector":
+        cand = dense()
+    elif mode == "keyword":
+        cand = bm25_topk(postings, queries, limit=fetch_count)
+    else:
+        cand = rrf_fuse(
+            [dense(), bm25_topk(postings, queries, limit=fetch_count)],
+            [vector_weight, keyword_weight],
+            limit=fetch_count,
+        )
+
+    return cand.join(
+        chunks.select(
+            F.col(chunk_id_col).alias("chunk_id"),
+            F.col(chunk_text_col).alias("text"),
+        ),
+        "chunk_id",
+    )
+
+
+def mmr_normalized_pool(
+    candidates: DataFrame, score_col: str = "score"
+) -> DataFrame:
+    """The SQL-expressible prefix of the MMR stage: per-query min-max
+    score normalization (rerank.py:99-106; all-equal -> 0.5) as pure
+    window columns.  The greedy selection itself stays in ``mmr_select``
+    (inherently iterative — the sanctioned no-oracle exception); this
+    exposes the pool+relevance inputs it consumes so they CAN be oracled.
+    Adds ``norm_score`` to the candidate rows."""
+    w = Window.partitionBy("query_id")
+    lo = F.min(score_col).over(w)
+    hi = F.max(score_col).over(w)
+    norm = F.when(hi == lo, F.lit(0.5)).otherwise(
+        (F.col(score_col) - lo) / (hi - lo)
+    )
+    return candidates.withColumn("norm_score", norm)
+
+
 def document_rag_retrieve(
     queries: DataFrame,
     store: DataFrame,
@@ -494,54 +584,12 @@ def document_rag_retrieve(
     if mode in ("keyword", "hybrid") and postings is None:
         raise ValueError(f"retrieval_mode={mode!r} requires a keyword index")
 
-    def dense() -> DataFrame:
-        if "concept_vecs" in queries.columns:
-            cv = queries.select(
-                "query_id", F.explode("concept_vecs").alias("c")
-            ).select(
-                "query_id",
-                F.col("c.concept_idx").alias("concept_idx"),
-                F.col("c.query_vector").alias("query_vector"),
-            )
-        else:
-            concepts = (
-                queries.select("query_id", F.col("concepts").alias("cs"))
-                if "concepts" in queries.columns
-                else queries.select(
-                    "query_id", F.array(F.col("query")).alias("cs")
-                )
-            )
-            exploded = concepts.select(
-                "query_id",
-                F.posexplode("cs").alias("concept_idx", "concept_text"),
-            )
-            cv = embed_texts(
-                exploded, text_col="concept_text", out_col="query_vector",
-                embedder=embedder,
-            ).select("query_id", "concept_idx", "query_vector")
-        m = concept_vector_matches(
-            store, cv, fetch_limit=fetch_count, collection=collection
-        )
-        # rank for fusion = position in the first-seen candidate list
-        return m.select("query_id", "chunk_id", "score", F.col("pos").alias("rank"))
-
-    if mode == "vector":
-        cand = dense()
-    elif mode == "keyword":
-        cand = bm25_topk(postings, queries, limit=fetch_count)
-    else:
-        cand = rrf_fuse(
-            [dense(), bm25_topk(postings, queries, limit=fetch_count)],
-            [vector_weight, keyword_weight],
-            limit=fetch_count,
-        )
-
-    withtext = cand.join(
-        chunks.select(
-            F.col(chunk_id_col).alias("chunk_id"),
-            F.col(chunk_text_col).alias("text"),
-        ),
-        "chunk_id",
+    withtext = document_rag_candidates(
+        queries, store, chunks, fetch_count,
+        mode=mode, postings=postings,
+        vector_weight=vector_weight, keyword_weight=keyword_weight,
+        embedder=embedder, collection=collection,
+        chunk_id_col=chunk_id_col, chunk_text_col=chunk_text_col,
     )
 
     if reranker is not None:
