@@ -146,6 +146,55 @@ class OverlapReranker:
         return pd.Series([sc(q, t) for q, t in zip(queries, texts)], index=queries.index)
 
 
+class FlashRankReranker:
+    """Real-model adapter for the reference's flashrank cross-encoder
+    (reranker/flashrank/processor.py:18-58: ms-marco-MiniLM-L-12-v2 by
+    default, Ranker cached per process).  Same vectorized ``score``
+    contract as OverlapReranker, so it drops into rerank() unchanged:
+    pairs are grouped by query and scored through one RerankRequest per
+    query, as the reference's on_rerank does per request.
+
+    Lazy: only the model NAME pickles into Spark tasks; the Ranker loads
+    on first score() on each executor.  Requires ``flashrank`` (absent
+    from this image — raises ImportError at first use; test_real_models
+    skips unless importable)."""
+
+    #: processor.py:19 default_model
+    DEFAULT_MODEL = "ms-marco-MiniLM-L-12-v2"
+
+    def __init__(self, model_name: str = DEFAULT_MODEL):
+        self.model_name = model_name
+        self._ranker = None
+
+    def __getstate__(self):
+        return {"model_name": self.model_name}
+
+    def __setstate__(self, state):
+        self.model_name = state["model_name"]
+        self._ranker = None
+
+    def score(self, queries: pd.Series, texts: pd.Series) -> pd.Series:
+        if self._ranker is None:
+            from flashrank import Ranker
+
+            self._ranker = Ranker(model_name=self.model_name)
+        from flashrank import RerankRequest
+
+        out = pd.Series(0.0, index=queries.index)
+        df = pd.DataFrame({"q": queries.fillna(""), "t": texts.fillna("")})
+        for q, grp in df.groupby("q", sort=False):
+            req = RerankRequest(
+                query=q,
+                passages=[
+                    {"id": int(i), "text": t}
+                    for i, t in zip(grp.index, grp["t"])
+                ],
+            )
+            for r in self._ranker.rerank(req):
+                out.loc[int(r["id"])] = float(r["score"])
+        return out
+
+
 def rerank(
     candidates: DataFrame,
     scorer=None,

@@ -56,6 +56,44 @@ class HashEmbedder:
         return out / norms
 
 
+class FastEmbedEmbedder:
+    """Real-model adapter for the reference's fastembed text embedder
+    (embeddings/fastembed/processor.py:18-58: MiniLM-L6-v2 by default,
+    model cached per process).  Same vectorized ``embed`` contract as
+    HashEmbedder, so it drops into embed_texts unchanged.
+
+    Lazy: only the model NAME pickles into Spark tasks; the TextEmbedding
+    model loads on the first embed() call on each executor and is cached
+    on the instance — the per-executor reuse embed_texts already provides.
+    Requires the ``fastembed`` package (absent from this image — the
+    adapter raises ImportError at first use, and test_real_models skips
+    unless it is importable)."""
+
+    #: processor.py:18 default_model
+    DEFAULT_MODEL = "sentence-transformers/all-MiniLM-L6-v2"
+    #: MiniLM-L6-v2 output width — the contract the store schema assumes
+    DIM = 384
+
+    def __init__(self, model_name: str = DEFAULT_MODEL):
+        self.model_name = model_name
+        self._model = None
+
+    def __getstate__(self):
+        return {"model_name": self.model_name}
+
+    def __setstate__(self, state):
+        self.model_name = state["model_name"]
+        self._model = None
+
+    def embed(self, texts: pd.Series) -> np.ndarray:
+        if self._model is None:
+            from fastembed import TextEmbedding
+
+            self._model = TextEmbedding(model_name=self.model_name)
+        vecs = list(self._model.embed(list(texts.fillna(""))))
+        return np.asarray(vecs, dtype=np.float32)
+
+
 def embed_texts(
     df: DataFrame,
     text_col: str = "context",
