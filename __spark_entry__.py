@@ -1184,8 +1184,9 @@ def q_sparql_path_star(spark, sf_dir):
 def q_graphql_rows(spark, sf_dir):
     """GraphQL query surface (query/graphql): a parsed GraphQL document
     with a variable, nested where-filter objects (eq/gte/lt/endsWith),
-    order_by and limit, compiled to the rows-store query path with typed
-    output columns (age: integer -> bigint)."""
+    order_by and limit, a fragment spread resolving the selection set,
+    compiled to the rows-store query path with typed output columns
+    (age: integer -> bigint)."""
     from trustgraph_spark.graphql import graphql_rows_query
     from trustgraph_spark.operators.extract_extras import validate_rows
     from trustgraph_spark.operators.rows import rows_store
@@ -1206,7 +1207,8 @@ def q_graphql_rows(spark, sf_dir):
         {"person": fields},
         "query Q($c: String) { person(where: {city: {eq: $c}, "
         'age: {gte: 10, lt: 70}, name: {endsWith: "3"}}, '
-        'order_by: "age", limit: 500) { name city age } }',
+        'order_by: "age", limit: 500) { ...cols } } '
+        "fragment cols on Person { name city age }",
         variables={"c": "b"},
     )
     return out["person"]

@@ -234,3 +234,84 @@ def test_fractional_limit_rejected(store):
     # integral float is fine (GraphQL Int coercion accepts 3.0)
     out = graphql_rows_query(store, SCHEMAS, "{ product(limit: 3.0) { sku } }")
     assert out["product"].count() == 3
+
+
+# --- fragments (strawberry/graphql-core behavior) ---------------------------
+
+
+def test_fragment_spread_parses_and_merges():
+    q = parse_graphql(
+        """
+        query { product { ...ids name } }
+        fragment ids on Product { sku name }
+        """
+    )
+    # field merging: first-occurrence order, duplicate 'name' collapsed
+    assert q.selections[0].fields == ["sku", "name"]
+
+
+def test_fragment_defined_before_operation_and_nested():
+    q = parse_graphql(
+        """
+        fragment core on product { sku ...more }
+        fragment more on PRODUCT { price qty }
+        { product { ...core } }
+        """
+    )
+    assert q.selections[0].fields == ["sku", "price", "qty"]
+
+
+def test_inline_fragment():
+    q = parse_graphql("{ product { ... on Product { sku price } name } }")
+    assert q.selections[0].fields == ["sku", "price", "name"]
+
+
+def test_fragment_validation_errors():
+    with pytest.raises(GraphQLError, match="unknown fragment"):
+        parse_graphql("{ product { ...nope } }")
+    with pytest.raises(GraphQLError, match="never used"):
+        parse_graphql(
+            "{ product { sku } } fragment unused on Product { name }"
+        )
+    with pytest.raises(GraphQLError, match="cycle"):
+        parse_graphql(
+            """
+            { product { ...a } }
+            fragment a on Product { ...b }
+            fragment b on Product { ...a }
+            """
+        )
+    with pytest.raises(GraphQLError, match="duplicate fragment"):
+        parse_graphql(
+            """
+            { product { ...a } }
+            fragment a on Product { sku }
+            fragment a on Product { name }
+            """
+        )
+    # type condition must match the enclosing root field's schema
+    with pytest.raises(GraphQLError, match="cannot be spread"):
+        parse_graphql(
+            "{ product { ...c } } fragment c on Customer { sku }"
+        )
+    with pytest.raises(GraphQLError, match="not supported at the root"):
+        parse_graphql(
+            "{ ...r } fragment r on Query { product { sku } }"
+        )
+
+
+def test_fragment_execution_against_store(store):
+    out = graphql_rows_query(
+        store,
+        SCHEMAS,
+        """
+        query {
+          product(where: {price: {gt: 50}}, order_by: "name") {
+            ...cols
+          }
+        }
+        fragment cols on Product { sku price }
+        """,
+    )
+    rows = out["product"].collect()
+    assert [(r.sku, r.price) for r in rows] == [("s2", 120.0), ("s4", 80.0)]

@@ -23,6 +23,15 @@ Like the reference, one executed document can select several root
 fields; the result is {field_alias: DataFrame}.  Variables ($x) are
 substituted from the ``variables`` dict (service.py passes
 variable_values through to strawberry's execute).
+
+Fragment spreads and inline fragments are accepted inside a field's
+selection set, as the strawberry layer accepts them: ``fragment F on
+Product { sku }`` + ``{ product { ...F } }``, and ``... on Product {
+sku }``.  Fragments may be defined anywhere in the document, nest into
+other fragments, and expand with GraphQL field merging
+(first-occurrence order, duplicates collapsed); type conditions must
+match the enclosing root field's schema, unknown/unused/cyclic
+fragments are errors (graphql-core validation behavior).
 """
 
 from __future__ import annotations
@@ -90,6 +99,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<name>[_A-Za-z][_0-9A-Za-z]*)
   | (?P<var>\$[_A-Za-z][_0-9A-Za-z]*)
+  | (?P<spread>\.\.\.)
   | (?P<punct>[{}()\[\]:!=])
     """,
     re.VERBOSE,
@@ -126,6 +136,22 @@ class Selection:
 
 
 @dataclass
+class _FragmentSpread:
+    """...name inside a field selection set (resolved after parsing so
+    fragments may be defined anywhere in the document)."""
+
+    name: str
+
+
+@dataclass
+class _InlineFragment:
+    """... on Type { fields } — items may nest further spreads."""
+
+    on_type: str | None
+    items: list
+
+
+@dataclass
 class GqlQuery:
     selections: list
 
@@ -150,6 +176,33 @@ class _Parser:
             raise GraphQLError(f"expected {text!r}, got {val!r}")
 
     def parse(self) -> GqlQuery:
+        # executable document: one query operation + any number of
+        # fragment definitions, in any order (the strawberry layer accepts
+        # fragment spreads — graphql-core ExecutableDefinitions)
+        self.fragments: dict[str, tuple[str | None, list]] = {}
+        sels = None
+        while self.peek()[0] != "eof":
+            kind, val = self.peek()
+            if kind == "name" and val == "fragment":
+                self._fragment_definition()
+            elif (kind == "name" and val in ("query", "mutation", "subscription")) or val == "{":
+                if sels is not None:
+                    raise GraphQLError("multiple operations not supported")
+                sels = self._operation()
+            else:
+                raise GraphQLError(f"unexpected token {val!r} at top level")
+        if sels is None:
+            raise GraphQLError("document contains no query operation")
+        used: set[str] = set()
+        for sel in sels:
+            sel.fields = self._expand_fields(sel.fields, sel.name, used, ())
+        # graphql-core validation: defined-but-unused fragments are errors
+        unused = sorted(set(self.fragments) - used)
+        if unused:
+            raise GraphQLError(f"fragment(s) never used: {unused}")
+        return GqlQuery(sels)
+
+    def _operation(self) -> list:
         kind, val = self.peek()
         # optional 'query [Name] [(vardefs)]' header
         if kind == "name" and val in ("query", "mutation", "subscription"):
@@ -165,16 +218,37 @@ class _Parser:
                 while self.peek()[1] != ")":
                     self.next()
                 self.next()
-        sels = self._selection_set(root=True)
-        if self.peek()[0] != "eof":
-            raise GraphQLError(f"trailing input at {self.peek()[1]!r}")
-        return GqlQuery(sels)
+        return self._selection_set(root=True)
+
+    def _fragment_definition(self):
+        """fragment Name on Type { field selections }"""
+        self.next()  # 'fragment'
+        kind, name = self.next()
+        if kind != "name" or name == "on":
+            raise GraphQLError(f"bad fragment name {name!r}")
+        if name in self.fragments:
+            raise GraphQLError(f"duplicate fragment {name!r}")
+        self.expect("on")
+        kind2, on_type = self.next()
+        if kind2 != "name":
+            raise GraphQLError(f"bad fragment type condition {on_type!r}")
+        items = self._field_items()
+        self.fragments[name] = (on_type, items)
 
     def _selection_set(self, root: bool = False) -> list:
         self.expect("{")
         sels = []
         while self.peek()[1] != "}":
             kind, val = self.next()
+            if kind == "spread":
+                if root:
+                    # root-level spreads would select whole root fields;
+                    # the dynamic row schema has no use for them
+                    raise GraphQLError(
+                        "fragment spreads are not supported at the root; "
+                        "spread them inside a field's selection set"
+                    )
+                raise GraphQLError("internal: spread outside _field_items")
             if kind != "name":
                 raise GraphQLError(f"expected field name, got {val!r}")
             alias = name = val
@@ -191,13 +265,84 @@ class _Parser:
             if self.peek()[1] == "{":
                 if not root:
                     raise GraphQLError("nested selection sets not supported")
-                inner = self._selection_set()
-                fields = [s.name for s in inner]
+                fields = self._field_items()
             elif root:
                 raise GraphQLError(f"root field {name!r} needs a selection set")
             sels.append(Selection(name=name, alias=alias, args=args, fields=fields))
         self.next()  # consume }
         return sels
+
+    def _field_items(self) -> list:
+        """A field-level selection set: column names, ...spreads, and
+        inline fragments (... on Type { ... })."""
+        self.expect("{")
+        items: list = []
+        while self.peek()[1] != "}":
+            kind, val = self.next()
+            if kind == "spread":
+                k2, v2 = self.next()
+                if k2 == "name" and v2 == "on":
+                    k3, on_type = self.next()
+                    if k3 != "name":
+                        raise GraphQLError(
+                            f"bad inline-fragment type {on_type!r}"
+                        )
+                    items.append(_InlineFragment(on_type, self._field_items()))
+                elif k2 == "name":
+                    items.append(_FragmentSpread(v2))
+                else:
+                    raise GraphQLError(f"expected fragment name, got {v2!r}")
+            elif kind == "name":
+                items.append(val)
+            else:
+                raise GraphQLError(f"expected field name, got {val!r}")
+        self.next()  # consume }
+        return items
+
+    def _expand_fields(
+        self, items: list, schema_name: str, used: set, stack: tuple
+    ) -> list:
+        """Resolve spreads/inline fragments to a flat field-name list —
+        first-occurrence order with duplicate merge (GraphQL field
+        merging).  Type conditions must match the root field's schema
+        (case-insensitive — the dynamic schema derives its type names
+        from the RowSchema name), as strawberry's validation enforces."""
+        out: list[str] = []
+
+        def add(name: str):
+            if name not in out:
+                out.append(name)
+
+        def check_type(on_type: str | None, what: str):
+            if on_type is not None and on_type.lower() != schema_name.lower():
+                raise GraphQLError(
+                    f"{what} on type {on_type!r} cannot be spread in the "
+                    f"{schema_name!r} selection"
+                )
+
+        def walk(its: list, stack: tuple):
+            for it in its:
+                if isinstance(it, str):
+                    add(it)
+                elif isinstance(it, _InlineFragment):
+                    check_type(it.on_type, "inline fragment")
+                    walk(it.items, stack)
+                elif isinstance(it, _FragmentSpread):
+                    if it.name not in self.fragments:
+                        raise GraphQLError(f"unknown fragment {it.name!r}")
+                    if it.name in stack:
+                        raise GraphQLError(
+                            f"fragment cycle: {' -> '.join(stack + (it.name,))}"
+                        )
+                    used.add(it.name)
+                    on_type, body = self.fragments[it.name]
+                    check_type(on_type, f"fragment {it.name!r}")
+                    walk(body, stack + (it.name,))
+                else:  # pragma: no cover - parser emits only the above
+                    raise GraphQLError(f"bad selection item {it!r}")
+
+        walk(items, stack)
+        return out
 
     def _arguments(self) -> dict:
         self.expect("(")
