@@ -131,10 +131,16 @@ def ngram_jaccard_pairs_prefix(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int = 1000,
+    counters: dict | None = None,
 ) -> DataFrame:
     """Exact-Jaccard near-dup pairs with AllPairs/PPJoin prefix filtering
     (Bayardo et al., WWW'07) — the 100x-scale path for the same result set
     as ngram_jaccard_pairs (asserted equal in tests).
+
+    counters: pass a dict to record ``candidate_pairs`` (the post-filter
+    pre-verification candidate count — the quantity whose growth rate
+    proves the prefix filter scales; forces an extra checkpoint+count, so
+    bench/diagnostics only).
 
     Candidate generation indexes only each document's PREFIX: with shingles
     globally ordered by ascending document frequency (rarest first), a pair
@@ -234,6 +240,9 @@ def ngram_jaccard_pairs_prefix(
         )
         .distinct()
     )
+    if counters is not None:
+        cand = cand.localCheckpoint()
+        counters["candidate_pairs"] = cand.count()
 
     sets = docs_arr.select(F.col(id_col), "sh_sorted", "sz")
     verified = (
