@@ -1,0 +1,269 @@
+"""Service-side NL-query kernels (trustgraph_spark.nlservice): backend
+routing, SPARQL optimization (verified through the real engine), result
+cache, and question-language detection.
+
+Parity model: query/ontology/backend_router.py, query_optimizer.py
+(SPARQL arm), cache.py InMemoryCache, multi_language.py rule fallback."""
+
+import pytest
+
+from trustgraph_spark.constants import RDF_LABEL, RDF_TYPE
+from trustgraph_spark.nlquery import analyze_question, generate_sparql
+from trustgraph_spark.nlservice import (
+    BackendRouter,
+    BackendType,
+    OptimizationHint,
+    OptimizationStrategy,
+    QueryOptimizer,
+    QueryResultCache,
+    detect_question_language,
+)
+
+NS = "http://example.org/"
+TRIPLES_DDL = (
+    "collection string, g string, s string, p string, o string, "
+    "otype string, dtype string, lang string"
+)
+
+
+# --- backend routing --------------------------------------------------------
+
+
+def test_priority_routing_defaults_to_cassandra_sparql():
+    r = BackendRouter({})
+    route = r.route_query(analyze_question("find all Device"), [])
+    assert route.backend_type == BackendType.CASSANDRA
+    assert route.query_language == "sparql"
+    assert route.confidence == 1.0
+    assert "Priority" in route.reasoning
+
+
+def test_priority_routing_prefers_primary_over_fallback():
+    r = BackendRouter({"primary": "neo4j", "fallback": ["cassandra"]})
+    route = r.route_query(analyze_question("find all Device"), [])
+    assert route.backend_type == BackendType.NEO4J
+    assert route.query_language == "cypher"
+    # disabling the primary falls through to the fallback
+    r.update_backend_status(BackendType.NEO4J, False)
+    assert r.route_query(
+        analyze_question("x"), []
+    ).backend_type == BackendType.CASSANDRA
+
+
+def test_adaptive_routing_heuristics():
+    r = BackendRouter({
+        "primary": "cassandra", "fallback": ["neo4j"],
+        "routing_strategy": "adaptive",
+    })
+    # relationship question + extracted relationships favour cypher:
+    # cassandra = 1.0 (priority) vs neo4j = 0.5 + 0.3 + 0.2 + 0.2(small) = 1.0
+    # -> tie broken by insertion order (primary first), as the reference's
+    # max() over dict keys does
+    rel = analyze_question("how is Alice related to Bob")
+    route = r.route_query(rel, [{}])
+    assert route.backend_type == BackendType.CASSANDRA
+
+    # with equal priorities the heuristics decide
+    r2 = BackendRouter({
+        "primary": "neo4j", "fallback": ["cassandra"],
+        "routing_strategy": "adaptive",
+    })
+    agg = analyze_question("count the Devices")
+    # neo4j: 1.0 + 0 + 0.2(small subset) + 0.2(agg) = capped 1.0
+    # cassandra: 0.5 + 0.3(aggregation) + 0 + 0.1 = 0.9
+    route2 = r2.route_query(agg, [{}])
+    assert route2.backend_type == BackendType.NEO4J
+
+
+def test_fallback_route_and_no_backends():
+    r = BackendRouter({"primary": "cassandra", "fallback": ["memgraph"]})
+    fb = r.get_fallback_route(BackendType.CASSANDRA)
+    assert fb.backend_type == BackendType.MEMGRAPH
+    assert fb.confidence == 0.7
+    assert BackendRouter({"primary": "cassandra", "enable_fallback": False}
+                         ).get_fallback_route(BackendType.CASSANDRA) is None
+    r.update_backend_status(BackendType.CASSANDRA, False)
+    r.update_backend_status(BackendType.MEMGRAPH, False)
+    with pytest.raises(RuntimeError):
+        r.route_query(analyze_question("x"), [])
+    # unknown backend names are skipped, not fatal
+    assert BackendRouter({"primary": "oracle"}).backends == {}
+
+
+# --- SPARQL optimization ----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def opt():
+    return QueryOptimizer()
+
+
+@pytest.fixture(scope="module")
+def device_edges(spark):
+    rows = []
+    for i in range(3):
+        rows.append(("default", "", f"{NS}dev{i}", RDF_TYPE, f"{NS}device",
+                     "u", "", ""))
+        if i < 2:  # one device without a label exercises OPTIONAL
+            rows.append(("default", "", f"{NS}dev{i}", RDF_LABEL,
+                         f"device {i}", "l", "", ""))
+    df = spark.createDataFrame(rows, TRIPLES_DDL).cache()
+    df.count()
+    return df
+
+
+def _retrieval_gen(subset):
+    return generate_sparql(analyze_question("find all Device"), subset,
+                           namespace=NS)
+
+
+def test_optional_motion_keeps_results_and_validity(spark, opt, device_edges):
+    from trustgraph_spark.sparql import sparql_select
+
+    sub = {"classes": {"device": {}}}
+    gen = _retrieval_gen(sub)
+    hint = OptimizationHint(strategy=OptimizationStrategy.PERFORMANCE)
+    out, plan = opt.optimize_sparql(gen, analyze_question("find all Device"),
+                                    sub, hint)
+    assert "Moved OPTIONAL clauses to end" in " ".join(plan.optimization_notes)
+    assert "type_index" in plan.index_hints
+    # the rewritten query still parses AND returns the same bindings —
+    # the reference inserts the moved OPTIONAL outside the WHERE group,
+    # which would fail right here
+    before = {tuple(r) for r in sparql_select(device_edges, gen.query).collect()}
+    after = {tuple(r) for r in sparql_select(device_edges, out.query).collect()}
+    assert before == after and len(before) == 3
+
+
+def test_limit_injection_and_execution(spark, opt, device_edges):
+    from trustgraph_spark.sparql import sparql_select
+
+    sub = {"classes": {"device": {}}}
+    gen = _retrieval_gen(sub)
+    hint = OptimizationHint(
+        strategy=OptimizationStrategy.PERFORMANCE, max_results=2
+    )
+    out, plan = opt.optimize_sparql(gen, analyze_question("find all Device"),
+                                    sub, hint)
+    assert out.query.rstrip().endswith("LIMIT 2")
+    assert sparql_select(device_edges, out.query).count() == 2
+    # already-limited queries are left alone
+    again, _ = opt.optimize_sparql(out, analyze_question("find all Device"),
+                                   sub, hint)
+    assert again.query.upper().count("LIMIT") == 1
+
+
+def test_accuracy_distinct_and_type_constraint(spark, opt, device_edges):
+    from trustgraph_spark.nlquery import GeneratedSPARQL
+    from trustgraph_spark.sparql import sparql_select
+
+    # a hand-written query with ?entity but no type constraint
+    q = (
+        f"PREFIX : <{NS}>\n"
+        "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>\n"
+        "SELECT ?entity WHERE {\n  ?entity ?p ?o .\n}"
+    )
+    gen = GeneratedSPARQL(q, ["entity"], "SELECT", "hand", 0.2)
+    comp = analyze_question("find all Device")
+    sub = {"classes": {"device": {}, "sensor": {}}}
+    hint = OptimizationHint(strategy=OptimizationStrategy.ACCURACY)
+    out, plan = opt.optimize_sparql(gen, comp, sub, hint)
+    assert "?entity rdf:type :device ." in out.query
+    assert "SELECT DISTINCT" in out.query
+    # executes: only typed devices survive, deduped
+    got = {r.entity for r in sparql_select(device_edges, out.query).collect()}
+    assert got == {f"{NS}dev{i}" for i in range(3)}
+
+
+def test_cost_model_monotonic(opt):
+    simple = "SELECT ?s WHERE {\n ?s ?p ?o .\n}"
+    complex_q = (
+        "SELECT ?s WHERE {\n ?s ?p ?o .\n ?o ?q ?r .\n"
+        " OPTIONAL { ?s ?x ?y }\n FILTER(?s > 1)\n}"
+    )
+    sub = {"classes": {}}
+    assert opt.estimate_sparql_cost(complex_q, sub) > opt.estimate_sparql_cost(
+        simple, sub
+    )
+    big_sub = {"classes": {f"c{i}": {} for i in range(50)}}
+    assert opt.estimate_sparql_cost(simple, big_sub) > opt.estimate_sparql_cost(
+        simple, sub
+    )
+
+
+def test_cache_policy_and_key(opt):
+    hint = OptimizationHint(strategy=OptimizationStrategy.BALANCED)
+    assert opt.should_use_cache("q", analyze_question("find all Device"), hint)
+    assert opt.should_use_cache(
+        "SELECT (COUNT(?x) AS ?c) ...", analyze_question("count the Devices"),
+        hint,
+    )
+    assert not opt.should_use_cache(
+        "q", analyze_question("compare A versus B better than C"), hint
+    )
+    assert not opt.should_use_cache(
+        "q", analyze_question("find all Device"),
+        OptimizationHint(strategy=OptimizationStrategy.BALANCED,
+                         cache_results=False),
+    )
+    sub = {"classes": {"b": {}, "a": {}}, "object_properties": {"p": {}}}
+    k1 = opt.get_cache_key("SELECT ?s WHERE { ?s ?p ?o }", sub)
+    k2 = opt.get_cache_key("  SELECT ?s WHERE { ?s ?p ?o }  ", sub)
+    assert k1 == k2 and len(k1) == 32  # strip-stable md5
+    assert k1 != opt.get_cache_key("SELECT ?s WHERE { ?s ?p ?o }",
+                                   {"classes": {"a": {}}})
+
+
+# --- result cache -----------------------------------------------------------
+
+
+def test_cache_ttl_eviction_stats():
+    now = [0.0]
+    c = QueryResultCache(max_size=2, default_ttl=10, clock=lambda: now[0])
+    c.set("a", 1)
+    c.set("b", 2)
+    assert c.get("a") == 1  # touches 'a' -> 'b' becomes LRU
+    c.set("c", 3)  # evicts 'b'
+    assert c.get("b") is None
+    assert c.get("c") == 3
+    assert c.stats.evictions == 1
+    now[0] = 11.0  # past TTL
+    assert c.get("a") is None
+    assert c.stats.hits == 2 and c.stats.misses == 2
+    assert c.stats.hit_rate == 0.5
+    c.set("d", 4, ttl_seconds=100)
+    now[0] = 50.0
+    assert c.get("d") == 4
+    assert c.delete("d") and not c.delete("d")
+
+
+# --- language detection -----------------------------------------------------
+
+
+def test_language_detection_rules():
+    assert detect_question_language("¿cuántos sensores hay y dónde están?")[0] == "es"
+    lang, conf = detect_question_language("wann und wo war das, warum?")
+    assert lang == "de" and conf == min(0.8, 3 / 3.0)
+    assert detect_question_language("how many sensors are there") == ("en", 0.1)
+
+
+def test_optimizer_wired_into_nl_graph_query(spark, device_edges):
+    from trustgraph_spark.nlquery import nl_graph_query
+
+    elements = spark.createDataFrame(
+        [("kb", "class", "device", None, None, None, None, None, None)]
+        + [("kb", "class", f"pad{i}", None, None, None, None, None, None)
+           for i in range(4)],
+        "ontology_id string, element_type string, element_id string, "
+        "label string, comment string, subclass_of string, domain string, "
+        "range string, inverse_of string",
+    )
+    out = nl_graph_query(
+        device_edges, elements, "find all Device", namespace=NS,
+        optimizer_hint=OptimizationHint(
+            strategy=OptimizationStrategy.PERFORMANCE, max_results=2
+        ),
+    )
+    plan = out["metadata"]["query_plan"]
+    assert "Added LIMIT 2" in " ".join(plan.optimization_notes)
+    assert out["result"].count() == 2

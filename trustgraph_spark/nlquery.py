@@ -822,6 +822,7 @@ def nl_graph_query(
     similarity_threshold: float = QUERY_SIMILARITY_THRESHOLD,
     collection: str | None = None,
     answer_rows_limit: int = 1000,
+    optimizer_hint=None,
 ) -> dict:
     """NL question over the triple store, end to end — the triple-store
     twin of ``graphql.structured_query`` (query_service.py:144-242 order:
@@ -830,6 +831,9 @@ def nl_graph_query(
     1. deterministic question analysis
     2. query-variant ontology matching (top_k 15 / threshold 0.6)
     3. template-first SPARQL generation with the ``translator`` LLM seam
+       (+ the nlservice.QueryOptimizer pass when ``optimizer_hint`` is an
+       OptimizationHint — LIMIT/OPTIONAL/DISTINCT/type-constraint
+       rewrites, query_optimizer.py)
     4. execution through ``sparql_select`` (a full Catalyst plan over the
        distributed edges table — the data-plane leg)
     5. template answer shaping
@@ -849,6 +853,13 @@ def nl_graph_query(
         subset = subset_to_dicts(subset_df, elements)
         gen = generate_sparql(comp, subset, namespace=namespace,
                               translator=translator)
+        plan = None
+        if optimizer_hint is not None:
+            from .nlservice import QueryOptimizer
+
+            gen, plan = QueryOptimizer().optimize_sparql(
+                gen, comp, subset, optimizer_hint
+            )
         result = sparql_select(edges, gen.query, collection=collection)
         if gen.query_type == "ASK":
             ask = bool(result.collect()[0]["ask"])
@@ -873,6 +884,7 @@ def nl_graph_query(
                 "backend_used": "spark",
                 "query_language": "sparql",
                 "query_type": gen.query_type,
+                **({"query_plan": plan} if plan is not None else {}),
             },
         }
     except Exception as e:  # error shaping per query_service.py:220-242
