@@ -267,3 +267,94 @@ def test_optimizer_wired_into_nl_graph_query(spark, device_edges):
     plan = out["metadata"]["query_plan"]
     assert "Added LIMIT 2" in " ".join(plan.optimization_notes)
     assert out["result"].count() == 2
+
+
+# --- query explanation ------------------------------------------------------
+
+
+def _explain_inputs():
+    from trustgraph_spark.nlquery import GeneratedSPARQL
+
+    comp = analyze_question("find all Device")
+    subsets = [{
+        "ontology_id": "kb",
+        "classes": {"device": {}, "sensor": {}},
+        "object_properties": {"connects": {}},
+        "datatype_properties": {},
+    }]
+    gen = GeneratedSPARQL("SELECT ?entity WHERE { ?entity ?p ?o }",
+                          ["entity"], "SELECT", "tmpl", 0.3)
+    rows = [{"entity": f"e{i}"} for i in range(7)]
+    return comp, subsets, gen, rows
+
+
+def test_explainer_detailed_steps_and_confidence():
+    from trustgraph_spark.nlservice import QueryExplainer
+
+    comp, subsets, gen, rows = _explain_inputs()
+    exp = QueryExplainer().explain(
+        "find all Device", comp, subsets, gen, rows,
+        "The device are: ...", {"backend_used": "spark"},
+    )
+    assert len(exp.processing_steps) == 5
+    assert [s.component for s in exp.processing_steps] == [
+        "question_analyzer", "ontology_matcher", "query_generator",
+        "query_executor", "answer_generator",
+    ]
+    assert "retrieval query about Device" in exp.processing_steps[0].explanation
+    assert "found 3 relevant concepts" in exp.processing_steps[1].explanation
+    assert "SELECT query using SPARQL" in exp.processing_steps[2].explanation
+    # confidence: 0.8 base + 0.1 (results) + 0.05 (>5) + 0.05 (entities)
+    # + 0.05 (success) capped at 1.0
+    assert exp.confidence_score == 1.0
+    assert exp.ontologies_used == ["kb"]
+    # reasoning chain: entity + ontology + strategy + confidence
+    assert any("'Device' as a key concept" in r for r in exp.reasoning_chain)
+    assert any("'kb' ontology" in r for r in exp.reasoning_chain)
+    assert any("retrieval query approach" in r for r in exp.reasoning_chain)
+    assert exp.user_friendly_explanation.endswith("The answer is: The device are: ...")
+
+
+def test_explainer_levels_and_formats():
+    from trustgraph_spark.nlservice import QueryExplainer, format_explanation
+
+    comp, subsets, gen, rows = _explain_inputs()
+    basic = QueryExplainer({"explanation_level": "basic"}).explain(
+        "find all Device", comp, subsets, gen, rows, "A", {}
+    )
+    assert basic.processing_steps[0].explanation == (
+        "I analyzed your question to understand what you're asking."
+    )
+    tech = QueryExplainer({"explanation_level": "technical"}).explain(
+        "find all Device", comp, subsets, gen, rows, "A", {}
+    )
+    assert "Type=retrieval" in tech.processing_steps[0].explanation
+    assert "Selected 2 classes, 1 properties from kb" in (
+        tech.processing_steps[1].explanation
+    )
+
+    md = format_explanation(basic, "markdown")
+    assert md.startswith("## Query Explanation") and "### Reasoning:" in md
+    txt = format_explanation(basic, "text")
+    assert txt.startswith("Query Explanation:") and "Reasoning:" in txt
+    html = format_explanation(basic, "html")
+    assert html.startswith("<h2>") and "<ol>" in html and "</ul>" in html
+
+
+def test_explainer_aggregation_boolean_summaries():
+    from trustgraph_spark.nlquery import GeneratedSPARQL
+    from trustgraph_spark.nlservice import QueryExplainer
+
+    gen = GeneratedSPARQL("ASK { }", [], "ASK", "t", 0.2)
+    agg = QueryExplainer().explain(
+        "count the Devices", analyze_question("count the Devices"),
+        [], gen, [], "There are 0 Devices.", {},
+    )
+    assert "counting or aggregation" in agg.user_friendly_explanation
+    assert any("count or sum" in r for r in agg.reasoning_chain)
+    bl = QueryExplainer().explain(
+        "is Alice a Robot?", analyze_question("is Alice a Robot?"),
+        [], gen, [], "No.", {},
+    )
+    assert "yes/no question" in bl.user_friendly_explanation
+    assert any("boolean query approach" in r for r in bl.reasoning_chain)

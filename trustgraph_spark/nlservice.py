@@ -568,3 +568,354 @@ def detect_question_language(
             best, best_score = lang, score
     conf = min(0.8, best_score / 3.0) if best_score > 0 else 0.1
     return best, conf
+
+
+# ---------------------------------------------------------------------------
+# query explanation (query_explanation.py, compacted)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ExplanationStep:
+    """One processing step (query_explanation.py:21-32)."""
+
+    step_number: int
+    component: str
+    operation: str
+    input_data: dict
+    output_data: dict
+    explanation: str
+    duration_ms: float = 0.0
+    success: bool = True
+    metadata: dict = field(default_factory=dict)
+
+
+@dataclass
+class QueryExplanation:
+    """Complete processing explanation (query_explanation.py:35-48)."""
+
+    query_id: str
+    original_question: str
+    processing_steps: list
+    final_answer: str
+    confidence_score: float
+    ontologies_used: list
+    backend_used: str
+    reasoning_chain: list
+    user_friendly_explanation: str
+
+
+_STEP_TEMPLATES = {
+    "question_analysis": {
+        "basic": "I analyzed your question to understand what you're asking.",
+        "detailed": "I analyzed your question '{question}' and identified it "
+                    "as a {question_type} query about {entities}.",
+        "technical": "Question analysis: Type={question_type}, "
+                     "Entities={entities}, Keywords={keywords}, "
+                     "Expected answer={answer_type}",
+    },
+    "ontology_matching": {
+        "basic": "I found relevant knowledge about {entities} in the "
+                 "available ontologies.",
+        "detailed": "I searched through {ontology_count} ontologies and "
+                    "found {selected_elements} relevant concepts related to "
+                    "your question.",
+        "technical": "Ontology matching: Selected {classes} classes, "
+                     "{properties} properties from {ontologies}",
+    },
+    "query_generation": {
+        "basic": "I generated a query to search for the information.",
+        "detailed": "I created a {query_type} query using {query_language} "
+                    "to search the {backend} database.",
+        "technical": "Query generation: {query_language} query with "
+                     "{variables} variables, complexity score {complexity}",
+    },
+    "query_execution": {
+        "basic": "I searched the database and found {result_count} results.",
+        "detailed": "I executed the query against the {backend} database and "
+                    "retrieved {result_count} results in {duration}ms.",
+        "technical": "Query execution: {backend} backend, {result_count} "
+                     "results, execution time {duration}ms",
+    },
+    "answer_generation": {
+        "basic": "I generated a natural language answer from the results.",
+        "detailed": "I processed {result_count} results and generated an "
+                    "answer with {confidence}% confidence.",
+        "technical": "Answer generation: {result_count} input results, "
+                     "{generation_method} method, confidence {confidence}",
+    },
+}
+
+_REASONING_TEMPLATES = {
+    "entity_identification": "I identified '{entity}' as a key concept in "
+                             "your question.",
+    "ontology_selection": "I selected the '{ontology}' ontology because it "
+                          "contains relevant information about {concepts}.",
+    "query_strategy": "I chose a {strategy} query approach because {reason}.",
+    "confidence_assessment": "I'm {confidence}% confident in this answer "
+                             "because {reasoning}.",
+}
+
+
+class QueryExplainer:
+    """Deterministic explanation of the question->answer pipeline
+    (query_explanation.py:51-639, compacted to this repo's shapes:
+    subsets are nlquery subset dicts optionally carrying 'ontology_id',
+    results are the executed rows list, the query is a GeneratedSPARQL).
+    Config: explanation_level (basic|detailed|technical),
+    max_reasoning_steps."""
+
+    def __init__(self, config: dict | None = None):
+        self.config = config or {}
+        self.level = self.config.get("explanation_level", "detailed")
+        self.max_reasoning_steps = self.config.get("max_reasoning_steps", 10)
+
+    def explain(
+        self,
+        question: str,
+        components: QuestionComponents,
+        subsets: list[dict],
+        gen: GeneratedSPARQL,
+        rows: list[dict],
+        final_answer: str,
+        metadata: dict | None = None,
+    ) -> QueryExplanation:
+        metadata = metadata or {}
+        backend = metadata.get("backend_used", "spark")
+        n = len(rows)
+        duration = float(metadata.get("execution_time_ms", 0.0))
+        confidence_pct = metadata.get("answer_confidence", 0.8) * 100
+
+        total_elements = sum(
+            len(s.get("classes", {}))
+            + len(s.get("object_properties", {}))
+            + len(s.get("datatype_properties", {}))
+            for s in subsets
+        )
+
+        def t(step, **kw):
+            return _STEP_TEMPLATES[step][self.level].format(**kw)
+
+        if self.level == "basic":
+            qa = _STEP_TEMPLATES["question_analysis"]["basic"]
+            om = t("ontology_matching",
+                   entities=", ".join(components.entities[:3]))
+            qg = _STEP_TEMPLATES["query_generation"]["basic"]
+            qe = t("query_execution", result_count=n)
+            ag = _STEP_TEMPLATES["answer_generation"]["basic"]
+        elif self.level == "technical":
+            qa = t("question_analysis",
+                   question_type=components.question_type.value,
+                   entities=components.entities,
+                   keywords=components.keywords,
+                   answer_type=components.expected_answer_type)
+            om = t("ontology_matching",
+                   classes=sum(len(s.get("classes", {})) for s in subsets),
+                   properties=sum(
+                       len(s.get("object_properties", {}))
+                       + len(s.get("datatype_properties", {}))
+                       for s in subsets
+                   ),
+                   ontologies=", ".join(
+                       s.get("ontology_id", "unknown") for s in subsets
+                   ))
+            qg = t("query_generation", query_language="SPARQL",
+                   variables=len(gen.variables),
+                   complexity=f"{gen.complexity_score:.2f}")
+            qe = t("query_execution", backend=backend, result_count=n,
+                   duration=f"{duration:.1f}")
+            ag = t("answer_generation", result_count=n,
+                   generation_method=metadata.get(
+                       "generation_method", "template_based"
+                   ),
+                   confidence=f"{confidence_pct:.1f}")
+        else:  # detailed
+            qa = t("question_analysis", question=question,
+                   question_type=components.question_type.value.replace("_", " "),
+                   entities=", ".join(components.entities[:3]))
+            om = t("ontology_matching", ontology_count=len(subsets),
+                   selected_elements=total_elements)
+            qg = t("query_generation", query_type=gen.query_type,
+                   query_language="SPARQL", backend=backend)
+            qe = t("query_execution", backend=backend, result_count=n,
+                   duration=f"{duration:.1f}")
+            ag = t("answer_generation", result_count=n,
+                   confidence=f"{confidence_pct:.0f}")
+
+        steps = [
+            ExplanationStep(1, "question_analyzer", "analyze_question",
+                            {"question": question},
+                            {"question_type": components.question_type.value,
+                             "entities": components.entities,
+                             "keywords": components.keywords}, qa),
+            ExplanationStep(2, "ontology_matcher", "select_relevant_subset",
+                            {"entities": components.entities},
+                            {"ontology_count": len(subsets),
+                             "total_elements": total_elements}, om),
+            ExplanationStep(3, "query_generator", "generate_query",
+                            {"query_type": gen.query_type},
+                            {"query_language": "SPARQL",
+                             "variables": gen.variables,
+                             "complexity": gen.complexity_score}, qg,
+                            metadata={"generated_query": gen.query}),
+            ExplanationStep(4, "query_executor", "execute_query",
+                            {"query": gen.query},
+                            {"result_count": n,
+                             "execution_time_ms": duration}, qe,
+                            duration_ms=duration),
+            ExplanationStep(5, "answer_generator", "generate_answer",
+                            {"result_count": n},
+                            {"answer": final_answer,
+                             "confidence": confidence_pct / 100}, ag,
+                            success=bool(final_answer)),
+        ]
+
+        return QueryExplanation(
+            query_id=metadata.get("query_id", "query"),
+            original_question=question,
+            processing_steps=steps,
+            final_answer=final_answer,
+            confidence_score=self._confidence(components, n, metadata),
+            ontologies_used=[
+                s.get("ontology_id", "unknown") for s in subsets
+            ],
+            backend_used=backend,
+            reasoning_chain=self._reasoning(
+                components, subsets, metadata
+            ),
+            user_friendly_explanation=self._user_friendly(
+                question, components, subsets, final_answer
+            ),
+        )
+
+    def _reasoning(
+        self,
+        components: QuestionComponents,
+        subsets: list[dict],
+        metadata: dict,
+    ) -> list[str]:
+        """Reasoning chain (query_explanation.py:409-471)."""
+        out = []
+        for entity in components.entities[:3]:
+            out.append(_REASONING_TEMPLATES["entity_identification"].format(
+                entity=entity
+            ))
+        if subsets:
+            primary = subsets[0]
+            out.append(_REASONING_TEMPLATES["ontology_selection"].format(
+                ontology=primary.get("ontology_id", "primary"),
+                concepts=", ".join(list(primary.get("classes", {}))[:3]),
+            ))
+        if components.question_type == QuestionType.AGGREGATION:
+            strategy, reason = "aggregation", "you asked for a count or sum"
+        elif components.question_type == QuestionType.BOOLEAN:
+            strategy, reason = "boolean", "you asked a yes/no question"
+        else:
+            strategy, reason = "retrieval", "you asked for specific information"
+        out.append(_REASONING_TEMPLATES["query_strategy"].format(
+            strategy=strategy, reason=reason
+        ))
+        confidence = metadata.get("answer_confidence", 0.8) * 100
+        if confidence > 90:
+            why = "the query matched well with available data"
+        elif confidence > 70:
+            why = "the query found relevant information with some uncertainty"
+        else:
+            why = "the available data partially matches your question"
+        out.append(_REASONING_TEMPLATES["confidence_assessment"].format(
+            confidence=f"{confidence:.0f}", reasoning=why
+        ))
+        return out[: self.max_reasoning_steps]
+
+    @staticmethod
+    def _confidence(
+        components: QuestionComponents, result_count: int, metadata: dict
+    ) -> float:
+        """Confidence model (query_explanation.py:473-499)."""
+        c = 0.8
+        if result_count > 0:
+            c += 0.1
+        if result_count > 5:
+            c += 0.05
+        if components.entities:
+            c += 0.05
+        if metadata.get("all_steps_successful", True):
+            c += 0.05
+        return min(c, 1.0)
+
+    @staticmethod
+    def _user_friendly(
+        question: str,
+        components: QuestionComponents,
+        subsets: list[dict],
+        final_answer: str,
+    ) -> str:
+        """Workspace-friendly summary (query_explanation.py:501-534)."""
+        parts = [f"To answer your question '{question}', I followed these steps:"]
+        if components.question_type == QuestionType.AGGREGATION:
+            parts.append("1. I recognized this as a counting or aggregation question")
+        elif components.question_type == QuestionType.BOOLEAN:
+            parts.append("1. I recognized this as a yes/no question")
+        else:
+            parts.append("1. I analyzed your question to understand what "
+                         "information you need")
+        if subsets:
+            if len(subsets) == 1:
+                parts.append("2. I searched through the relevant knowledge base")
+            else:
+                parts.append(
+                    f"2. I searched through {len(subsets)} knowledge bases"
+                )
+        parts.append("3. I found the relevant information and generated your answer")
+        parts.append(f"The answer is: {final_answer}")
+        return " ".join(parts)
+
+
+def format_explanation(exp: QueryExplanation, format_type: str = "markdown") -> str:
+    """Render a QueryExplanation (query_explanation.py:546-639; html /
+    markdown / text)."""
+    if format_type == "html":
+        parts = [
+            f"<h2>Query Explanation: {exp.query_id}</h2>",
+            f"<p><strong>Question:</strong> {exp.original_question}</p>",
+            f"<p><strong>Answer:</strong> {exp.final_answer}</p>",
+            f"<p><strong>Confidence:</strong> {exp.confidence_score:.1%}</p>",
+            "<h3>Processing Steps:</h3>", "<ol>",
+        ]
+        parts += [
+            f"<li><strong>{s.component}</strong>: {s.explanation}</li>"
+            for s in exp.processing_steps
+        ]
+        parts += ["</ol>", "<h3>Reasoning:</h3>", "<ul>"]
+        parts += [f"<li>{r}</li>" for r in exp.reasoning_chain]
+        parts.append("</ul>")
+        return "".join(parts)
+    if format_type == "markdown":
+        parts = [
+            f"## Query Explanation: {exp.query_id}",
+            f"**Question:** {exp.original_question}",
+            f"**Answer:** {exp.final_answer}",
+            f"**Confidence:** {exp.confidence_score:.1%}",
+            "", "### Processing Steps:", "",
+        ]
+        parts += [
+            f"{i}. **{s.component}**: {s.explanation}"
+            for i, s in enumerate(exp.processing_steps, 1)
+        ]
+        parts += ["", "### Reasoning:", ""]
+        parts += [f"- {r}" for r in exp.reasoning_chain]
+        return "\n".join(parts)
+    parts = [
+        f"Query Explanation: {exp.query_id}",
+        f"Question: {exp.original_question}",
+        f"Answer: {exp.final_answer}",
+        f"Confidence: {exp.confidence_score:.1%}",
+        "", "Processing Steps:",
+    ]
+    parts += [
+        f"  {i}. {s.component}: {s.explanation}"
+        for i, s in enumerate(exp.processing_steps, 1)
+    ]
+    parts += ["", "Reasoning:"]
+    parts += [f"  - {r}" for r in exp.reasoning_chain]
+    return "\n".join(parts)
