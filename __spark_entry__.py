@@ -1370,19 +1370,20 @@ def q_onto_match_query(spark, sf_dir):
     object properties (domain OR range), AGGREGATION adds count/number
     datatype properties.  Three questions exercise all three branches
     through the real embedding + broadcast-cosine + enhancement-join
-    path; the oracle is the analytically-derived selection."""
-    from trustgraph_spark.nlquery import match_question_to_ontology
+    path AS ONE BATCH (the matcher's unit of parallelism — one embed
+    pass, one selection window, one enhancement plan); the oracle is the
+    analytically-derived selection."""
+    from trustgraph_spark.nlquery import match_questions_to_ontology
 
     elements = _nlq_elements(spark)
-    parts = []
-    for qid, question in [
-        ("ret", "find all Device"),
-        ("rel", "how is Device related to Sensor"),
-        ("agg", "count the Device readings"),
-    ]:
-        out = match_question_to_ontology(question, elements)
-        parts.append(out.withColumn("question_id", F.lit(qid)))
-    allq = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    allq = match_questions_to_ontology(
+        [
+            ("ret", "find all Device"),
+            ("rel", "how is Device related to Sensor"),
+            ("agg", "count the Device readings"),
+        ],
+        elements,
+    )
     return allq.select(
         "question_id", "ontology_id", "element_type", "element_id", "role",
         F.round("score", 4).alias("score"),

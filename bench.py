@@ -130,6 +130,9 @@ BENCH_QUERIES = [
     "graphql_rows",
     "sparql_path_star",
     "row_emb_lookup",
+    "nl2sparql_exec",
+    "onto_match_query",
+    "doc_rag_mmr_pool",
 ]
 
 

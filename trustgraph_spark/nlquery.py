@@ -235,21 +235,26 @@ QUERY_SIMILARITY_THRESHOLD = 0.6
 _SIBLING_TRAVERSAL_CAP = 3
 
 
-def match_question_to_ontology(
-    question: str,
+#: separator between question id and segment id inside the selector's
+#: chunk_id (US control char — cannot occur in reasonable question ids)
+_QSEP = "\x1f"
+
+
+def match_questions_to_ontology(
+    questions: list[tuple[str, str]],
     elements: DataFrame,
     embedder=None,
     top_k: int = QUERY_TOP_K,
     similarity_threshold: float = QUERY_SIMILARITY_THRESHOLD,
 ) -> DataFrame:
-    """Match a question to its relevant ontology subset — the query-time
-    parameterization of ``select_ontology_subset`` (same embedding +
-    broadcast-cosine machinery, top_k 15 / threshold 0.6 per
-    ontology_matcher.py:32-35) over the question's SEGMENTS, enhanced for
-    query processing (:75-184):
+    """Match a BATCH of questions to their relevant ontology subsets —
+    the query-time parameterization of ``select_ontology_subset`` (same
+    embedding + broadcast-cosine machinery, top_k 15 / threshold 0.6 per
+    ontology_matcher.py:32-35) over each question's SEGMENTS, enhanced
+    for query processing (:75-184):
 
-    - base: per-segment top-k element matches merged across segments
-      (an element keeps its best score; role 'selected')
+    - base: per-segment top-k element matches merged across a question's
+      segments (an element keeps its best score; role 'selected')
     - RELATIONSHIP questions add object properties connecting selected
       classes (domain OR range in the subset) as role 'traversal'
     - RETRIEVAL questions add object+datatype properties whose domain is
@@ -259,93 +264,170 @@ def match_question_to_ontology(
     - inverse properties of selected object properties join the subset as
       role 'inverse' (:164-171 adds them to object_properties proper)
     - sibling object properties (same domain as a selected one) fill the
-      traversal set up to 3 total, ordered by element_id — the reference
-      iterates dict insertion order, which Python does not make part of
-      the contract; the sort makes our fill deterministic
+      traversal set up to 3 total per (question, ontology), ordered by
+      element_id — the reference iterates dict insertion order, which
+      Python does not make part of the contract; the sort makes our fill
+      deterministic
 
+    Spark-first: the unit of parallelism is the question BATCH (the
+    reference matches one request at a time) — all questions share ONE
+    embed pass, ONE selection window and ONE enhancement plan, so a
+    thousand questions cost the same number of stages as one.
+
+    questions: [(question_id, question_text)] — ids are analyzed
+    driver-side (bounded regex work, as in the reference).
     elements: the ELEMENTS_DDL ontology dimension (small, broadcast).
-    Returns (ontology_id, element_type, element_id, role, score) — score
-    NULL for enhancement rows.  The ontology side stays a broadcast dim;
-    the only action is the tiny element count inside the base selector.
-    """
+    Returns (question_id, ontology_id, element_type, element_id, role,
+    score) — score NULL for enhancement rows."""
     from .operators.ontology import select_ontology_subset
 
     spark = elements.sparkSession
-    segs = question_segments(question)
-    comp = analyze_question(question)
-
+    comps = {qid: analyze_question(q) for qid, q in questions}
+    seg_rows = [
+        (f"{qid}{_QSEP}seg:{i}", s)
+        for qid, q in questions
+        for i, s in enumerate(question_segments(q))
+    ]
+    # a question yields a handful of segments; one partition keeps the
+    # embed seam to a single Python task (repartition, NOT coalesce —
+    # coalescing a many-partition local collection into the Python seam
+    # costs a fixed per-parent-partition penalty on this runtime)
     seg_chunks = spark.createDataFrame(
-        [(f"seg:{i}", s) for i, s in enumerate(segs)], "chunk_id string, text string"
-    )
+        seg_rows, "chunk_id string, text string"
+    ).repartition(1)
     per_seg = select_ontology_subset(
         seg_chunks, elements, embedder=embedder,
         top_k=top_k, similarity_threshold=similarity_threshold,
-    )
+    ).withColumn("question_id", F.substring_index("chunk_id", _QSEP, 1))
     keys = ["ontology_id", "element_type", "element_id"]
     base = (
-        per_seg.groupBy(*keys)
+        per_seg.groupBy("question_id", *keys)
         .agg(F.max("score").alias("score"))
         .withColumn("role", F.lit("selected"))
+        # the enhancement references the selection from ~8 branches;
+        # unmaterialized, each re-runs the embed + cosine + window chain
+        # (measured 2x the whole enhancement).  The frame is <= top_k x
+        # n_questions x n_ontologies rows
+        .localCheckpoint()
     )
-    return enhance_subset_for_query(base, elements, comp.question_type)
+    qtypes = spark.createDataFrame(
+        [(qid, comps[qid].question_type.value) for qid, _ in questions],
+        "question_id string, qtype string",
+    )
+    return enhance_subsets_for_query(base, elements, qtypes)
+
+
+def match_question_to_ontology(
+    question: str,
+    elements: DataFrame,
+    embedder=None,
+    top_k: int = QUERY_TOP_K,
+    similarity_threshold: float = QUERY_SIMILARITY_THRESHOLD,
+) -> DataFrame:
+    """Single-question wrapper over ``match_questions_to_ontology``;
+    returns (ontology_id, element_type, element_id, role, score)."""
+    return match_questions_to_ontology(
+        [("q", question)], elements, embedder=embedder,
+        top_k=top_k, similarity_threshold=similarity_threshold,
+    ).drop("question_id")
 
 
 def enhance_subset_for_query(
     base: DataFrame, elements: DataFrame, question_type: QuestionType
 ) -> DataFrame:
-    """The query enhancement pass over a base selection
-    (ontology_matcher.py:75-184) — see match_question_to_ontology for the
-    rules.  base: (ontology_id, element_type, element_id, role, score)
-    with role 'selected'.  Split out so the enhancement logic is testable
-    against hand-built selections."""
+    """Single-subset wrapper over ``enhance_subsets_for_query`` — the
+    query enhancement pass (ontology_matcher.py:75-184) over a hand-built
+    base selection (ontology_id, element_type, element_id, role, score)
+    with role 'selected'."""
     spark = elements.sparkSession
-    keys = ["ontology_id", "element_type", "element_id"]
-    el = F.broadcast(elements)
-    sel_classes = base.where(F.col("element_type") == "class").select(
-        F.col("ontology_id").alias("_ont"), F.col("element_id").alias("_cls")
+    qtypes = spark.createDataFrame(
+        [("q", question_type.value)], "question_id string, qtype string"
     )
-    sel_keys = base.select(*keys)
+    return enhance_subsets_for_query(
+        base.withColumn("question_id", F.lit("q")), elements, qtypes
+    ).drop("question_id")
+
+
+def enhance_subsets_for_query(
+    base: DataFrame, elements: DataFrame, qtypes: DataFrame
+) -> DataFrame:
+    """Batched query-enhancement pass (ontology_matcher.py:75-184) — see
+    match_questions_to_ontology for the rules.  base carries
+    (question_id, ontology_id, element_type, element_id, role, score)
+    with role 'selected'; qtypes is the per-question type table.  The
+    question-type branching is columnar (the qtype joins the candidate
+    sets), so every question flows through ONE plan."""
+    keys = ["ontology_id", "element_type", "element_id"]
+    qkeys = ["question_id", *keys]
+    el = F.broadcast(elements)
+    qt = F.broadcast(qtypes.select(
+        F.col("question_id").alias("_qid"), F.col("qtype").alias("_qt")
+    ))
+    sel_classes = base.where(F.col("element_type") == "class").select(
+        "question_id",
+        F.col("ontology_id").alias("_ont"),
+        F.col("element_id").alias("_cls"),
+    )
+    sel_keys = base.select(*qkeys)
 
     def _not_selected(df: DataFrame) -> DataFrame:
-        return df.join(sel_keys, keys, "left_anti")
+        return df.join(sel_keys, qkeys, "left_anti")
 
     props = el.where(F.col("element_type") != "class")
-    # properties touching the selected classes, deduped when a property's
-    # domain AND range both hit the subset
+    # properties touching the selected classes, per question, deduped when
+    # a property's domain AND range both hit the subset
     dom_hit = props.join(
         sel_classes,
         (F.col("_ont") == F.col("ontology_id")) & (F.col("domain") == F.col("_cls")),
-    ).select(*keys)
+    ).select(*qkeys)
     rng_hit = props.where(F.col("element_type") == "objectProperty").join(
         sel_classes,
         (F.col("_ont") == F.col("ontology_id")) & (F.col("range") == F.col("_cls")),
-    ).select(*keys)
+    ).select(*qkeys)
 
-    if question_type == QuestionType.RELATIONSHIP:
-        traversal = dom_hit.where(
-            F.col("element_type") == "objectProperty"
-        ).unionByName(rng_hit).distinct()
-    elif question_type == QuestionType.RETRIEVAL:
-        traversal = dom_hit.distinct()
-    elif question_type == QuestionType.AGGREGATION:
-        # only ontologies already present in the subset are enhanced (the
-        # reference walks each matched subset's own ontology)
-        traversal = props.where(
+    # qtype-conditional traversal, as one union of tagged candidate sets
+    rel_cand = (
+        dom_hit.where(F.col("element_type") == "objectProperty")
+        .unionByName(rng_hit)
+        .withColumn("_q", F.lit(QuestionType.RELATIONSHIP.value))
+    )
+    ret_cand = dom_hit.withColumn("_q", F.lit(QuestionType.RETRIEVAL.value))
+    # aggregation: count/number datatype props from ontologies already in
+    # the question's subset (the reference walks each matched subset's
+    # own ontology)
+    agg_cand = (
+        props.where(
             (F.col("element_type") == "datatypeProperty")
             & (F.lower(F.col("element_id")).contains("count")
                | F.lower(F.col("element_id")).contains("number"))
-        ).join(
-            base.select("ontology_id").distinct(), "ontology_id", "left_semi"
-        ).select(*keys)
-    else:
-        traversal = spark.createDataFrame(
-            [], "ontology_id string, element_type string, element_id string"
         )
-    traversal = _not_selected(traversal).withColumn("role", F.lit("traversal"))
+        .join(
+            base.select("question_id", "ontology_id").distinct(),
+            "ontology_id",
+        )
+        .select(*qkeys)
+        .withColumn("_q", F.lit(QuestionType.AGGREGATION.value))
+    )
+    traversal = (
+        rel_cand.unionByName(ret_cand).unionByName(agg_cand)
+        .join(qt, (F.col("question_id") == F.col("_qid"))
+              & (F.col("_q") == F.col("_qt")), "left_semi")
+        .select(*qkeys)
+        .distinct()
+    )
+    # referenced by the sibling anti-join, the per-(question, ontology)
+    # cap count and the final union — materialize the tiny frame once
+    traversal = (
+        _not_selected(traversal)
+        .withColumn("role", F.lit("traversal"))
+        .localCheckpoint()
+    )
 
     # inverse properties of selected object properties (:164-171)
     sel_obj = base.where(F.col("element_type") == "objectProperty").select(
-        F.col("ontology_id").alias("_ont"), F.col("element_id").alias("_pid")
+        "question_id",
+        F.col("ontology_id").alias("_ont"),
+        F.col("element_id").alias("_pid"),
     )
     inverse = (
         el.where(
@@ -358,6 +440,7 @@ def enhance_subset_for_query(
             & (F.col("_pid") == F.col("element_id")),
         )
         .select(
+            "question_id",
             "ontology_id",
             F.lit("objectProperty").alias("element_type"),
             F.col("inverse_of").alias("element_id"),
@@ -372,12 +455,17 @@ def enhance_subset_for_query(
     inverse = _not_selected(inverse.distinct()).withColumn("role", F.lit("inverse"))
 
     # sibling object properties: same domain as a selected object property,
-    # filling traversal up to the cap (:173-184)
+    # filling traversal up to the cap per (question, ontology) — the
+    # reference holds one subset per ontology per request (:173-184)
     sel_domains = (
         base.where(F.col("element_type") == "objectProperty")
         .join(el, keys)
         .where(F.col("domain").isNotNull())
-        .select(F.col("ontology_id").alias("_ont"), F.col("domain").alias("_dom"))
+        .select(
+            "question_id",
+            F.col("ontology_id").alias("_ont"),
+            F.col("domain").alias("_dom"),
+        )
         .distinct()
     )
     sib_pool = (
@@ -387,27 +475,25 @@ def enhance_subset_for_query(
             (F.col("_ont") == F.col("ontology_id"))
             & (F.col("_dom") == F.col("domain")),
         )
-        .select(*keys)
+        .select(*qkeys)
     )
     sib_pool = (
         _not_selected(sib_pool.distinct())
-        .join(traversal.select(*keys), keys, "left_anti")
-        .join(inverse.select(*keys), keys, "left_anti")
+        .join(traversal.select(*qkeys), qkeys, "left_anti")
+        .join(inverse.select(*qkeys), qkeys, "left_anti")
     )
-    # the cap is per SUBSET, i.e. per ontology (the reference holds one
-    # subset per ontology)
-    n_trav = traversal.groupBy("ontology_id").agg(
+    n_trav = traversal.groupBy("question_id", "ontology_id").agg(
         F.count("*").cast("int").alias("_n_trav")
     )
-    w_sib = Window.partitionBy("ontology_id").orderBy("element_id")
+    w_sib = Window.partitionBy("question_id", "ontology_id").orderBy("element_id")
     siblings = (
         sib_pool.withColumn("_rn", F.row_number().over(w_sib))
-        .join(F.broadcast(n_trav), "ontology_id", "left")
+        .join(F.broadcast(n_trav), ["question_id", "ontology_id"], "left")
         .withColumn("_n_trav", F.coalesce(F.col("_n_trav"), F.lit(0)))
         .where(F.col("_rn") <= F.greatest(
             F.lit(0), F.lit(_SIBLING_TRAVERSAL_CAP) - F.col("_n_trav")
         ))
-        .select(*keys)
+        .select(*qkeys)
         .withColumn("role", F.lit("sibling"))
     )
 
@@ -415,8 +501,8 @@ def enhance_subset_for_query(
         traversal.unionByName(inverse).unionByName(siblings)
         .withColumn("score", F.lit(None).cast("double"))
     )
-    return base.select(*keys, "role", "score").unionByName(
-        enh.select(*keys, "role", "score")
+    return base.select(*qkeys, "role", "score").unionByName(
+        enh.select(*qkeys, "role", "score")
     )
 
 

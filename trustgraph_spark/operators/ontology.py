@@ -147,7 +147,15 @@ def select_ontology_subset(
             F.broadcast(elem_txt.select(*keys))
         ).withColumn("score", F.lit(1.0))
 
-    elem_vec = embed_texts(elem_txt, "text", "evec", embedder).select(*keys, "evec")
+    # the ontology is a small dimension by contract — one partition keeps
+    # the embed seam to a single Python task instead of default-parallelism
+    # near-empty tasks.  repartition, NOT coalesce: coalescing a
+    # many-partition local collection into the Python seam costs a fixed
+    # ~150ms PER PARENT PARTITION here (measured: coalesce(1) 4.8s vs
+    # repartition(1) 0.6s for 6 rows at 32 partitions)
+    elem_vec = embed_texts(
+        elem_txt.repartition(1), "text", "evec", embedder
+    ).select(*keys, "evec")
     chunk_vec = embed_texts(
         chunks.select("chunk_id", "text"), "text", "cvec", embedder
     ).select("chunk_id", "cvec")
