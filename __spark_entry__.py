@@ -2689,9 +2689,10 @@ WHERE city = 'b' AND age::DOUBLE >= 10 AND age::DOUBLE < 70
 """
 
     # --- DocumentRAG family -------------------------------------------------
-    # dense retrieve loop: per-concept top-k (per_concept_limit =
-    # fetch_limit // n_concepts = 8 // 2 = 4), first-seen dedup in
-    # (concept, rank) order, positions re-ranked, text join, doc_limit=5
+    # dense retrieve loop without a reranker: fetch_count = doc_limit = 5
+    # exactly (per_concept_limit = 5 // 2 = 2), first-seen dedup in
+    # (concept, rank) order, positions re-ranked, text join, and the
+    # reference's UNTRUNCATED candidate list (no final cut)
     sql["doc_rag_topk"] = """
 WITH store AS (SELECT 'c' || vec_id AS chunk_id, embedding AS vector FROM embeddings),
 chunks AS (SELECT 'c' || doc_id AS chunk_id, text FROM documents),

@@ -358,3 +358,23 @@ def test_explainer_aggregation_boolean_summaries():
     )
     assert "yes/no question" in bl.user_friendly_explanation
     assert any("boolean query approach" in r for r in bl.reasoning_chain)
+
+
+def test_ask_query_exempt_from_limit_injection(spark, device_edges):
+    """ASK takes no solution modifier; injecting LIMIT (as the reference
+    does unconditionally) would make every boolean question unparseable —
+    the optimizer must leave ASK untouched and the query must execute."""
+    from trustgraph_spark.nlquery import analyze_question, generate_sparql
+    from trustgraph_spark.sparql import sparql_select
+
+    opt = QueryOptimizer()
+    comp = analyze_question("is Widget a Gadget?")
+    gen = generate_sparql(comp, {"classes": {}}, namespace=NS)
+    assert gen.query_type == "ASK"
+    out, plan = opt.optimize_sparql(
+        gen, comp, {"classes": {}},
+        OptimizationHint(strategy=OptimizationStrategy.PERFORMANCE,
+                         max_results=5),
+    )
+    assert "LIMIT" not in out.query.upper()
+    assert sparql_select(device_edges, out.query).collect()[0]["ask"] is False

@@ -218,7 +218,7 @@ class _Parser:
                 while self.peek()[1] != ")":
                     self.next()
                 self.next()
-        return self._selection_set(root=True)
+        return self._selection_set()
 
     def _fragment_definition(self):
         """fragment Name on Type { field selections }"""
@@ -235,20 +235,22 @@ class _Parser:
         items = self._field_items()
         self.fragments[name] = (on_type, items)
 
-    def _selection_set(self, root: bool = False) -> list:
+    def _selection_set(self) -> list:
+        """The ROOT selection set: each field names a row schema and must
+        carry its own (flat) selection set.  Deeper sets parse through
+        _field_items — one nesting level is the dynamic row schema's
+        whole shape."""
         self.expect("{")
         sels = []
         while self.peek()[1] != "}":
             kind, val = self.next()
             if kind == "spread":
-                if root:
-                    # root-level spreads would select whole root fields;
-                    # the dynamic row schema has no use for them
-                    raise GraphQLError(
-                        "fragment spreads are not supported at the root; "
-                        "spread them inside a field's selection set"
-                    )
-                raise GraphQLError("internal: spread outside _field_items")
+                # root-level spreads would select whole root fields;
+                # the dynamic row schema has no use for them
+                raise GraphQLError(
+                    "fragment spreads are not supported at the root; "
+                    "spread them inside a field's selection set"
+                )
             if kind != "name":
                 raise GraphQLError(f"expected field name, got {val!r}")
             alias = name = val
@@ -261,13 +263,9 @@ class _Parser:
             args = {}
             if self.peek()[1] == "(":
                 args = self._arguments()
-            fields = []
-            if self.peek()[1] == "{":
-                if not root:
-                    raise GraphQLError("nested selection sets not supported")
-                fields = self._field_items()
-            elif root:
+            if self.peek()[1] != "{":
                 raise GraphQLError(f"root field {name!r} needs a selection set")
+            fields = self._field_items()
             sels.append(Selection(name=name, alias=alias, args=args, fields=fields))
         self.next()  # consume }
         return sels

@@ -210,13 +210,17 @@ def analyze_question(question: str) -> QuestionComponents:
     )
 
 
-def question_segments(question: str) -> list[str]:
+def question_segments(
+    question: str, components: QuestionComponents | None = None
+) -> list[str]:
     """Embedding segments for ontology matching
     (question_analyzer.py:340-364): the full question, its comma/semicolon
-    clauses, the extracted entities, and the keywords — deduped in order."""
+    clauses, the extracted entities, and the keywords — deduped in order.
+    Pass the already-computed ``components`` to skip re-analysis (the
+    batch matcher analyzes once per question)."""
     segs = [question]
     segs += [c.strip() for c in re.split(r"[,;]", question) if len(c.strip()) > 3]
-    comp = analyze_question(question)
+    comp = components or analyze_question(question)
     segs += comp.entities
     segs += comp.keywords
     return _dedup(segs)
@@ -286,7 +290,7 @@ def match_questions_to_ontology(
     seg_rows = [
         (f"{qid}{_QSEP}seg:{i}", s)
         for qid, q in questions
-        for i, s in enumerate(question_segments(q))
+        for i, s in enumerate(question_segments(q, comps[qid]))
     ]
     # a question yields a handful of segments; one partition keeps the
     # embed seam to a single Python task (repartition, NOT coalesce —

@@ -301,7 +301,7 @@ class QueryOptimizer:
             OptimizationStrategy.PERFORMANCE, OptimizationStrategy.BALANCED
         ):
             optimized, perf_notes, perf_hints = self._performance(
-                optimized, hint
+                optimized, hint, query_type=gen.query_type
             )
             notes.extend(perf_notes)
             index_hints.extend(perf_hints)
@@ -331,25 +331,32 @@ class QueryOptimizer:
         return out, plan
 
     def _performance(
-        self, query: str, hint: OptimizationHint
+        self, query: str, hint: OptimizationHint, query_type: str = "SELECT"
     ) -> tuple[str, list[str], list[str]]:
         """LIMIT injection, OPTIONAL-to-end motion, index hints
         (query_optimizer.py:191-250).  The OPTIONAL regex is non-nesting,
         as in the reference — nested groups inside OPTIONAL are left in
         place (the template generator never emits them).
 
-        Deliberate deviation: the reference re-inserts moved OPTIONALs at
-        the end of the whole STRING (after the WHERE group's closing
-        brace — :224-232), which is not parseable SPARQL; its engine
-        never executes the moved form.  Here the OPTIONALs re-insert just
-        INSIDE the WHERE group's closing brace (before any trailing
-        ORDER BY/LIMIT), so the optimized query stays valid — and
-        test_nlservice executes both forms and asserts equal results."""
+        Deliberate deviations, both in service of 'the optimized query
+        stays valid' (this repo EXECUTES the rewritten form; the
+        reference never does):
+        - moved OPTIONALs re-insert just INSIDE the WHERE group's closing
+          brace (before any trailing ORDER BY/LIMIT), where the reference
+          appends them after the whole string (:224-232, unparseable);
+          test_nlservice executes both forms and asserts equal results
+        - ASK queries are exempt from LIMIT injection — ASK takes no
+          solution modifier, so the reference's unconditional append
+          (:212-214) would make every boolean question unexecutable"""
         optimized = query
         notes: list[str] = []
         index_hints: list[str] = []
 
-        if hint.max_results and "LIMIT" not in optimized.upper():
+        if (
+            hint.max_results
+            and query_type != "ASK"
+            and "LIMIT" not in optimized.upper()
+        ):
             optimized = f"{optimized.rstrip()}\nLIMIT {hint.max_results}"
             notes.append(
                 f"Added LIMIT {hint.max_results} to prevent large result sets"
@@ -436,7 +443,10 @@ class QueryOptimizer:
     ) -> bool:
         """Cache policy (query_optimizer.py:468-499).  Note the reference
         checks time-sensitivity LAST, so a retrieval/factual question
-        caches even when it says 'latest' — reproduced as-is."""
+        caches even when it says 'latest' — reproduced as-is.  (The
+        reference's explicit time-sensitivity branch is consequently a
+        no-op — every remaining path returns False — so it is not
+        repeated here.)"""
         if not hint.cache_results:
             return False
         if components.question_type in (
@@ -447,11 +457,6 @@ class QueryOptimizer:
             "COUNT" in query.upper() or "SUM" in query.upper()
         ):
             return True
-        if any(
-            k in components.original_question.lower()
-            for k in ("now", "current", "latest", "recent")
-        ):
-            return False
         return False
 
     def get_cache_key(self, query: str, subset: dict) -> str:

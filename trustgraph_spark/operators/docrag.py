@@ -611,7 +611,10 @@ def document_rag_retrieve(
             max_input=None,
             partition_col="query_id",  # distinct queries may share text
         ).drop("_q")
-        # rerank partitions by the query TEXT column; re-key on query_id
+        # rerank already partitions on query_id (partition_col above) but
+        # breaks score ties on TEXT, which distinct chunks can share; the
+        # re-window below re-ranks with the deterministic chunk_id
+        # tiebreak the retrieve contract promises
         scored = reranked.select("query_id", "chunk_id", "score", "text")
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("chunk_id"))
         withtext = scored.withColumn("rank", F.row_number().over(w))

@@ -127,12 +127,15 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     backwards and mis-close sessions.  "Closed sessions match the batch
     result" therefore holds for time-ordered delivery across batches;
     late stragglers are discarded — the same bounded-lateness stance as
-    a watermark of zero — but NOT silently: each closed-session row
-    carries ``n_dropped``, the count of stragglers discarded for that
-    user since the previous emission, so batch/stream divergence is
-    observable in the output (sum(n_dropped) > 0) instead of appearing
-    only as missing value/counts.  For a real lateness bound, feed the
-    stream through a watermark upstream.
+    a watermark of zero — but counted: each closed-session row carries
+    ``n_dropped``, the stragglers discarded for that user since the
+    previous emission, so divergence surfaces with the next session
+    close instead of appearing only as missing value/counts.  Caveat:
+    stragglers arriving after a user's FINAL session close accumulate in
+    state and are never emitted (NoTimeout state has no flush path) —
+    sum(n_dropped) is a lower bound on total drops, exact for any user
+    whose stream keeps closing sessions.  For a real lateness bound,
+    feed the stream through a watermark upstream.
 
     events: a STREAMING DataFrame with (user_id, ts timestamp, value).
     Returns the stream of closed sessions."""
