@@ -1427,6 +1427,40 @@ def q_nl2sparql_exec(spark, sf_dir):
     return out["result"].select("entity", "label")
 
 
+def q_onto_segments(spark, sf_dir):
+    """OntoRAG text segmentation + key-term extraction
+    (extract/kg/ontology/text_processor.py): whitespace-normalized
+    sentence split (deterministic punctuation splitter — the NLTK punkt
+    seam's native default) with position numbering, and per-segment key
+    terms (non-stopword words >2 chars + adjacent non-stop bigrams, the
+    NLTK stopword list inlined).  Punctuation planted deterministically
+    on the documents corpus; terms gated as count + md5 of the ordered
+    term list."""
+    from trustgraph_spark.operators.ontology import (
+        key_terms_col,
+        segment_chunks,
+    )
+
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 20), F.lit(". "),
+            F.substring("text", 21, 20), F.lit("! "),
+            F.substring("text", 41, 20), F.lit("?"),
+        ).alias("text"),
+    )
+    segs = segment_chunks(planted, id_col="doc_id")
+    terms = key_terms_col(F.col("segment"))
+    return segs.select(
+        "doc_id",
+        F.col("position").cast("long").alias("position"),
+        "segment",
+        F.size(terms).cast("long").alias("n_terms"),
+        F.md5(F.array_join(terms, " ")).alias("terms_md5"),
+    )
+
+
 def q_doc_rag_mmr_pool(spark, sf_dir):
     """The SQL-expressible prefix of the MMR stage (rerank.py:92-106):
     the dense candidate pool exactly as the doc_rag_mmr entry fetches it
@@ -1461,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
         "doc_rag_mmr_pool": q_doc_rag_mmr_pool,
+        "onto_segments": q_onto_segments,
         "text_embed_bucket": q_text_embed_bucket,
         "term_reconstruct": q_term_reconstruct,
         "graph_embed_map": q_graph_embed_map,
@@ -2867,6 +2902,55 @@ SELECT 'http://example.org/dev' || doc_id AS entity,
        'device ' || doc_id AS label
 FROM documents
 WHERE doc_id % 3 <> 0
+"""
+
+    # OntoRAG text segmentation + key terms: the deterministic sentence
+    # splitter and the stopword/bigram term extraction replayed over the
+    # planted punctuated corpus (NLTK stopword list inlined as a literal)
+    from trustgraph_spark.operators.ontology import NLTK_EN_STOPWORDS
+
+    _stop_sql = "[" + ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in NLTK_EN_STOPWORDS
+    ) + "]"
+    sql["onto_segments"] = f"""
+WITH planted AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      substr(text,1,20) || '. ' || substr(text,21,20) || '! '
+        || substr(text,41,20) || '?',
+      '\\s+', ' ', 'g')) AS t
+  FROM documents
+), seg AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(string_split_regex(t, '[.!?]+\\s+'),
+                     s -> trim(regexp_replace(s, '[.!?]+$', ''))),
+      s -> s <> '') AS segs
+  FROM planted
+), ex AS (
+  SELECT doc_id, idx - 1 AS position, segs[idx] AS segment
+  FROM seg, LATERAL (SELECT unnest(generate_series(1, len(segs))) AS idx) u
+), terms AS (
+  SELECT doc_id, position, segment,
+    list_filter(
+      list_filter(string_split_regex(lower(segment), '\\W+'), w -> w <> ''),
+      w -> len(w) > 2 AND NOT list_contains({_stop_sql}, w)) AS singles,
+    list_filter(string_split_regex(lower(segment), '\\W+'), w -> w <> '') AS words
+  FROM ex
+), bi AS (
+  SELECT doc_id, position, segment, singles,
+    list_filter(
+      list_transform(generate_series(1, len(words)-1),
+        i -> CASE WHEN NOT list_contains({_stop_sql}, words[i])
+                   AND NOT list_contains({_stop_sql}, words[i+1])
+             THEN words[i] || ' ' || words[i+1] END),
+      x -> x IS NOT NULL) AS bigrams
+  FROM terms
+)
+SELECT doc_id, position, segment,
+       len(singles) + len(bigrams) AS n_terms,
+       md5(array_to_string(list_concat(singles, bigrams), ' ')) AS terms_md5
+FROM bi
 """
 
     # MMR pool prefix: dense candidates at fetch_count=10 (per-concept 5,

@@ -204,3 +204,97 @@ def test_ontorag_end_to_end_constrained_extraction(spark):
     valid = {r.p: r._valid for r in out.collect()}
     assert valid["http://hr/works-for"] is True
     assert valid["http://hr/drives"] is False
+
+
+# --- text segmentation + key terms (text_processor.py) ----------------------
+
+
+def test_segment_chunks_sentences(spark):
+    from trustgraph_spark.operators.ontology import segment_chunks
+
+    df = spark.createDataFrame(
+        [
+            ("c1", "First part. Second   bit!  Third? "),
+            ("c2", "no punctuation at all"),
+            ("c3", "   "),
+        ],
+        "chunk_id string, text string",
+    )
+    rows = segment_chunks(df).collect()
+    got = {(r.chunk_id, r.position, r.segment, r.seg_type) for r in rows}
+    assert got == {
+        ("c1", 0, "First part", "sentence"),
+        ("c1", 1, "Second bit", "sentence"),  # whitespace normalized
+        ("c1", 2, "Third", "sentence"),       # trailing punctuation stripped
+        ("c2", 0, "no punctuation at all", "sentence"),
+    }
+
+
+def test_segment_chunks_quote_normalization(spark):
+    from trustgraph_spark.operators.ontology import segment_chunks
+
+    df = spark.createDataFrame(
+        [("c", "“Quoted” text. It’s here.")],
+        "chunk_id string, text string",
+    )
+    segs = [r.segment for r in segment_chunks(df).orderBy("position").collect()]
+    assert segs == ['"Quoted" text', "It's here"]
+
+
+def test_segment_chunks_phrase_seam(spark):
+    from trustgraph_spark.operators.ontology import segment_chunks
+
+    def fake_phrases(sentence):
+        # stand-in for the NLTK POS path: first two words as a noun phrase
+        ws = sentence.split()
+        return [(" ".join(ws[:2]), "noun_phrase")] if len(ws) >= 2 else []
+
+    df = spark.createDataFrame(
+        [("c", "alpha beta gamma. delta.")], "chunk_id string, text string"
+    )
+    rows = segment_chunks(df, phrase_fn=fake_phrases).collect()
+    kinds = {(r.segment, r.seg_type) for r in rows}
+    assert ("alpha beta gamma", "sentence") in kinds
+    assert ("delta", "sentence") in kinds
+    assert ("alpha beta", "noun_phrase") in kinds
+    # single-word sentence yields no phrase
+    assert not any(r.seg_type == "noun_phrase" and r.segment == "delta"
+                   for r in rows)
+
+
+def test_key_terms_matches_reference_replica(spark):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from trustgraph_spark.operators.ontology import (
+        NLTK_EN_STOPWORDS,
+        key_terms_col,
+    )
+
+    stop = set(NLTK_EN_STOPWORDS)
+
+    def ref_terms(text):
+        words = re.findall(r"\b\w+\b", text.lower())
+        terms = [w for w in words if w not in stop and len(w) > 2]
+        for i in range(len(words) - 1):
+            if words[i] not in stop and words[i + 1] not in stop:
+                terms.append(f"{words[i]} {words[i+1]}")
+        return terms
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "it is what it is",
+        "Spark shuffles data between stages, and AQE re-plans at runtime!",
+        "a b c d",  # all short/stop words -> singles empty, bigram-eligible
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, text string")
+    got = {
+        r.i: r.terms
+        for r in df.select("i", key_terms_col(F.col("text")).alias("terms"))
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_terms(t), (t, got[i], ref_terms(t))

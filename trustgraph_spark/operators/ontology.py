@@ -268,6 +268,134 @@ def resolve_ontology_dependencies(
     return selected.unionByName(added.select(*out_cols))
 
 
+# the standard NLTK English stopword list (public-domain word list the
+# reference loads via nltk.corpus.stopwords — text_processor.py:213)
+NLTK_EN_STOPWORDS = [
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "you're", "you've", "you'll", "you'd", "your", "yours", "yourself",
+    "yourselves", "he", "him", "his", "himself", "she", "she's", "her",
+    "hers", "herself", "it", "it's", "its", "itself", "they", "them",
+    "their", "theirs", "themselves", "what", "which", "who", "whom",
+    "this", "that", "that'll", "these", "those", "am", "is", "are",
+    "was", "were", "be", "been", "being", "have", "has", "had",
+    "having", "do", "does", "did", "doing", "a", "an", "the", "and",
+    "but", "if", "or", "because", "as", "until", "while", "of", "at",
+    "by", "for", "with", "about", "against", "between", "into",
+    "through", "during", "before", "after", "above", "below", "to",
+    "from", "up", "down", "in", "out", "on", "off", "over", "under",
+    "again", "further", "then", "once", "here", "there", "when",
+    "where", "why", "how", "all", "any", "both", "each", "few", "more",
+    "most", "other", "some", "such", "no", "nor", "not", "only", "own",
+    "same", "so", "than", "too", "very", "s", "t", "can", "will",
+    "just", "don", "don't", "should", "should've", "now", "d", "ll",
+    "m", "o", "re", "ve", "y", "ain", "aren", "aren't", "couldn",
+    "couldn't", "didn", "didn't", "doesn", "doesn't", "hadn", "hadn't",
+    "hasn", "hasn't", "haven", "haven't", "isn", "isn't", "ma",
+    "mightn", "mightn't", "mustn", "mustn't", "needn", "needn't",
+    "shan", "shan't", "shouldn", "shouldn't", "wasn", "wasn't",
+    "weren", "weren't", "won", "won't", "wouldn", "wouldn't",
+]
+
+
+def normalize_chunk_text_col(col):
+    """TextProcessor.normalize_text (text_processor.py:226-242):
+    whitespace collapse + trim + curly-quote straightening, as pure
+    column expressions."""
+    c = F.trim(F.regexp_replace(col, r"\s+", " "))
+    c = F.regexp_replace(c, "[“”]", '"')
+    return F.regexp_replace(c, "[‘’]", "'")
+
+
+def segment_chunks(
+    chunks: DataFrame,
+    id_col: str = "chunk_id",
+    text_col: str = "text",
+    phrase_fn=None,
+) -> DataFrame:
+    """Chunk text -> per-sentence TextSegments, the OntoRAG selector's
+    input granularity (text_processor.py TextProcessor.process_chunk:
+    normalize, sentence-split, position-numbered segments).
+
+    The reference splits with NLTK's trained punkt model (absent from
+    this image); the native default is a deterministic punctuation
+    splitter — break on [.!?]+ runs followed by whitespace, trailing
+    punctuation stripped — which matches punkt on plain prose and
+    diverges on abbreviation-heavy text (documented seam, same stance as
+    the media decoders).  POS-based noun/verb phrase extraction
+    (:85-147) is likewise NLTK-bound: pass ``phrase_fn`` (sentence ->
+    list[(text, type)], a pandas-vectorized callable) to add phrase
+    segments through the sanctioned-UDF seam; the default emits
+    sentences only.
+
+    Scale shape: pure column split + posexplode — one narrow stage, no
+    shuffle, no Python on the default path.  Returns (id_col, position,
+    segment, seg_type)."""
+    norm = normalize_chunk_text_col(F.col(text_col))
+    parts = F.filter(
+        F.transform(
+            F.split(norm, r"[.!?]+\s+"),
+            lambda s: F.trim(F.regexp_replace(s, r"[.!?]+$", "")),
+        ),
+        lambda s: s != "",
+    )
+    out = chunks.select(
+        F.col(id_col),
+        F.posexplode(parts).alias("position", "segment"),
+    ).withColumn("seg_type", F.lit("sentence"))
+    if phrase_fn is None:
+        return out
+
+    import pandas as pd
+
+    # no type hints: under `from __future__ import annotations` pyspark
+    # sees stringified hints it cannot resolve for locally-imported names
+    @F.pandas_udf("array<struct<text string, type string>>")
+    def _phrases(sents):
+        return pd.Series([
+            [{"text": t, "type": ty} for t, ty in phrase_fn(s or "")]
+            for s in sents
+        ])
+
+    phr = (
+        out.withColumn("_ph", F.explode(_phrases(F.col("segment"))))
+        .select(
+            F.col(id_col),
+            F.col("position"),
+            F.col("_ph.text").alias("segment"),
+            F.col("_ph.type").alias("seg_type"),
+        )
+    )
+    return out.unionByName(phr)
+
+
+def key_terms_col(col):
+    """TextProcessor.extract_key_terms (text_processor.py:198-224) as one
+    column expression: lowercase word tokens minus NLTK stopwords and
+    <=2-char words, PLUS adjacent-word bigrams whose both halves are
+    non-stop (the reference applies no length filter to bigram halves —
+    reproduced).  Returns array<string> in the reference's order
+    (singles first, then bigrams)."""
+    words = F.filter(
+        F.split(F.lower(col), r"\W+"), lambda w: w != ""
+    )
+    stop = F.array(*[F.lit(w) for w in NLTK_EN_STOPWORDS])
+    singles = F.filter(
+        words, lambda w: ~F.array_contains(stop, w) & (F.length(w) > 2)
+    )
+    # bigrams over adjacent positions: zip words with their 1-shifted self
+    shifted = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    pairs = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        shifted,
+        lambda a, b: F.when(
+            ~F.array_contains(stop, a) & ~F.array_contains(stop, b),
+            F.concat_ws(" ", a, b),
+        ),
+    )
+    bigrams = F.filter(pairs, lambda p: p.isNotNull())
+    return F.concat(singles, bigrams)
+
+
 def build_entity_uri_col(
     name_col, type_col, ontology_id: str, base_uri: str = "https://trustgraph.ai"
 ):
