@@ -244,6 +244,27 @@ def main() -> None:
         ),
     )
 
+    # --- NL question -> generated SPARQL, executed --------------------------
+    from trustgraph_spark.nlquery import (
+        analyze_question,
+        generate_sparql,
+    )
+
+    gen = generate_sparql(
+        analyze_question("find all label"),
+        {"classes": {"label": {}}},
+        namespace="http://www.w3.org/2000/01/rdf-schema#",
+    )
+    add(
+        "NL question -> generated SPARQL, executed (nl2sparql)",
+        "The deterministic retrieval template compiles through the same "
+        "Catalyst path as hand-written SPARQL: the rdf:type constant "
+        "reaches the scan as a PushedFilter and the OPTIONAL label is a "
+        "left outer join — question answering pays zero plan tax over "
+        "the equivalent direct query.",
+        sparql_select(e, gen.query),
+    )
+
     with open("/root/repo/EXPLAIN.md", "w") as f:
         f.write(
             "# EXPLAIN — physical plans of the core operators\n\n"
