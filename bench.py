@@ -239,8 +239,11 @@ def main():
             cal[nproc] = max(cal[nproc], calibrate(nproc))
         host_ceiling = (cal[32] / cal[8]) if cal[8] else 4.0
 
+        # interleaved best-of-2 per config: 32-core walls on this shared
+        # VM swing 61s..173s across identical code (measured r4) — a
+        # single sample per config is weather, not climate
         runs = {8: [], 32: []}
-        for cores in (8, 32):
+        for cores in (8, 32, 8, 32):
             runs[cores].append(run_child(cores))
         results = {}
         for cores, rs in runs.items():
@@ -272,6 +275,17 @@ def main():
             return "\n".join(lines)
 
         os.makedirs("BENCH", exist_ok=True)
+        # preserve manually-appended sections (e.g. the family scale-up
+        # evidence from tools/scale_family.py) across rewrites
+        preserved = ""
+        try:
+            with open("BENCH/BASELINE.md") as f:
+                old = f.read()
+            idx = old.find("## Family scale-up evidence")
+            if idx != -1:
+                preserved = "\n" + old[idx:].rstrip() + "\n"
+        except FileNotFoundError:
+            pass
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(
                 "# Scaling evidence (sandbox stand-in for N -> 4N executors)\n\n"
@@ -316,6 +330,7 @@ def main():
                 "  sequential rounds no longer serialize the whole pipeline\n"
                 "  because provenance/materialization stages fill the idle\n"
                 "  slots (see the stage-sum > wall evidence above).\n"
+                + preserved
             )
         print(json.dumps({
             "scaling_efficiency": round(eff, 3),
