@@ -1362,6 +1362,26 @@ def _nlq_elements(spark):
     )
 
 
+def q_react_tool_trace(spark, sf_dir):
+    """ReAct agent deterministic kernel (agent/react/agent_manager.py:18-172
+    parse grammar, streaming_parser.py state machine, tool_filter.py
+    group/state availability, the reason->act->observe loop :314-395):
+    one scripted two-step agent session per doc_id%10==3 document, tool
+    observations resolved by BATCHED broadcast joins (mention-degree +
+    order-status counts — one plan for the whole session batch where the
+    reference calls its backends per request), response-format / parser /
+    group-state / error-path rotation on the decade index.  Covers the
+    happy path, the __parse_error__ recovery path (malformed Args JSON)
+    and the tool-failure 'Error: ...' observation path; the oracle
+    reconstructs every trace row analytically."""
+    from trustgraph_spark.agent import react_tool_trace
+
+    return react_tool_trace(
+        _docs(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
 def q_onto_match_query(spark, sf_dir):
     """Query-variant ontology matcher (query/ontology/ontology_matcher.py):
     the top_k=15 / threshold=0.6 parameterization of the OntoRAG subset
@@ -1491,6 +1511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round — come first so r04 records them; the 50 queries with two
     # rounds of green driver history rotate to the back.
     return {
+        # -- round-5 additions (driver window: first 50) --
+        "react_tool_trace": q_react_tool_trace,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -2987,6 +3009,74 @@ SELECT p.query_id, p.chunk_id, round(p.raw, 4) AS score,
        round(CASE WHEN m.hi = m.lo THEN 0.5
                   ELSE (p.raw - m.lo) / (m.hi - m.lo) END, 4) AS norm_score
 FROM pool p JOIN mm m USING (query_id)
+"""
+
+    # ReAct scripted-session trace: every row reconstructed analytically —
+    # sessions are doc_id%10==3, the decade index d drives tool / format /
+    # error rotation; observations replay the two batched tool joins
+    # (mention-label degree over ALL documents, order-status counts); the
+    # __parse_error__ observation is the pinned json.loads message for
+    # '{not json}' (trustgraph_spark.agent.BAD_ARGS_ERROR)
+    from trustgraph_spark.agent import BAD_ARGS_ERROR
+
+    _bad = BAD_ARGS_ERROR.replace("'", "''")
+    sql["react_tool_trace"] = f"""
+WITH sess AS (
+  SELECT doc_id, doc_id // 10 AS d FROM documents WHERE doc_id % 10 = 3
+), mentions AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'entity ' || (doc_id % 40) || 's'
+              ELSE 'entity ' || (doc_id % 40) END AS lbl
+  FROM documents
+), deg AS (
+  SELECT lbl, count(*)::BIGINT AS n_mentions FROM mentions GROUP BY lbl
+), ostat AS (
+  SELECT o_orderstatus AS st, count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY 1
+), enr AS (
+  SELECT s.doc_id, s.d,
+    'urn:trustgraph:agent:s' || s.doc_id AS session_id,
+    CASE WHEN s.d % 2 = 1 THEN 'knowledge_query'
+         ELSE 'structured_query' END AS tool_name,
+    CASE WHEN s.d % 2 = 1 THEN 'entity' ELSE 'status' END AS arg_key,
+    CASE WHEN s.d % 2 = 1
+         THEN CASE WHEN s.doc_id % 3 = 0
+                   THEN 'entity ' || (s.doc_id % 40) || 's'
+                   ELSE 'entity ' || (s.doc_id % 40) END
+         ELSE CASE WHEN s.doc_id % 3 = 0 THEN 'F'
+                   WHEN s.doc_id % 3 = 1 THEN 'O' ELSE 'P' END
+    END AS arg_val,
+    s.d % 10 = 7 AS bad_args,
+    s.d % 10 = 9 AS fail,
+    CASE WHEN s.d % 10 = 0
+         THEN 'knowledge_query,structured_query,audit_log'
+         ELSE 'knowledge_query,structured_query' END AS tool_candidates
+  FROM sess s
+), obs AS (
+  SELECT e.*,
+    CASE WHEN e.bad_args THEN '{_bad}'
+         WHEN e.fail THEN 'Error: backend unavailable'
+         WHEN e.tool_name = 'knowledge_query'
+           THEN e.arg_val || ' has ' || coalesce(dg.n_mentions, 0)
+                || ' mentions'
+         ELSE '{{"status": "' || e.arg_val || '", "n_orders": '
+              || coalesce(o.n_orders, 0) || '}}'
+    END AS observation
+  FROM enr e
+  LEFT JOIN deg dg ON dg.lbl = e.arg_val
+  LEFT JOIN ostat o ON o.st = e.arg_val
+)
+SELECT session_id, 1 AS step,
+  CASE WHEN bad_args THEN ''
+       ELSE 'Need ' || tool_name || ' for ' || arg_val || '.' END AS thought,
+  CASE WHEN bad_args THEN '__parse_error__' ELSE tool_name END AS action,
+  CASE WHEN bad_args THEN '{{}}'
+       ELSE '{{"' || arg_key || '": "' || arg_val || '"}}' END AS args_json,
+  observation, 'action' AS kind, tool_candidates
+FROM obs
+UNION ALL
+SELECT session_id, 2, 'Observation received.', '', '',
+       'Concluded: ' || observation, 'final', tool_candidates
+FROM obs
 """
 
     return sql
