@@ -1362,6 +1362,55 @@ def _nlq_elements(spark):
     )
 
 
+def _onto_ex_elements(spark):
+    """Ontology dimension for the extraction-conversion gate: a three-level
+    class chain (meter < sensor < device) so ancestor-class constraint
+    matching is exercised, an object property with domain+range, and two
+    datatype properties whose domains force both an ancestor pass and a
+    violation skip."""
+    return spark.createDataFrame(
+        [
+            ("kb", "class", "device", None, None, None, None, None, None),
+            ("kb", "class", "sensor", None, None, "device", None, None, None),
+            ("kb", "class", "meter", None, None, "sensor", None, None, None),
+            ("kb", "objectProperty", "connects", None, None, None,
+             "device", "sensor", None),
+            ("kb", "datatypeProperty", "reading", None, None, None,
+             "sensor", None, None),
+            ("kb", "datatypeProperty", "serial", None, None, None,
+             "device", None, None),
+        ],
+        "ontology_id string, element_type string, element_id string, "
+        "label string, comment string, subclass_of string, domain string, "
+        "range string, inverse_of string",
+    )
+
+
+def q_onto_extract_convert(spark, sf_dir):
+    """OntoRAG extraction response parsing + triple conversion
+    (extract/kg/ontology/simplified_parser.py:49-346,
+    triple_converter.py:21-230): per-doc planted LLM responses rotate the
+    three reference formats (JSONL-discriminator list with junk items,
+    legacy nested dict, snake_case legacy) through the resilient parser
+    seam, then convert to triples under broadcast ontology constraints —
+    unknown classes/properties skipped, domain/range enforced with
+    subClassOf ancestor matching, entity URIs minted as
+    {base}/{ontology}/{type}-{name}, numeric/bool attribute values
+    stringified. doc % 11 responses are malformed JSON (parser returns
+    None -> no rows)."""
+    from trustgraph_spark.operators.ontology import (
+        convert_extraction_triples,
+        extract_ontology_objects,
+    )
+    from trustgraph_spark.planted import planted_onto_responses
+
+    chunks = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("chunk_id"), "text"
+    )
+    parsed = extract_ontology_objects(chunks, planted_onto_responses)
+    return convert_extraction_triples(parsed, _onto_ex_elements(spark), "kb")
+
+
 def q_react_tool_trace(spark, sf_dir):
     """ReAct agent deterministic kernel (agent/react/agent_manager.py:18-172
     parse grammar, streaming_parser.py state machine, tool_filter.py
@@ -1513,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-5 additions (driver window: first 50) --
         "react_tool_trace": q_react_tool_trace,
+        "onto_extract_convert": q_onto_extract_convert,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -3009,6 +3059,38 @@ SELECT p.query_id, p.chunk_id, round(p.raw, 4) AS score,
        round(CASE WHEN m.hi = m.lo THEN 0.5
                   ELSE (p.raw - m.lo) / (m.hi - m.lo) END, 4) AS norm_score
 FROM pool p JOIN mm m USING (query_id)
+"""
+
+    # OntoRAG extraction conversion: replay the planted three-format
+    # responses analytically — per-doc triples depend only on doc_id and
+    # the fixed kb ontology (device > sensor > meter chain). fmt0 (JSONL)
+    # yields 6 triples, fmt1 (legacy) 4 (unknown class + domain violation
+    # skipped), fmt2 (snake_case) 3 (unknown relation skipped, bool value
+    # stringified); doc % 11 responses are malformed -> no rows
+    _OE = "https://trustgraph.ai/ontology/kb#"
+    _OB = "https://trustgraph.ai/kb/"
+    sql["onto_extract_convert"] = f"""
+WITH d AS (
+  SELECT doc_id AS n FROM documents WHERE doc_id % 11 <> 0
+), f0 AS (SELECT n FROM d WHERE n % 3 = 0),
+   f1 AS (SELECT n FROM d WHERE n % 3 = 1),
+   f2 AS (SELECT n FROM d WHERE n % 3 = 2)
+SELECT '{_OB}device-dev-' || n AS s, '{RDF_TYPE}' AS p,
+       '{_OE}device' AS o, 'u' AS otype FROM f0
+UNION ALL SELECT '{_OB}device-dev-' || n, '{RDF_LABEL}', 'dev ' || n, 'l' FROM f0
+UNION ALL SELECT '{_OB}sensor-sen-' || n, '{RDF_TYPE}', '{_OE}sensor', 'u' FROM f0
+UNION ALL SELECT '{_OB}sensor-sen-' || n, '{RDF_LABEL}', 'sen ' || n, 'l' FROM f0
+UNION ALL SELECT '{_OB}device-dev-' || n, '{_OE}connects',
+                 '{_OB}sensor-sen-' || n, 'u' FROM f0
+UNION ALL SELECT '{_OB}sensor-sen-' || n, '{_OE}reading', n::VARCHAR, 'l' FROM f0
+UNION ALL SELECT '{_OB}device-dev-' || n, '{RDF_TYPE}', '{_OE}device', 'u' FROM f1
+UNION ALL SELECT '{_OB}device-dev-' || n, '{RDF_LABEL}', 'dev ' || n, 'l' FROM f1
+UNION ALL SELECT '{_OB}sensor-sen-' || n, '{_OE}connects',
+                 '{_OB}meter-met-' || n, 'u' FROM f1
+UNION ALL SELECT '{_OB}device-dev-' || n, '{_OE}serial', 's ' || n, 'l' FROM f1
+UNION ALL SELECT '{_OB}meter-met-' || n, '{RDF_TYPE}', '{_OE}meter', 'u' FROM f2
+UNION ALL SELECT '{_OB}meter-met-' || n, '{RDF_LABEL}', 'met ' || n, 'l' FROM f2
+UNION ALL SELECT '{_OB}meter-met-' || n, '{_OE}reading', 'True', 'l' FROM f2
 """
 
     # ReAct scripted-session trace: every row reconstructed analytically —

@@ -197,3 +197,69 @@ def planted_mention_triples(docs: DataFrame) -> DataFrame:
         F.lit("").alias("dtype"),
         F.lit("").alias("lang"),
     )
+
+
+def planted_onto_responses(pdf):
+    """Deterministic stand-in for the ontology-extraction LLM call: one raw
+    response per chunk row, rotating the three reference response formats
+    (simplified_parser.py:49-91) by doc number — JSONL list with
+    discriminators (incl. junk items), legacy nested dict (incl. an
+    unknown class and a domain-violating attribute), legacy with
+    snake_case keys + an unknown relation + a boolean attribute value.
+    doc % 11 rows return malformed JSON (the parse-returns-None path).
+    Lives in the package because it is pickled into mapInPandas."""
+    import json
+
+    def one(chunk_id: str) -> str:
+        n = int(chunk_id)
+        if n % 11 == 0:
+            return "{ this is not json"
+        fmt = n % 3
+        if fmt == 0:
+            return json.dumps([
+                {"type": "entity", "entity": f"dev {n}",
+                 "entity_type": "device"},
+                {"type": "entity", "entity": f"sen {n}",
+                 "entity_type": "sensor"},
+                {"type": "relationship", "subject": f"dev {n}",
+                 "subject_type": "device", "relation": "connects",
+                 "object": f"sen {n}", "object_type": "sensor"},
+                {"type": "attribute", "entity": f"sen {n}",
+                 "entity-type": "sensor", "attribute": "reading",
+                 "value": n},
+                {"type": "mystery"},
+                "notadict",
+                {"type": "entity", "entity": "x"},
+            ])
+        if fmt == 1:
+            return json.dumps({
+                "entities": [
+                    {"entity": f"dev {n}", "type": "device"},
+                    {"entity": f"bad {n}", "type": "thing"},
+                ],
+                "relationships": [
+                    {"subject": f"sen {n}", "subject-type": "sensor",
+                     "relation": "connects", "object": f"met {n}",
+                     "object-type": "meter"},
+                ],
+                "attributes": [
+                    {"entity": f"dev {n}", "entity-type": "device",
+                     "attribute": "reading", "value": f"r {n}"},
+                    {"entity": f"dev {n}", "entity_type": "device",
+                     "attribute": "serial", "value": f"s {n}"},
+                ],
+            })
+        return json.dumps({
+            "entities": [{"entity": f"met {n}", "type": "meter"}],
+            "relationships": [
+                {"subject": f"met {n}", "subject_type": "meter",
+                 "relation": "floats", "object": f"dev {n}",
+                 "object_type": "device"},
+            ],
+            "attributes": [
+                {"entity": f"met {n}", "entity_type": "meter",
+                 "attribute": "reading", "value": True},
+            ],
+        })
+
+    return pdf["chunk_id"].map(one)
