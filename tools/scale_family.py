@@ -162,6 +162,7 @@ def run_ivf(spark, store_sf1, queries_df):
     and recall@10 vs the exact scan."""
     from trustgraph_spark.operators.docrag import query_chunk_embeddings
     from trustgraph_spark.operators.embeddings import (
+        default_nprobe,
         ivf_assign,
         ivf_kmeans,
         ivf_probe_lists,
@@ -186,19 +187,20 @@ def run_ivf(spark, store_sf1, queries_df):
     for tag, store in (("sf0.1", store01), ("sf1", store_sf1)):
         n_vec = store.count()
         n_lists = max(8, int(math.sqrt(n_vec)))
+        npr = default_nprobe(n_vec, n_lists)
         cents = ivf_kmeans(store, n_lists=n_lists, id_col="chunk_id", vec_col="vector")
         assigned = ivf_assign(store, cents, vec_col="vector").localCheckpoint()
 
         def go():
             return ivf_topk(
-                assigned, cents, cv, k=10, nprobe=4,
+                assigned, cents, cv, k=10, nprobe=npr,
                 id_col="chunk_id", vec_col="vector",
             ).count()
 
         wall, _ = _wall(go)
         # probed rows: list sizes joined to each query's probe set
         sizes = assigned.groupBy("list_id").agg(F.count("*").alias("sz"))
-        probed = ivf_probe_lists(cv, cents, 4, "query_id", "query_vector")
+        probed = ivf_probe_lists(cv, cents, npr, "query_id", "query_vector")
         probed_rows = (
             probed.join(sizes, "list_id")
             .agg(F.sum("sz").alias("s"))
@@ -212,13 +214,14 @@ def run_ivf(spark, store_sf1, queries_df):
         got = {
             (r.query_id, r.chunk_id)
             for r in ivf_topk(
-                assigned, cents, cv, k=10, nprobe=4,
+                assigned, cents, cv, k=10, nprobe=npr,
                 id_col="chunk_id", vec_col="vector",
             ).collect()
         }
         out[tag] = {
             "vectors": n_vec,
             "n_lists": n_lists,
+            "nprobe": npr,
             "wall": wall,
             "probed_rows_per_query": probed_rows / n_queries,
             "scan_fraction": probed_rows / (n_queries * n_vec),
@@ -320,26 +323,33 @@ def main():
     md.append("### IVF chunk index probe pruning (the declared 100-TB dense path)")
     md.append("")
     md.append(
-        "| corpus | vectors | n_lists (~sqrt N) | probed rows/query | "
-        "scan fraction | recall@10 | wall (s) |"
+        "| corpus | vectors | n_lists (~sqrt N) | nprobe (auto) | "
+        "probed rows/query | scan fraction | recall@10 | wall (s) |"
     )
-    md.append("|---|---|---|---|---|---|---|")
+    md.append("|---|---|---|---|---|---|---|---|")
     for tag in ("sf0.1", "sf1"):
         r = ivf[tag]
         md.append(
-            f"| {tag} | {r['vectors']} | {r['n_lists']} | "
+            f"| {tag} | {r['vectors']} | {r['n_lists']} | {r['nprobe']} | "
             f"{r['probed_rows_per_query']:.0f} | {r['scan_fraction']:.3f} | "
             f"{r['recall@10']:.2f} | {r['wall']:.2f} |"
         )
-    pg = (
-        ivf["sf1"]["probed_rows_per_query"]
-        / max(1.0, ivf["sf0.1"]["probed_rows_per_query"])
+    fg = (
+        ivf["sf0.1"]["scan_fraction"]
+        / max(1e-9, ivf["sf1"]["scan_fraction"])
     )
     md.append("")
     md.append(
-        f"- 10x vectors -> **{pg:.1f}x probed rows** per query "
-        "(sub-linear, tracking sqrt(N) as n_lists grows with the corpus); "
-        "the exact scan would be 10x."
+        "- nprobe now auto-scales (default_nprobe, r4-verdict nit #3): "
+        "probe enough lists to reach a ~2048-row expected rerank target, "
+        "clamped to [4, n_lists]. At sf0.1 that is a FULL probe — the "
+        "corpus is smaller than the target, so IVF degrades gracefully "
+        "to the exact scan (recall 1.00) instead of under-probing "
+        "(nprobe=4 measured 0.41-0.48 here); at sf1 it probes "
+        f"{ivf['sf1']['nprobe']}/{ivf['sf1']['n_lists']} lists. "
+        f"Scan fraction drops **{fg:.0f}x** for 10x vectors; probed rows "
+        "per query stay ~flat at the target until the floor takes over, "
+        "then grow ~sqrt(N) — the exact scan would grow 10x."
     )
     md.append("")
     md.append("### SPARQL property-path closure (sparql_path_star)")

