@@ -378,3 +378,104 @@ def test_ask_query_exempt_from_limit_injection(spark, device_edges):
     )
     assert "LIMIT" not in out.query.upper()
     assert sparql_select(device_edges, out.query).collect()[0]["ask"] is False
+
+
+# ---------------------------------------------------------------------------
+# service composition: cache + monitor + orchestration (r4 verdict ask #8)
+# ---------------------------------------------------------------------------
+
+
+class TestCachedNlGraphQuery:
+    @pytest.fixture()
+    def kb(self, spark):
+        from tests.test_nlquery import ELEMENTS_DDL, NS, TRIPLES_DDL
+
+        rows = []
+        for i in range(3):
+            rows.append(("default", "", f"{NS}dev{i}", RDF_TYPE,
+                         f"{NS}device", "u", "", ""))
+            rows.append(("default", "", f"{NS}dev{i}", RDF_LABEL,
+                         f"device {i}", "l", "", ""))
+        edges = spark.createDataFrame(rows, TRIPLES_DDL)
+        elements = spark.createDataFrame(
+            [("kb", "class", "device", None, None, None, None, None, None)],
+            ELEMENTS_DDL,
+        )
+        return edges, elements, NS
+
+    def test_cache_hit_short_circuit_and_metrics(self, spark, kb):
+        from trustgraph_spark.nlmonitor import (
+            PerformanceMonitor,
+            QueryPatternAnalyzer,
+        )
+        from trustgraph_spark.nlservice import (
+            QueryResultCache,
+            cached_nl_graph_query,
+        )
+
+        edges, elements, ns = kb
+        monitor = PerformanceMonitor()
+        analyzer = QueryPatternAnalyzer(monitor)
+        cache = QueryResultCache(max_size=10)
+
+        kwargs = dict(cache=cache, monitor=monitor,
+                      pattern_analyzer=analyzer, namespace=ns)
+        first = cached_nl_graph_query(
+            edges, elements, "find all Device", **kwargs)
+        assert first["result_count"] == 3
+
+        # repeat: must short-circuit — same OBJECT back, no new execution
+        second = cached_nl_graph_query(
+            edges, elements, "find all Device", **kwargs)
+        assert second is first
+
+        # cache stats: one miss (first run) + one hit (repeat)
+        assert cache.stats.hits == 1 and cache.stats.misses == 1
+        mc = monitor.metrics_collector
+        labels = {"cache_type": "query_results"}
+        assert mc.get_counter("cache_hits_total", labels) == 1
+        assert mc.get_counter("cache_misses_total", labels) == 1
+        # exactly ONE request recorded (the miss) — the hit never reached
+        # the engine
+        req_labels = {"component": "nlquery", "operation": "nl_graph_query"}
+        assert mc.get_counter("requests_total", req_labels) == 1
+        assert mc.get_counter("requests_successful", req_labels) == 1
+        # the pattern analyzer saw the one executed question
+        assert len(analyzer.query_patterns["retrieval:1"]) == 1
+
+    def test_distinct_questions_miss_separately(self, spark, kb):
+        from trustgraph_spark.nlservice import (
+            QueryResultCache,
+            cached_nl_graph_query,
+        )
+
+        edges, elements, ns = kb
+        cache = QueryResultCache(max_size=10)
+        a = cached_nl_graph_query(edges, elements, "find all Device",
+                                  cache=cache, namespace=ns)
+        b = cached_nl_graph_query(edges, elements, "count Device entries",
+                                  cache=cache, namespace=ns)
+        assert a is not b
+        assert cache.stats.misses == 2 and cache.stats.hits == 0
+
+    def test_error_results_are_not_cached(self, spark, kb):
+        from trustgraph_spark.nlservice import (
+            QueryResultCache,
+            cached_nl_graph_query,
+        )
+
+        edges, elements, ns = kb
+
+        def broken(question, subset):
+            raise RuntimeError("translator exploded")
+
+        cache = QueryResultCache(max_size=10)
+        # a question no template matches forces the translator seam, which
+        # explodes -> nl_graph_query's shaped error result
+        out = cached_nl_graph_query(
+            edges, elements, "no template matches this sentence",
+            cache=cache, namespace=ns, translator=broken)
+        assert out["confidence"] == 0.0
+        # shaped error was returned but NOT stored
+        assert cache.stats.misses == 1
+        assert len(cache._entries) == 0

@@ -924,3 +924,77 @@ def format_explanation(exp: QueryExplanation, format_type: str = "markdown") -> 
     parts += ["", "Reasoning:"]
     parts += [f"  - {r}" for r in exp.reasoning_chain]
     return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# service composition: cache + monitor around the NL orchestration
+# ---------------------------------------------------------------------------
+
+
+def cached_nl_graph_query(
+    edges,
+    elements,
+    question: str,
+    cache: "QueryResultCache",
+    monitor=None,
+    pattern_analyzer=None,
+    ttl: int | None = None,
+    clock=None,
+    **nl_kwargs,
+) -> dict:
+    """query_service-style composition (query/ontology/query_service.py
+    process + the cache.py cached-query wrapper :620-650): md5-key the
+    question (+collection), short-circuit on a cache hit, otherwise run
+    :func:`trustgraph_spark.nlquery.nl_graph_query`, store the result,
+    and record metrics either way — request duration + success on the
+    'nlquery' component, cache hit/miss on the 'query_results' cache,
+    and the question pattern for the analyzer. ``monitor`` is a
+    :class:`trustgraph_spark.nlmonitor.PerformanceMonitor` (optional);
+    ``clock`` overrides the duration source for deterministic tests.
+
+    The cached value is the SERVICE result dict (answer, sparql,
+    confidence, bounded rows) — the reference caches exactly this
+    per-question response; corpus-scale data caching belongs to the
+    warehouse, not here."""
+    import hashlib
+    import time as _time
+
+    from .nlquery import nl_graph_query
+
+    clock = clock or _time.monotonic
+    key = "nlq:" + hashlib.md5(
+        (question + "\x00" + str(nl_kwargs.get("collection"))).encode()
+    ).hexdigest()
+
+    hit = cache.get(key)
+    if hit is not None:
+        if monitor is not None:
+            monitor.record_cache_access(True, cache_type="query_results")
+        return hit
+
+    if monitor is not None:
+        monitor.record_cache_access(False, cache_type="query_results")
+    t0 = clock()
+    result = nl_graph_query(edges, elements, question, **nl_kwargs)
+    duration = clock() - t0
+    # nl_graph_query shapes its own errors (error answer, confidence 0.0,
+    # metadata.error) instead of raising — mirror that in the metrics
+    ok = not (result.get("metadata") or {}).get("error")
+    if monitor is not None:
+        monitor.record_request("nlquery", "nl_graph_query", duration,
+                               success=ok)
+    if pattern_analyzer is not None:
+        comp = result.get("components")
+        gen = result.get("sparql")
+        pattern_analyzer.record_query_pattern(
+            getattr(comp.question_type, "value", str(comp.question_type)),
+            comp.entities,
+            complexity=(gen.complexity_score if gen is not None else 0.0),
+            backend=(result.get("metadata") or {}).get("backend_used",
+                                                       "spark"),
+            duration=duration,
+            success=ok,
+        )
+    if ok:
+        cache.set(key, result, ttl_seconds=ttl)
+    return result
