@@ -1431,6 +1431,24 @@ def q_react_tool_trace(spark, sf_dir):
     )
 
 
+def q_react_prov_triples(spark, sf_dir):
+    """Agent provenance emission (provenance/agent.py:66-355 +
+    react/service.py:535-545 lineage): PROV-O triples for every scripted
+    ReAct session derived from the trace frame with pure column
+    expressions — Question activity, Analysis+ToolUse iteration with
+    thought sub-entity / tool candidates / step number, Observation with
+    the tg:Error mixin + toolError literal on failures, Conclusion with
+    termination reason; iteration 1 derives from the question, the
+    conclusion from the last iteration."""
+    from trustgraph_spark.agent import agent_prov_triples, react_tool_trace
+
+    trace = react_tool_trace(
+        _docs(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+    return agent_prov_triples(trace, timestamp="2026-01-01T00:00:00Z")
+
+
 def q_onto_match_query(spark, sf_dir):
     """Query-variant ontology matcher (query/ontology/ontology_matcher.py):
     the top_k=15 / threshold=0.6 parameterization of the OntoRAG subset
@@ -1563,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions (driver window: first 50) --
         "react_tool_trace": q_react_tool_trace,
         "onto_extract_convert": q_onto_extract_convert,
+        "react_prov_triples": q_react_prov_triples,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -3102,7 +3121,8 @@ UNION ALL SELECT '{_OB}meter-met-' || n, '{_OE}reading', 'True', 'l' FROM f2
     from trustgraph_spark.agent import BAD_ARGS_ERROR
 
     _bad = BAD_ARGS_ERROR.replace("'", "''")
-    sql["react_tool_trace"] = f"""
+    _bad_noprefix = BAD_ARGS_ERROR[len("Error: "):].replace("'", "''")
+    _REACT_CTE = f"""
 WITH sess AS (
   SELECT doc_id, doc_id // 10 AS d FROM documents WHERE doc_id % 10 = 3
 ), mentions AS (
@@ -3147,18 +3167,95 @@ WITH sess AS (
   LEFT JOIN deg dg ON dg.lbl = e.arg_val
   LEFT JOIN ostat o ON o.st = e.arg_val
 )
-SELECT session_id, 1 AS step,
+"""
+    sql["react_tool_trace"] = _REACT_CTE + f"""
+SELECT session_id, 1 AS step, arg_val AS question,
   CASE WHEN bad_args THEN ''
        ELSE 'Need ' || tool_name || ' for ' || arg_val || '.' END AS thought,
   CASE WHEN bad_args THEN '__parse_error__' ELSE tool_name END AS action,
   CASE WHEN bad_args THEN '{{}}'
        ELSE '{{"' || arg_key || '": "' || arg_val || '"}}' END AS args_json,
-  observation, 'action' AS kind, tool_candidates
+  observation,
+  CASE WHEN bad_args THEN '{_bad_noprefix}'
+       WHEN fail THEN 'backend unavailable'
+       ELSE NULL END AS tool_error,
+  'action' AS kind, tool_candidates
 FROM obs
 UNION ALL
-SELECT session_id, 2, 'Observation received.', '', '',
-       'Concluded: ' || observation, 'final', tool_candidates
+SELECT session_id, 2, arg_val, 'Observation received.', '', '',
+       'Concluded: ' || observation, NULL, 'final', tool_candidates
 FROM obs
 """
+
+    # Agent provenance triples for the scripted sessions: every session
+    # has exactly one Analysis iteration and one Conclusion, so the
+    # reference emitters (provenance/agent.py session/iteration/
+    # observation/final) unroll to a fixed per-session triple set,
+    # generated here programmatically over the same obs CTE
+    _TGP = "https://trustgraph.ai/ns/"
+    _PROVNS = "http://www.w3.org/ns/prov#"
+    _S = "session_id"
+    _I = "session_id || '/i1'"
+    _T = "session_id || '/i1/thought'"
+    _O = "session_id || '/i1/observation'"
+    _FU = "session_id || '/final'"
+    _act = "CASE WHEN bad_args THEN '__parse_error__' ELSE tool_name END"
+    _args = ("CASE WHEN bad_args THEN '{}' ELSE "
+             "'{\"' || arg_key || '\": \"' || arg_val || '\"}' END")
+    _errtext = ("CASE WHEN bad_args THEN '" + _bad_noprefix
+                + "' ELSE 'backend unavailable' END")
+
+    def _pt(s, p, o, otype, where=""):
+        return (f"SELECT {s} AS s, '{p}' AS p, {o} AS o, '{otype}' AS otype"
+                f" FROM obs{where}")
+
+    _prov_selects = [
+        # session (Question activity)
+        _pt(_S, RDF_TYPE, f"'{_PROVNS}Entity'", "u"),
+        _pt(_S, RDF_TYPE, f"'{_TGP}Question'", "u"),
+        _pt(_S, RDF_TYPE, f"'{_TGP}AgentQuestion'", "u"),
+        _pt(_S, RDF_LABEL, "'Agent Question'", "l"),
+        _pt(_S, f"{_PROVNS}startedAtTime", "'2026-01-01T00:00:00Z'", "l"),
+        _pt(_S, f"{_TGP}query", "arg_val", "l"),
+        # iteration (Analysis + ToolUse)
+        _pt(_I, RDF_TYPE, f"'{_PROVNS}Entity'", "u"),
+        _pt(_I, RDF_TYPE, f"'{_TGP}Analysis'", "u"),
+        _pt(_I, RDF_TYPE, f"'{_TGP}ToolUse'", "u"),
+        _pt(_I, RDF_LABEL, f"'Analysis: ' || {_act}", "l"),
+        _pt(_I, f"{_TGP}action", _act, "l"),
+        _pt(_I, f"{_TGP}arguments", _args, "l"),
+        _pt(_I, f"{_TGP}stepNumber", "'1'", "l"),
+        _pt(_I, f"{_PROVNS}wasDerivedFrom", _S, "u"),
+        _pt(_I, f"{_TGP}thought", _T, "u"),
+        # thought sub-entity
+        _pt(_T, RDF_TYPE, f"'{_TGP}Reflection'", "u"),
+        _pt(_T, RDF_TYPE, f"'{_TGP}Thought'", "u"),
+        _pt(_T, RDF_LABEL, "'Thought'", "l"),
+        _pt(_T, f"{_PROVNS}wasDerivedFrom", _I, "u"),
+        # observation
+        _pt(_O, RDF_TYPE, f"'{_PROVNS}Entity'", "u"),
+        _pt(_O, RDF_TYPE, f"'{_TGP}Observation'", "u"),
+        _pt(_O, RDF_LABEL, "'Observation'", "l"),
+        _pt(_O, f"{_PROVNS}wasDerivedFrom", _I, "u"),
+        # tool candidates (audit_log only for the review-state decades)
+        _pt(_I, f"{_TGP}toolCandidate", "'knowledge_query'", "l"),
+        _pt(_I, f"{_TGP}toolCandidate", "'structured_query'", "l"),
+        _pt(_I, f"{_TGP}toolCandidate", "'audit_log'", "l",
+            " WHERE d % 10 = 0"),
+        # error mixin on failed observations
+        _pt(_O, f"{_TGP}toolError", _errtext, "l",
+            " WHERE bad_args OR fail"),
+        _pt(_O, RDF_TYPE, f"'{_TGP}Error'", "u", " WHERE bad_args OR fail"),
+        # conclusion
+        _pt(_FU, RDF_TYPE, f"'{_PROVNS}Entity'", "u"),
+        _pt(_FU, RDF_TYPE, f"'{_TGP}Conclusion'", "u"),
+        _pt(_FU, RDF_TYPE, f"'{_TGP}Answer'", "u"),
+        _pt(_FU, RDF_LABEL, "'Conclusion'", "l"),
+        _pt(_FU, f"{_PROVNS}wasDerivedFrom", _I, "u"),
+        _pt(_FU, f"{_TGP}terminationReason", "'final-answer'", "l"),
+    ]
+    sql["react_prov_triples"] = (
+        _REACT_CTE + "\nUNION ALL\n".join(_prov_selects)
+    )
 
     return sql

@@ -512,3 +512,71 @@ class TestReactTrace:
         for o in step1.observation:
             d = json.loads(o)
             assert set(d) == {"status", "n_orders"}
+
+
+class TestAgentProvTriples:
+    @pytest.fixture(scope="class")
+    def prov(self, spark):
+        from trustgraph_spark.agent import agent_prov_triples, react_tool_trace
+
+        docs = spark.range(0, 100).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("text"),
+            F.lit("en").alias("lang"), F.lit("s").alias("source"),
+            F.lit(10).alias("n_chars"),
+        )
+        orders = spark.createDataFrame(
+            [(0, "F")], "o_orderkey long, o_orderstatus string")
+        trace = react_tool_trace(docs, orders)
+        return trace.toPandas(), agent_prov_triples(
+            trace, timestamp="2026-01-01T00:00:00Z").toPandas()
+
+    def test_trace_tool_error_column(self, prov):
+        trace, _ = prov
+        s1 = trace[trace.step == 1].set_index("session_id")
+        # d%10==7 -> doc 73 parse error; d%10==9 -> doc 93 tool failure
+        assert s1.loc["urn:trustgraph:agent:s73", "tool_error"].startswith(
+            "LLM parse error")
+        assert (s1.loc["urn:trustgraph:agent:s93", "tool_error"]
+                == "backend unavailable")
+        assert s1.loc["urn:trustgraph:agent:s3", "tool_error"] is None
+
+    def test_session_question_and_lineage(self, prov):
+        trace, tp = prov
+        s = "urn:trustgraph:agent:s13"
+        mine = tp[tp.s.str.startswith(s)]
+        tg = "https://trustgraph.ai/ns/"
+        prov_ns = "http://www.w3.org/ns/prov#"
+        # question activity carries the query literal
+        q = mine[(mine.s == s) & (mine.p == tg + "query")]
+        assert list(q.o) == [trace[trace.session_id == s].question.iloc[0]]
+        # iteration 1 derives from the question; conclusion from iteration
+        der = mine[mine.p == prov_ns + "wasDerivedFrom"].set_index("s")
+        assert der.loc[f"{s}/i1", "o"] == s
+        assert der.loc[f"{s}/final", "o"] == f"{s}/i1"
+        assert der.loc[f"{s}/i1/thought", "o"] == f"{s}/i1"
+        assert der.loc[f"{s}/i1/observation", "o"] == f"{s}/i1"
+
+    def test_error_mixin_only_on_failures(self, prov):
+        _, tp = prov
+        tg = "https://trustgraph.ai/ns/"
+        err_rows = tp[(tp.p == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+                      & (tp.o == tg + "Error")]
+        # doc 73 (parse error) + doc 93 (tool failure) observations only
+        assert set(err_rows.s) == {
+            "urn:trustgraph:agent:s73/i1/observation",
+            "urn:trustgraph:agent:s93/i1/observation",
+        }
+        tool_err = tp[tp.p == tg + "toolError"].set_index("s")
+        assert (tool_err.loc["urn:trustgraph:agent:s93/i1/observation", "o"]
+                == "backend unavailable")
+
+    def test_termination_and_candidates(self, prov):
+        _, tp = prov
+        tg = "https://trustgraph.ai/ns/"
+        term = tp[tp.p == tg + "terminationReason"]
+        assert set(term.o) == {"final-answer"}
+        assert len(term) == 10  # one per session
+        cand = tp[tp.p == tg + "toolCandidate"]
+        # doc 3 (d=0, review state) sees all three tools
+        assert (cand[cand.s == "urn:trustgraph:agent:s3/i1"].o.tolist()
+                == ["knowledge_query", "structured_query", "audit_log"])

@@ -737,8 +737,9 @@ BAD_ARGS_ERROR = (
 )
 
 _TRACE_SCHEMA = (
-    "session_id string, step int, thought string, action string, "
-    "args_json string, observation string, kind string, tool_candidates string"
+    "session_id string, step int, question string, thought string, "
+    "action string, args_json string, observation string, "
+    "tool_error string, kind string, tool_candidates string"
 )
 
 
@@ -832,8 +833,9 @@ def run_react_traces(sessions: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_tools = scripted_tools()
-        cols = ["session_id", "step", "thought", "action", "args_json",
-                "observation", "kind", "tool_candidates"]
+        cols = ["session_id", "step", "question", "thought", "action",
+                "args_json", "observation", "tool_error", "kind",
+                "tool_candidates"]
         for pdf in batches:
             out = []
             for row in pdf.to_dict("records"):
@@ -862,17 +864,21 @@ def run_react_traces(sessions: DataFrame) -> DataFrame:
                 for step, act in enumerate(history, start=1):
                     out.append({
                         "session_id": row["session_id"], "step": step,
+                        "question": row["arg_val"],
                         "thought": act.thought, "action": act.name,
                         "args_json": json.dumps(act.arguments),
-                        "observation": act.observation, "kind": "action",
+                        "observation": act.observation,
+                        "tool_error": act.tool_error, "kind": "action",
                         "tool_candidates": candidates,
                     })
                 out.append({
                     "session_id": row["session_id"],
                     "step": len(history) + 1,
+                    "question": row["arg_val"],
                     "thought": final.thought, "action": "",
                     "args_json": "", "observation": final.final,
-                    "kind": "final", "tool_candidates": candidates,
+                    "tool_error": None, "kind": "final",
+                    "tool_candidates": candidates,
                 })
             yield pd.DataFrame(out, columns=cols)
 
@@ -884,3 +890,139 @@ def react_tool_trace(docs: DataFrame, orders: DataFrame) -> DataFrame:
     session derivation + batched tool joins (Catalyst) feeding the
     parse→filter→dispatch→observe kernel (seam)."""
     return run_react_traces(react_trace_sessions(docs, orders))
+
+
+# ---------------------------------------------------------------------------
+# Agent provenance triples (trustgraph-base/trustgraph/provenance/agent.py)
+# ---------------------------------------------------------------------------
+
+_PROV = "http://www.w3.org/ns/prov#"
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+_TGNS = "https://trustgraph.ai/ns/"
+
+PROV_ENTITY = _PROV + "Entity"
+PROV_WAS_DERIVED_FROM = _PROV + "wasDerivedFrom"
+PROV_STARTED_AT_TIME = _PROV + "startedAtTime"
+RDF_TYPE_URI = _RDF + "type"
+RDFS_LABEL_URI = _RDFS + "label"
+TG_QUERY = _TGNS + "query"
+TG_QUESTION = _TGNS + "Question"
+TG_AGENT_QUESTION = _TGNS + "AgentQuestion"
+TG_ANALYSIS = _TGNS + "Analysis"
+TG_TOOL_USE = _TGNS + "ToolUse"
+TG_CONCLUSION = _TGNS + "Conclusion"
+TG_ANSWER = _TGNS + "Answer"
+TG_REFLECTION = _TGNS + "Reflection"
+TG_THOUGHT_TYPE = _TGNS + "Thought"
+TG_OBSERVATION_TYPE = _TGNS + "Observation"
+TG_ERROR_TYPE = _TGNS + "Error"
+TG_THOUGHT = _TGNS + "thought"
+TG_ACTION = _TGNS + "action"
+TG_ARGUMENTS = _TGNS + "arguments"
+TG_TOOL_CANDIDATE = _TGNS + "toolCandidate"
+TG_TOOL_ERROR = _TGNS + "toolError"
+TG_STEP_NUMBER = _TGNS + "stepNumber"
+TG_TERMINATION_REASON = _TGNS + "terminationReason"
+
+
+def agent_prov_triples(trace: DataFrame, timestamp: str) -> DataFrame:
+    """PROV-O provenance triples for agent sessions, derived from a ReAct
+    trace frame as pure column expressions (no UDF) — the Spark twin of
+    the reference's per-event emitters (provenance/agent.py:66-107
+    agent_session_triples, :146-239 agent_iteration_triples with the
+    thought sub-entity, :241-296 agent_observation_triples incl. the
+    tg:Error mixin on tool failures, :298-355 agent_final_triples with
+    termination reason). ``timestamp`` is caller-provided event time (the
+    reference defaults to now(), which a deterministic data plane cannot).
+
+    Lineage parity: iteration 1 derives from the question; iteration N>1
+    derives from observation N-1 (react/service.py:535-545); the
+    conclusion derives from the last iteration and carries
+    'final-answer'. Per trace row the triple set is built as an inline
+    array + one explode — narrow, codegen-friendly, no shuffle."""
+    sid = F.col("session_id")
+    step = F.col("step")
+    s_uri = sid
+    i_uri = F.concat(sid, F.lit("/i"), step.cast("string"))
+    t_uri = F.concat(i_uri, F.lit("/thought"))
+    o_uri = F.concat(i_uri, F.lit("/observation"))
+    prev_o = F.concat(sid, F.lit("/i"), (step - 1).cast("string"),
+                      F.lit("/observation"))
+    prev_i = F.concat(sid, F.lit("/i"), (step - 1).cast("string"))
+
+    def t(s, p, o, otype="u"):
+        return F.struct(
+            s.alias("s") if not isinstance(s, str) else F.lit(s).alias("s"),
+            F.lit(p).alias("p"),
+            o.alias("o") if not isinstance(o, str) else F.lit(o).alias("o"),
+            F.lit(otype).alias("otype"),
+        )
+
+    session_rows = (
+        trace.where(F.col("kind") == "final")
+        .select(F.explode(F.array(
+            t(s_uri, RDF_TYPE_URI, PROV_ENTITY),
+            t(s_uri, RDF_TYPE_URI, TG_QUESTION),
+            t(s_uri, RDF_TYPE_URI, TG_AGENT_QUESTION),
+            t(s_uri, RDFS_LABEL_URI, "Agent Question", "l"),
+            t(s_uri, PROV_STARTED_AT_TIME, F.lit(timestamp), "l"),
+            t(s_uri, TG_QUERY, F.col("question"), "l"),
+        )).alias("tr"))
+    )
+
+    act = trace.where(F.col("kind") == "action")
+    base_iter = F.array(
+        t(i_uri, RDF_TYPE_URI, PROV_ENTITY),
+        t(i_uri, RDF_TYPE_URI, TG_ANALYSIS),
+        t(i_uri, RDF_TYPE_URI, TG_TOOL_USE),
+        t(i_uri, RDFS_LABEL_URI,
+          F.concat(F.lit("Analysis: "), F.col("action")), "l"),
+        t(i_uri, TG_ACTION, F.col("action"), "l"),
+        t(i_uri, TG_ARGUMENTS, F.col("args_json"), "l"),
+        t(i_uri, TG_STEP_NUMBER, step.cast("string"), "l"),
+        t(i_uri, PROV_WAS_DERIVED_FROM,
+          F.when(step == 1, s_uri).otherwise(prev_o)),
+        t(i_uri, TG_THOUGHT, t_uri),
+        t(t_uri, RDF_TYPE_URI, TG_REFLECTION),
+        t(t_uri, RDF_TYPE_URI, TG_THOUGHT_TYPE),
+        t(t_uri, RDFS_LABEL_URI, "Thought", "l"),
+        t(t_uri, PROV_WAS_DERIVED_FROM, i_uri),
+        t(o_uri, RDF_TYPE_URI, PROV_ENTITY),
+        t(o_uri, RDF_TYPE_URI, TG_OBSERVATION_TYPE),
+        t(o_uri, RDFS_LABEL_URI, "Observation", "l"),
+        t(o_uri, PROV_WAS_DERIVED_FROM, i_uri),
+    )
+    candidates = F.transform(
+        F.split(F.col("tool_candidates"), ","),
+        lambda c: t(i_uri, TG_TOOL_CANDIDATE, c, "l"),
+    )
+    err = F.when(
+        F.col("tool_error").isNotNull(),
+        F.array(
+            t(o_uri, TG_TOOL_ERROR, F.col("tool_error"), "l"),
+            t(o_uri, RDF_TYPE_URI, TG_ERROR_TYPE),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<s:string,p:string,o:string,otype:string>>"))
+    iter_rows = act.select(
+        F.explode(F.concat(base_iter, candidates, err)).alias("tr")
+    )
+
+    f_uri = F.concat(sid, F.lit("/final"))
+    final_rows = (
+        trace.where(F.col("kind") == "final")
+        .select(F.explode(F.array(
+            t(f_uri, RDF_TYPE_URI, PROV_ENTITY),
+            t(f_uri, RDF_TYPE_URI, TG_CONCLUSION),
+            t(f_uri, RDF_TYPE_URI, TG_ANSWER),
+            t(f_uri, RDFS_LABEL_URI, "Conclusion", "l"),
+            t(f_uri, PROV_WAS_DERIVED_FROM, prev_i),
+            t(f_uri, TG_TERMINATION_REASON, "final-answer", "l"),
+        )).alias("tr"))
+    )
+
+    return (
+        session_rows.unionByName(iter_rows).unionByName(final_rows)
+        .select("tr.s", "tr.p", "tr.o", "tr.otype")
+    )
