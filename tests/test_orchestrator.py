@@ -411,3 +411,81 @@ def test_build_history_converts_steps():
     assert (acts[0].thought, acts[0].name, acts[0].arguments,
             acts[0].observation) == ("think", "tool", {"k": "v"}, "obs")
     assert build_history(AgentRequest(question="q")) == []
+
+
+# ---------------------------------------------------------------------------
+# MCP tool registry (agent/mcp_tool/service.py)
+# ---------------------------------------------------------------------------
+
+
+class FakeMcpResult:
+    def __init__(self, structured=None, content=None):
+        self.structuredContent = structured
+        if content is not None:
+            self.content = content
+
+
+class FakePart:
+    def __init__(self, text):
+        self.text = text
+
+
+class TestMcpToolRegistry:
+    def _registry(self, transport=None):
+        from trustgraph_spark.orchestrator import McpToolRegistry
+
+        reg = McpToolRegistry(transport=transport)
+        reg.update_config("ws1", {"mcp": {
+            "weather": json.dumps({"url": "http://mcp.example/weather",
+                                   "remote-name": "get_weather",
+                                   "auth-token": "tok123"}),
+            "nourl": json.dumps({"remote-name": "x"}),
+            "plain": json.dumps({"url": "http://mcp.example/plain"}),
+        }})
+        return reg
+
+    def test_resolve_with_remote_name_and_auth(self):
+        url, remote, headers = self._registry().resolve("ws1", "weather")
+        assert url == "http://mcp.example/weather"
+        assert remote == "get_weather"
+        assert headers == {"Authorization": "Bearer tok123"}
+
+    def test_resolve_defaults(self):
+        url, remote, headers = self._registry().resolve("ws1", "plain")
+        assert remote == "plain" and headers == {}
+
+    def test_unknown_service_and_missing_url(self):
+        reg = self._registry()
+        with pytest.raises(RuntimeError, match="not known in workspace"):
+            reg.resolve("ws1", "nope")
+        with pytest.raises(RuntimeError, match="URL not defined"):
+            reg.resolve("ws1", "nourl")
+
+    def test_config_clear_on_missing_mcp_section(self):
+        reg = self._registry()
+        reg.update_config("ws1", {})
+        with pytest.raises(RuntimeError, match="not known"):
+            reg.resolve("ws1", "weather")
+
+    def test_result_shaping(self):
+        from trustgraph_spark.orchestrator import McpToolRegistry
+
+        shape = McpToolRegistry.shape_result
+        assert shape(FakeMcpResult(structured={"a": 1})) == {"a": 1}
+        assert shape(FakeMcpResult(content=[FakePart("he"),
+                                            FakePart("llo")])) == "hello"
+        assert shape(FakeMcpResult()) == "No content"
+
+    def test_invoke_through_transport_seam(self):
+        calls = []
+
+        def transport(url, headers, remote_name, parameters):
+            calls.append((url, headers, remote_name, parameters))
+            return FakeMcpResult(content=[FakePart("ok")])
+
+        reg = self._registry(transport)
+        out = reg.invoke("ws1", "weather", {"city": "Oslo"})
+        assert out == "ok"
+        assert calls == [("http://mcp.example/weather",
+                          {"Authorization": "Bearer tok123"},
+                          "get_weather", {"city": "Oslo"})]

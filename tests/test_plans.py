@@ -225,3 +225,77 @@ def test_bm25_broadcasts_query_terms(spark):
     plan = _plan(bm25_topk(postings, queries, limit=5))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_react_trace_sessions_broadcasts_tool_dims(spark):
+    # the batched tool joins must broadcast the small aggregated dims
+    # (mention degrees, status counts) against the session corpus — never
+    # a shuffle join keyed on the corpus, never a cartesian
+    from trustgraph_spark.agent import react_trace_sessions
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text"),
+        F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.lit(10).alias("n_chars"),
+    )
+    orders = spark.createDataFrame(
+        [(0, "F"), (1, "O")], "o_orderkey long, o_orderstatus string")
+    plan = _plan(react_trace_sessions(docs, orders))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_convert_extraction_triples_broadcasts_ontology(spark):
+    # ontology dims (classes, properties, ancestor closure) broadcast;
+    # the extraction-row corpus side never shuffles for the joins
+    from trustgraph_spark.operators.ontology import convert_extraction_triples
+
+    elements = spark.createDataFrame(
+        [
+            ("kb", "class", "device", None, None, None, None, None, None),
+            ("kb", "class", "sensor", None, None, "device", None, None, None),
+            ("kb", "objectProperty", "connects", None, None, None,
+             "device", "sensor", None),
+            ("kb", "datatypeProperty", "reading", None, None, None,
+             "sensor", None, None),
+        ],
+        "ontology_id string, element_type string, element_id string, "
+        "label string, comment string, subclass_of string, domain string, "
+        "range string, inverse_of string",
+    )
+    parsed = spark.createDataFrame(
+        [("c1", "entity", "d1", "device", None, None, None, None, None,
+          None, None),
+         ("c1", "relationship", None, None, "d1", "device", "connects",
+          "s1", "sensor", None, None)],
+        "chunk_id string, kind string, entity string, entity_type string, "
+        "subject string, subject_type string, relation string, "
+        "object string, object_type string, attribute string, value string",
+    )
+    plan = _plan(convert_extraction_triples(parsed, elements, "kb"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agent_prov_triples_no_shuffle_no_udf(spark):
+    # provenance emission is array-build + explode over the trace — a
+    # narrow plan with no exchange (beyond the trace's own) and no
+    # Python evaluation
+    from trustgraph_spark.agent import agent_prov_triples
+
+    trace = spark.createDataFrame(
+        [("urn:trustgraph:agent:s1", 1, "q", "t", "knowledge_query",
+          '{"entity": "e"}', "obs", None, "action",
+          "knowledge_query,structured_query"),
+         ("urn:trustgraph:agent:s1", 2, "q", "t2", "", "", "Concluded: obs",
+          None, "final", "knowledge_query,structured_query")],
+        "session_id string, step int, question string, thought string, "
+        "action string, args_json string, observation string, "
+        "tool_error string, kind string, tool_candidates string",
+    )
+    plan = _plan(agent_prov_triples(trace, timestamp="2026-01-01T00:00:00Z"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan or "Generate" in plan

@@ -470,3 +470,64 @@ def build_fanout_requests(request: AgentRequest, goals: List[str],
         )
         for i, goal in enumerate(goals)
     ]
+
+
+# ---------------------------------------------------------------------------
+# MCP tool registry (agent/mcp_tool/service.py:13-105)
+# ---------------------------------------------------------------------------
+
+
+class McpToolRegistry:
+    """Per-workspace MCP service registry: config parsing, endpoint and
+    auth-header resolution with the reference's error contract, and
+    result shaping. The HTTP/MCP session itself is a pluggable
+    ``transport(url, headers, remote_name, parameters)`` seam — the only
+    non-deterministic part of the reference service."""
+
+    def __init__(self, transport: Optional[Callable] = None):
+        self.transport = transport
+        self.mcp_services: Dict[str, Dict[str, dict]] = {}
+
+    def update_config(self, workspace: str, config: dict):
+        """Config-handler parity (:23-33): absent 'mcp' section clears the
+        workspace registry; values are JSON service descriptors."""
+        if "mcp" not in config:
+            self.mcp_services[workspace] = {}
+            return
+        self.mcp_services[workspace] = {
+            k: json.loads(v) for k, v in config["mcp"].items()
+        }
+
+    def resolve(self, workspace: str, name: str):
+        """(url, remote_name, headers) for a tool, with the reference's
+        unknown-service / missing-url errors (:34-52)."""
+        ws_services = self.mcp_services.get(workspace, {})
+        if name not in ws_services:
+            raise RuntimeError(
+                f"MCP service {name} not known in workspace {workspace}")
+        svc = ws_services[name]
+        if "url" not in svc:
+            raise RuntimeError(f"MCP service {name} URL not defined")
+        remote_name = svc.get("remote-name", name)
+        headers = {}
+        if "auth-token" in svc:
+            headers["Authorization"] = f"Bearer {svc['auth-token']}"
+        return svc["url"], remote_name, headers
+
+    @staticmethod
+    def shape_result(result) -> Any:
+        """Result shaping (:96-104): structured content wins, else the
+        concatenated text parts, else 'No content'."""
+        structured = getattr(result, "structuredContent", None)
+        if structured:
+            return structured
+        if hasattr(result, "content"):
+            return "".join(x.text for x in result.content)
+        return "No content"
+
+    def invoke(self, workspace: str, name: str, parameters: dict):
+        url, remote_name, headers = self.resolve(workspace, name)
+        if self.transport is None:
+            raise RuntimeError("No MCP transport bound")
+        return self.shape_result(
+            self.transport(url, headers, remote_name, parameters))
