@@ -265,6 +265,73 @@ def main() -> None:
         sparql_select(e, gen.query),
     )
 
+    # --- ReAct batched tool execution (agent) -------------------------------
+    from trustgraph_spark.agent import agent_prov_triples, react_trace_sessions
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text"),
+        F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.lit(10).alias("n_chars"),
+    )
+    orders_df = spark.createDataFrame(
+        [(0, "F"), (1, "O")], "o_orderkey long, o_orderstatus string")
+    sessions = react_trace_sessions(docs, orders_df)
+    add(
+        "ReAct batched tool execution (react_tool_trace sessions)",
+        "Tool execution for the whole agent-session batch is two "
+        "map-side-combinable aggregations feeding BroadcastHashJoins "
+        "against the session corpus — one plan regardless of session "
+        "count, where the reference calls its backends once per request. "
+        "The mapInPandas parse/dispatch seam then runs narrowly over the "
+        "joined rows.",
+        sessions,
+    )
+
+    from trustgraph_spark.agent import run_react_traces
+
+    add(
+        "Agent provenance emission (react_prov_triples)",
+        "PROV-O triples are an inline array build + Generate explode "
+        "over the trace — no exchange of its own, no Python evaluation; "
+        "the only Python in the lineage is the sanctioned ReAct parse "
+        "seam upstream.",
+        agent_prov_triples(
+            run_react_traces(sessions), timestamp="2026-01-01T00:00:00Z"
+        ),
+    )
+
+    # --- Ontology-constrained extraction conversion -------------------------
+    from trustgraph_spark.operators.ontology import convert_extraction_triples
+
+    elements2 = spark.createDataFrame(
+        [
+            ("kb", "class", "device", None, None, None, None, None, None),
+            ("kb", "class", "sensor", None, None, "device", None, None, None),
+            ("kb", "objectProperty", "connects", None, None, None,
+             "device", "sensor", None),
+            ("kb", "datatypeProperty", "reading", None, None, None,
+             "sensor", None, None),
+        ],
+        "ontology_id string, element_type string, element_id string, "
+        "label string, comment string, subclass_of string, domain string, "
+        "range string, inverse_of string",
+    )
+    parsed = spark.createDataFrame(
+        [("c1", "relationship", None, None, "d1", "device", "connects",
+          "s1", "sensor", None, None)],
+        "chunk_id string, kind string, entity string, entity_type string, "
+        "subject string, subject_type string, relation string, "
+        "object string, object_type string, attribute string, value string",
+    )
+    add(
+        "Ontology-constrained triple conversion (onto_extract_convert)",
+        "Classes, properties, and the subClassOf ancestor closure are "
+        "broadcast dimensions; domain/range enforcement is a filter over "
+        "broadcast left joins, so the extraction-row corpus never "
+        "shuffles and URI minting stays whole-stage codegen.",
+        convert_extraction_triples(parsed, elements2, "kb"),
+    )
+
     with open("/root/repo/EXPLAIN.md", "w") as f:
         f.write(
             "# EXPLAIN — physical plans of the core operators\n\n"
