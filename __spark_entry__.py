@@ -3147,6 +3147,9 @@ WITH sess AS (
          ELSE CASE WHEN s.doc_id % 3 = 0 THEN 'F'
                    WHEN s.doc_id % 3 = 1 THEN 'O' ELSE 'P' END
     END AS arg_val,
+    CASE WHEN s.doc_id % 3 = 0 THEN 'F'
+         WHEN s.doc_id % 3 = 1 THEN 'O' ELSE 'P' END AS status,
+    s.d % 10 = 1 AS two_step,
     s.d % 10 = 7 AS bad_args,
     s.d % 10 = 9 AS fail,
     CASE WHEN s.d % 10 = 0
@@ -3160,12 +3163,14 @@ WITH sess AS (
          WHEN e.tool_name = 'knowledge_query'
            THEN e.arg_val || ' has ' || coalesce(dg.n_mentions, 0)
                 || ' mentions'
-         ELSE '{{"status": "' || e.arg_val || '", "n_orders": '
+         ELSE '{{"status": "' || e.status || '", "n_orders": '
               || coalesce(o.n_orders, 0) || '}}'
-    END AS observation
+    END AS observation,
+    '{{"status": "' || e.status || '", "n_orders": '
+        || coalesce(o.n_orders, 0) || '}}' AS obs2
   FROM enr e
   LEFT JOIN deg dg ON dg.lbl = e.arg_val
-  LEFT JOIN ostat o ON o.st = e.arg_val
+  LEFT JOIN ostat o ON o.st = e.status
 )
 """
     sql["react_tool_trace"] = _REACT_CTE + f"""
@@ -3182,8 +3187,18 @@ SELECT session_id, 1 AS step, arg_val AS question,
   'action' AS kind, tool_candidates
 FROM obs
 UNION ALL
-SELECT session_id, 2, arg_val, 'Observation received.', '', '',
-       'Concluded: ' || observation, NULL, 'final', tool_candidates
+SELECT session_id, 2, arg_val,
+       'Need structured_query for ' || status || '.',
+       'structured_query',
+       '{{"status": "' || status || '"}}',
+       obs2, NULL, 'action', tool_candidates
+FROM obs WHERE two_step
+UNION ALL
+SELECT session_id, CASE WHEN two_step THEN 3 ELSE 2 END, arg_val,
+       'Observation received.', '', '',
+       'Concluded: ' || observation
+         || CASE WHEN two_step THEN ' | ' || obs2 ELSE '' END,
+       NULL, 'final', tool_candidates
 FROM obs
 """
 
@@ -3198,6 +3213,9 @@ FROM obs
     _I = "session_id || '/i1'"
     _T = "session_id || '/i1/thought'"
     _O = "session_id || '/i1/observation'"
+    _I2 = "session_id || '/i2'"
+    _T2 = "session_id || '/i2/thought'"
+    _O2 = "session_id || '/i2/observation'"
     _FU = "session_id || '/final'"
     _act = "CASE WHEN bad_args THEN '__parse_error__' ELSE tool_name END"
     _args = ("CASE WHEN bad_args THEN '{}' ELSE "
@@ -3246,13 +3264,41 @@ FROM obs
         _pt(_O, f"{_TGP}toolError", _errtext, "l",
             " WHERE bad_args OR fail"),
         _pt(_O, RDF_TYPE, f"'{_TGP}Error'", "u", " WHERE bad_args OR fail"),
-        # conclusion
+        # conclusion (two-step sessions derive from iteration 2)
         _pt(_FU, RDF_TYPE, f"'{_PROVNS}Entity'", "u"),
         _pt(_FU, RDF_TYPE, f"'{_TGP}Conclusion'", "u"),
         _pt(_FU, RDF_TYPE, f"'{_TGP}Answer'", "u"),
         _pt(_FU, RDF_LABEL, "'Conclusion'", "l"),
-        _pt(_FU, f"{_PROVNS}wasDerivedFrom", _I, "u"),
+        _pt(_FU, f"{_PROVNS}wasDerivedFrom",
+            f"CASE WHEN two_step THEN {_I2} ELSE {_I} END", "u"),
         _pt(_FU, f"{_TGP}terminationReason", "'final-answer'", "l"),
+    ]
+    # iteration 2 of the two-step sessions: plain structured follow-up,
+    # derived from iteration 1's OBSERVATION (the multi-iteration lineage
+    # branch, react/service.py:535-545)
+    _act2 = "'structured_query'"
+    _args2 = "'{\"status\": \"' || status || '\"}'"
+    _W2 = " WHERE two_step"
+    _prov_selects += [
+        _pt(_I2, RDF_TYPE, f"'{_PROVNS}Entity'", "u", _W2),
+        _pt(_I2, RDF_TYPE, f"'{_TGP}Analysis'", "u", _W2),
+        _pt(_I2, RDF_TYPE, f"'{_TGP}ToolUse'", "u", _W2),
+        _pt(_I2, RDF_LABEL, f"'Analysis: ' || {_act2}", "l", _W2),
+        _pt(_I2, f"{_TGP}action", _act2, "l", _W2),
+        _pt(_I2, f"{_TGP}arguments", _args2, "l", _W2),
+        _pt(_I2, f"{_TGP}stepNumber", "'2'", "l", _W2),
+        _pt(_I2, f"{_PROVNS}wasDerivedFrom", _O, "u", _W2),
+        _pt(_I2, f"{_TGP}thought", _T2, "u", _W2),
+        _pt(_T2, RDF_TYPE, f"'{_TGP}Reflection'", "u", _W2),
+        _pt(_T2, RDF_TYPE, f"'{_TGP}Thought'", "u", _W2),
+        _pt(_T2, RDF_LABEL, "'Thought'", "l", _W2),
+        _pt(_T2, f"{_PROVNS}wasDerivedFrom", _I2, "u", _W2),
+        _pt(_O2, RDF_TYPE, f"'{_PROVNS}Entity'", "u", _W2),
+        _pt(_O2, RDF_TYPE, f"'{_TGP}Observation'", "u", _W2),
+        _pt(_O2, RDF_LABEL, "'Observation'", "l", _W2),
+        _pt(_O2, f"{_PROVNS}wasDerivedFrom", _I2, "u", _W2),
+        _pt(_I2, f"{_TGP}toolCandidate", "'knowledge_query'", "l", _W2),
+        _pt(_I2, f"{_TGP}toolCandidate", "'structured_query'", "l", _W2),
     ]
     sql["react_prov_triples"] = (
         _REACT_CTE + "\nUNION ALL\n".join(_prov_selects)

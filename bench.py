@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "nl2sparql_exec",
     "onto_match_query",
     "doc_rag_mmr_pool",
+    "react_tool_trace",
+    "react_prov_triples",
+    "onto_extract_convert",
 ]
 
 

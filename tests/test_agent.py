@@ -480,17 +480,31 @@ class TestReactTrace:
         )
         return react_tool_trace(docs, orders).toPandas()
 
-    def test_two_rows_per_session(self, trace):
-        assert len(trace) == 40  # 20 sessions x 2 steps
+    def test_rows_per_session(self, trace):
+        # 20 sessions x 2 steps + 2 two-step sessions (d%10==1 -> docs
+        # 13, 113) x 1 extra action row
+        assert len(trace) == 42
         per = trace.groupby("session_id").size()
-        assert (per == 2).all()
+        two_step = {"urn:trustgraph:agent:s13", "urn:trustgraph:agent:s113"}
+        assert set(per[per == 3].index) == two_step
+        assert (per.drop(list(two_step)) == 2).all()
 
-    def test_final_concludes_observation(self, trace):
-        t = trace.set_index(["session_id", "step"])
-        for sid in trace.session_id.unique():
-            obs = t.loc[(sid, 1), "observation"]
-            assert t.loc[(sid, 2), "observation"] == f"Concluded: {obs}"
-            assert t.loc[(sid, 2), "kind"] == "final"
+    def test_final_concludes_all_observations(self, trace):
+        t = trace.sort_values("step").groupby("session_id")
+        for sid, g in t:
+            acts = g[g.kind == "action"]
+            final = g[g.kind == "final"].iloc[0]
+            expected = "Concluded: " + " | ".join(acts.observation)
+            assert final.observation == expected
+            assert final.step == len(acts) + 1
+
+    def test_two_step_session_second_action(self, trace):
+        g = trace[trace.session_id == "urn:trustgraph:agent:s13"]
+        s2 = g[g.step == 2].iloc[0]
+        assert s2.kind == "action"
+        assert s2.action == "structured_query"
+        assert json.loads(s2.args_json).keys() == {"status"}
+        assert json.loads(s2.observation).keys() == {"status", "n_orders"}
 
     def test_error_paths_present(self, trace):
         step1 = trace[trace.step == 1]
@@ -549,12 +563,21 @@ class TestAgentProvTriples:
         # question activity carries the query literal
         q = mine[(mine.s == s) & (mine.p == tg + "query")]
         assert list(q.o) == [trace[trace.session_id == s].question.iloc[0]]
-        # iteration 1 derives from the question; conclusion from iteration
+        # s13 is a TWO-step session (d=1): iteration 1 derives from the
+        # question, iteration 2 from iteration 1's OBSERVATION, the
+        # conclusion from the LAST iteration (service.py:535-545)
         der = mine[mine.p == prov_ns + "wasDerivedFrom"].set_index("s")
         assert der.loc[f"{s}/i1", "o"] == s
-        assert der.loc[f"{s}/final", "o"] == f"{s}/i1"
+        assert der.loc[f"{s}/i2", "o"] == f"{s}/i1/observation"
+        assert der.loc[f"{s}/final", "o"] == f"{s}/i2"
         assert der.loc[f"{s}/i1/thought", "o"] == f"{s}/i1"
         assert der.loc[f"{s}/i1/observation", "o"] == f"{s}/i1"
+        assert der.loc[f"{s}/i2/observation", "o"] == f"{s}/i2"
+        # single-step session lineage: final from i1
+        s0 = "urn:trustgraph:agent:s3"
+        der0 = tp[(tp.p == prov_ns + "wasDerivedFrom")
+                  & tp.s.str.startswith(s0)].set_index("s")
+        assert der0.loc[f"{s0}/final", "o"] == f"{s0}/i1"
 
     def test_error_mixin_only_on_failures(self, prov):
         _, tp = prov

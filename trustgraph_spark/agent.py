@@ -649,13 +649,23 @@ class BatchLookupImpl:
     formats the row's joined value, or raises when the row is flagged as a
     backend failure (driving the react() error-capture path)."""
 
+    obs_field = "obs_knowledge"
+
     def __init__(self, context):
         self.context = context
 
     def invoke(self, **arguments):
         if self.context.get("fail"):
             raise RuntimeError("backend unavailable")
-        return self.context["obs_text"]
+        return self.context[self.obs_field]
+
+
+class KnowledgeLookupImpl(BatchLookupImpl):
+    obs_field = "obs_knowledge"
+
+
+class StructuredLookupImpl(BatchLookupImpl):
+    obs_field = "obs_structured"
 
 
 def scripted_tools() -> Dict[str, Tool]:
@@ -668,14 +678,14 @@ def scripted_tools() -> Dict[str, Tool]:
             name="knowledge_query",
             description="Ask the knowledge graph about an entity",
             arguments=[Argument("entity", "string", "entity label")],
-            implementation=BatchLookupImpl,
+            implementation=KnowledgeLookupImpl,
             config={"group": ["default"]},
         ),
         "structured_query": Tool(
             name="structured_query",
             description="Ask a natural-language question over structured rows",
             arguments=[Argument("status", "string", "order status code")],
-            implementation=BatchLookupImpl,
+            implementation=StructuredLookupImpl,
             config={"group": ["default"]},
         ),
         "audit_log": Tool(
@@ -703,10 +713,20 @@ class ScriptedResponder:
 
     def __call__(self, variables: dict) -> str:
         r = self.row
-        if variables["history"]:
-            obs = variables["history"][-1]["observation"]
+        n_actions = 2 if r.get("two_step") else 1
+        h = variables["history"]
+        if len(h) >= n_actions:
+            # all tool calls done: conclude over every observation seen
+            obs = " | ".join(step["observation"] for step in h)
             return ("Thought: Observation received.\n"
                     f"Final Answer: Concluded: {obs}")
+        if len(h) == 1:
+            # second action of a two-step session: plain format, the
+            # structured follow-up (the genuine multi-iteration flow —
+            # the loop re-enters reason() with the observation in history)
+            return (f"Thought: Need structured_query for {r['status']}.\n"
+                    "Action: structured_query\n"
+                    f'Args: {{"status": "{r["status"]}"}}')
         thought = f"Need {r['tool_name']} for {r['arg_val']}."
         args = json.dumps({r["arg_key"]: r["arg_val"]})
         if r.get("bad_args"):
@@ -771,6 +791,10 @@ def react_trace_sessions(docs: DataFrame, orders: DataFrame) -> DataFrame:
         F.concat(F.lit("urn:trustgraph:agent:s"), did.cast("string"))
         .alias("session_id"),
         did.alias("doc_id"),
+        # d % 10 == 1 sessions run TWO tool iterations (knowledge then
+        # structured) so the multi-iteration loop and the
+        # observation(N-1) -> iteration(N) lineage are driver-gated
+        (d % 10 == 1).alias("two_step"),
         (d % 3).cast("int").alias("fmt"),
         # parse-error sessions are forced through the batch parser so the
         # error text is the deterministic json.loads message (the streaming
@@ -782,6 +806,7 @@ def react_trace_sessions(docs: DataFrame, orders: DataFrame) -> DataFrame:
         .otherwise(F.lit("status")).alias("arg_key"),
         F.when(tool == "knowledge_query", label).otherwise(status)
         .alias("arg_val"),
+        status.alias("status"),
         (d % 10 == 7).alias("bad_args"),
         (d % 10 == 9).alias("fail"),
         F.when(d % 5 == 0, F.array(F.lit("default"), F.lit("audit")))
@@ -800,26 +825,29 @@ def react_trace_sessions(docs: DataFrame, orders: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
 
+    # both tool dimensions join unconditionally: knowledge sessions use
+    # the degree side, structured sessions the status side, two-step
+    # sessions both — one plan either way
     joined = (
         sessions
         .join(F.broadcast(deg), sessions.arg_val == deg.lbl, "left")
-        .join(F.broadcast(ostat), sessions.arg_val == ostat.st, "left")
+        .join(F.broadcast(ostat), sessions.status == ostat.st, "left")
     )
-    obs = F.when(
-        F.col("tool_name") == "knowledge_query",
-        F.concat(F.col("arg_val"), F.lit(" has "),
-                 F.coalesce(F.col("n_mentions"), F.lit(0)).cast("string"),
-                 F.lit(" mentions")),
-    ).otherwise(
-        F.concat(F.lit('{"status": "'), F.col("arg_val"),
-                 F.lit('", "n_orders": '),
-                 F.coalesce(F.col("n_orders"), F.lit(0)).cast("string"),
-                 F.lit("}"))
-    )
+    obs_knowledge = F.concat(
+        F.col("arg_val"), F.lit(" has "),
+        F.coalesce(F.col("n_mentions"), F.lit(0)).cast("string"),
+        F.lit(" mentions"))
+    obs_structured = F.concat(
+        F.lit('{"status": "'), F.col("status"),
+        F.lit('", "n_orders": '),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("string"),
+        F.lit("}"))
     return joined.select(
-        "session_id", "doc_id", "fmt", "parser_kind", "tool_name",
-        "arg_key", "arg_val", "bad_args", "fail", "groups", "current_state",
-        obs.alias("obs_text"),
+        "session_id", "doc_id", "two_step", "fmt", "parser_kind",
+        "tool_name", "arg_key", "arg_val", "status", "bad_args", "fail",
+        "groups", "current_state",
+        obs_knowledge.alias("obs_knowledge"),
+        obs_structured.alias("obs_structured"),
     )
 
 
