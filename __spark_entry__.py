@@ -1449,6 +1449,31 @@ def q_react_prov_triples(spark, sf_dir):
     return agent_prov_triples(trace, timestamp="2026-01-01T00:00:00Z")
 
 
+def q_media_stdlib_features(spark, sf_dir):
+    """REAL media decode with no codec libraries: per-doc WAV (stdlib
+    ``wave`` PCM read) and BMP (hand-written uncompressed-24bpp parser)
+    payloads synthesized with integer-exact sample/pixel math, decoded
+    back through the feature seam — per-band RMS energy for audio, luma
+    histogram for images. The oracle reproduces every sample and pixel
+    analytically and applies the same float32 quantization the feature
+    schema stores."""
+    from trustgraph_spark.multimodal import (
+        extract_media_features,
+        stdlib_decode,
+        synth_stdlib_media,
+    )
+
+    media = synth_stdlib_media(_docs(spark, sf_dir))
+    feats = extract_media_features(media, decode_fn=stdlib_decode)
+    return feats.select(
+        "media_id", "kind",
+        F.posexplode("feature").alias("band", "value"),
+    ).select(
+        "media_id", "kind", "band",
+        F.round(F.col("value").cast("double"), 4).alias("value"),
+    )
+
+
 def q_onto_match_query(spark, sf_dir):
     """Query-variant ontology matcher (query/ontology/ontology_matcher.py):
     the top_k=15 / threshold=0.6 parameterization of the OntoRAG subset
@@ -1582,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "react_tool_trace": q_react_tool_trace,
         "onto_extract_convert": q_onto_extract_convert,
         "react_prov_triples": q_react_prov_triples,
+        "media_stdlib_features": q_media_stdlib_features,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -3303,5 +3329,42 @@ FROM obs
     sql["react_prov_triples"] = (
         _REACT_CTE + "\nUNION ALL\n".join(_prov_selects)
     )
+
+    # stdlib media decode: sawtooth PCM samples and gradient luma pixels
+    # rebuilt with the same integer formulas, features quantized through
+    # REAL (float32, matching the feature schema) before rounding
+    sql["media_stdlib_features"] = """
+WITH wav_samples AS (
+  SELECT d.doc_id, t.i // 250 AS band,
+         ((t.i * (200 + (d.doc_id % 8) * 100)) % 8000) * 65535 // 8000
+           - 32768 AS v
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(0, 3999)) AS i) t
+  WHERE d.doc_id % 2 = 0
+), wav_feat AS (
+  SELECT 'm' || doc_id AS media_id, 'audio' AS kind, band::INT AS band,
+         round(CAST(sqrt(avg((v / 32768.0) * (v / 32768.0))) AS REAL)::DOUBLE,
+               4) AS value
+  FROM wav_samples GROUP BY doc_id, band
+), bmp_pix AS (
+  SELECT d.doc_id,
+         ((p.x * 16 + p.y * 2 + (d.doc_id % 7) * 3) % 256) // 16 AS bin
+  FROM documents d
+  CROSS JOIN (SELECT tx.x, ty.y
+              FROM (SELECT unnest(generate_series(0, 7)) AS x) tx,
+                   (SELECT unnest(generate_series(0, 7)) AS y) ty) p
+  WHERE d.doc_id % 2 = 1
+), bmp_counts AS (
+  SELECT doc_id, bin, count(*) AS c FROM bmp_pix GROUP BY 1, 2
+), bmp_feat AS (
+  SELECT 'm' || d.doc_id AS media_id, 'image' AS kind, b.band::INT AS band,
+         round(CAST(coalesce(c.c, 0) / 64.0 AS REAL)::DOUBLE, 4) AS value
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) b
+  LEFT JOIN bmp_counts c ON c.doc_id = d.doc_id AND c.bin = b.band
+  WHERE d.doc_id % 2 = 1
+)
+SELECT * FROM wav_feat UNION ALL SELECT * FROM bmp_feat
+"""
 
     return sql

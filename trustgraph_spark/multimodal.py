@@ -254,3 +254,140 @@ def synth_media(spark, n: int = 32) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# stdlib decoders: REAL decode paths with no external codec libraries
+# ---------------------------------------------------------------------------
+#
+# The container has no PIL/ffmpeg/torchaudio, but two media families ARE
+# decodable with the standard library alone: RIFF/WAVE PCM audio (the
+# ``wave`` module) and uncompressed 24-bit BMP images (fixed-layout
+# headers). These make the decode seam genuinely real — bytes in,
+# sample/pixel arrays out, features computed from the actual signal —
+# while compressed formats (JPEG/PNG/MP4) keep the declared stub.
+
+import io
+import struct
+import wave as _wave
+
+
+def decode_wav_pcm(payload: bytes):
+    """Decode RIFF/WAVE PCM bytes to (int16 sample array, sample_rate)
+    using the stdlib ``wave`` reader — a real audio decode, no codec libs.
+    Mono 16-bit only (the synth contract); raises on anything else."""
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("expected mono 16-bit PCM")
+        frames = w.readframes(w.getnframes())
+        return np.frombuffer(frames, dtype="<i2"), w.getframerate()
+
+
+def decode_bmp_rgb(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) to an
+    (h, w, 3) uint8 RGB array — a real hand-written image parser: header
+    offsets, bottom-up row order, 4-byte row padding, BGR->RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    row_size = (width * 3 + 3) // 4 * 4
+    out = np.empty((abs(height), width, 3), dtype=np.uint8)
+    bottom_up = height > 0
+    for row in range(abs(height)):
+        src = data_offset + row * row_size
+        line = np.frombuffer(payload, dtype=np.uint8,
+                             count=width * 3, offset=src).reshape(width, 3)
+        y = (abs(height) - 1 - row) if bottom_up else row
+        out[y] = line[:, ::-1]  # BGR -> RGB
+    return out
+
+
+def stdlib_decode(payload: bytes, kind: str, n_bands: int = 16) -> np.ndarray:
+    """REAL decode_fn for the feature seam: sniffs the payload magic and
+    computes features from the decoded signal — per-band RMS energy over
+    the PCM samples for WAV, a luma histogram over the decoded pixels for
+    BMP. Unknown/compressed formats raise the same declared-stub error as
+    strict_decode."""
+    if payload is not None and payload[:4] == b"RIFF":
+        samples, _sr = decode_wav_pcm(payload)
+        seg = len(samples) // n_bands
+        norm = samples.astype(np.float64) / 32768.0
+        return np.array([
+            float(np.sqrt(np.mean(norm[k * seg:(k + 1) * seg] ** 2)))
+            for k in range(n_bands)
+        ])
+    if payload is not None and payload[:2] == b"BM":
+        rgb = decode_bmp_rgb(payload).astype(np.int64)
+        luma = (rgb[..., 0] * 299 + rgb[..., 1] * 587
+                + rgb[..., 2] * 114) // 1000
+        bins = np.bincount((luma // (256 // n_bands)).ravel(),
+                           minlength=n_bands)[:n_bands]
+        return bins.astype(np.float64) / luma.size
+    return strict_decode(payload, kind)
+
+
+def synth_wav_payload(seed: int, sr: int = 8000, n: int = 4000) -> bytes:
+    """Deterministic mono 16-bit PCM sawtooth at frequency
+    200 + (seed % 8) * 100 Hz — INTEGER sample math
+    (((i*f) % sr) * 65535 // sr - 32768) so an analytic oracle reproduces
+    every sample exactly."""
+    f = 200 + (seed % 8) * 100
+    i = np.arange(n, dtype=np.int64)
+    v = ((i * f) % sr) * 65535 // sr - 32768
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(v.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def synth_bmp_payload(seed: int, size: int = 8) -> bytes:
+    """Deterministic gray gradient BMP: every pixel r=g=b=luma with
+    luma(x, y) = (x*16 + y*2 + (seed % 7) * 3) % 256 — integer math the
+    oracle reproduces exactly; written bottom-up as a real BMP."""
+    row_size = (size * 3 + 3) // 4 * 4
+    data_size = row_size * size
+    header = b"BM" + struct.pack("<IHHI", 54 + data_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, size, size, 1, 24, 0,
+                      data_size, 2835, 2835, 0, 0)
+    rows = []
+    for row in range(size):  # bottom-up: row 0 is the BOTTOM scanline
+        y = size - 1 - row
+        line = bytearray()
+        for x in range(size):
+            luma = (x * 16 + y * 2 + (seed % 7) * 3) % 256
+            line += bytes([luma, luma, luma])  # BGR (equal channels)
+        line += b"\0" * (row_size - len(line))
+        rows.append(bytes(line))
+    return header + dib + b"".join(rows)
+
+
+def synth_stdlib_media(docs: DataFrame) -> DataFrame:
+    """Media table with REAL payloads synthesized per document — WAV for
+    even doc_ids, BMP for odd — via a bounded mapInPandas (payload
+    construction is the ingest-side seam; the synthesizers live in the
+    package for executor pickling)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                n = int(did)
+                if n % 2 == 0:
+                    rows.append({"media_id": f"m{n}", "kind": "audio",
+                                 "payload": synth_wav_payload(n)})
+                else:
+                    rows.append({"media_id": f"m{n}", "kind": "image",
+                                 "payload": synth_bmp_payload(n)})
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "media_id string, kind string, payload binary"
+    )
