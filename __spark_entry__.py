@@ -1474,6 +1474,20 @@ def q_media_stdlib_features(spark, sf_dir):
     )
 
 
+def q_doc_library_triples(spark, sf_dir):
+    """Document-library metadata -> schema.org triples (knowledge/
+    document.py:12-130 + publication.py + organization.py emitters,
+    identifier.py sha256->UUID minting): per-doc planted metadata rotates
+    every nullable field through present/absent, publication events link
+    organizations, and the whole family emits as one conditional-array
+    explode. The reference's builtin-id identifier bug is fixed (subject
+    = document URI) and the oracle asserts the fixed behavior."""
+    from trustgraph_spark.operators.library import document_metadata_triples
+    from trustgraph_spark.planted import planted_doc_metadata
+
+    return document_metadata_triples(planted_doc_metadata(_docs(spark, sf_dir)))
+
+
 def q_onto_match_query(spark, sf_dir):
     """Query-variant ontology matcher (query/ontology/ontology_matcher.py):
     the top_k=15 / threshold=0.6 parameterization of the OntoRAG subset
@@ -1608,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onto_extract_convert": q_onto_extract_convert,
         "react_prov_triples": q_react_prov_triples,
         "media_stdlib_features": q_media_stdlib_features,
+        "doc_library_triples": q_doc_library_triples,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -3366,5 +3381,56 @@ WITH wav_samples AS (
 )
 SELECT * FROM wav_feat UNION ALL SELECT * FROM bmp_feat
 """
+
+    # document-library schema.org triples: URIs re-minted with the same
+    # sha256 -> every-2nd-hex-char -> UUID formula, presence gates
+    # replayed per field (the reference's builtin-id identifier bug is
+    # fixed on both sides: subject = document URI)
+    _SO = "https://schema.org/"
+    sql["doc_library_triples"] = r"""
+WITH ku AS (
+  SELECT doc_id, source,
+    'https://trustgraph.ai/doc/' || concat(
+      substr(h,1,8),'-',substr(h,9,4),'-',substr(h,13,4),'-',
+      substr(h,17,4),'-',substr(h,21,12)) AS doc_uri,
+    CASE WHEN doc_id % 2 = 0 THEN 'https://trustgraph.ai/pubev/' || concat(
+      substr(hp,1,8),'-',substr(hp,9,4),'-',substr(hp,13,4),'-',
+      substr(hp,17,4),'-',substr(hp,21,12)) END AS pub_uri,
+    CASE WHEN doc_id % 2 = 0 AND doc_id % 4 = 0
+         THEN 'https://trustgraph.ai/org/' || concat(
+      substr(ho,1,8),'-',substr(ho,9,4),'-',substr(ho,13,4),'-',
+      substr(ho,17,4),'-',substr(ho,21,12)) END AS org_uri
+  FROM (
+    SELECT *,
+      regexp_replace(sha256('document-' || doc_id), '(.)(.)', '\1', 'g') AS h,
+      regexp_replace(sha256('pub-' || doc_id), '(.)(.)', '\1', 'g') AS hp,
+      regexp_replace(sha256('org-' || (doc_id % 7)), '(.)(.)', '\1', 'g') AS ho
+    FROM documents
+  )
+)
+SELECT doc_uri AS s, '{IS_A}' AS p, '{SO}DigitalDocument' AS o, 'u' AS otype FROM ku
+UNION ALL SELECT doc_uri, '{LABEL}', 'Document ' || doc_id, 'l' FROM ku WHERE doc_id % 11 <> 0
+UNION ALL SELECT doc_uri, '{SO}name', 'Document ' || doc_id, 'l' FROM ku WHERE doc_id % 11 <> 0
+UNION ALL SELECT doc_uri, '{SO}identifier', 'ident-' || doc_id, 'l' FROM ku WHERE doc_id % 7 <> 0
+UNION ALL SELECT doc_uri, '{SO}description', 'from ' || source, 'l' FROM ku WHERE doc_id % 3 <> 0
+UNION ALL SELECT doc_uri, '{SO}copyrightHolder', 'Holder ' || (doc_id % 5), 'l' FROM ku WHERE doc_id % 2 = 0
+UNION ALL SELECT doc_uri, '{SO}copyrightYear', (1990 + doc_id % 30)::VARCHAR, 'l' FROM ku WHERE doc_id % 4 <> 0
+UNION ALL SELECT doc_uri, '{SO}license', CASE WHEN doc_id % 3 = 0 THEN 'CC-BY' ELSE 'MIT' END, 'l' FROM ku WHERE doc_id % 3 <> 2
+UNION ALL SELECT doc_uri, '{SO}keywords', 'kw' || (doc_id % 9), 'l' FROM ku WHERE doc_id % 13 <> 0
+UNION ALL SELECT doc_uri, '{SO}keywords', 'topic' || (doc_id % 4), 'l' FROM ku WHERE doc_id % 13 <> 0
+UNION ALL SELECT doc_uri, '{SO}publication', pub_uri, 'u' FROM ku WHERE pub_uri IS NOT NULL
+UNION ALL SELECT doc_uri, '{SO}url', 'https://example.org/doc/' || doc_id, 'u' FROM ku WHERE doc_id % 5 <> 0
+UNION ALL SELECT pub_uri, '{IS_A}', '{SO}PublicationEvent', 'u' FROM ku WHERE pub_uri IS NOT NULL
+UNION ALL SELECT pub_uri, '{LABEL}', 'Pub ' || (doc_id % 17), 'l' FROM ku WHERE pub_uri IS NOT NULL
+UNION ALL SELECT pub_uri, '{SO}name', 'Pub ' || (doc_id % 17), 'l' FROM ku WHERE pub_uri IS NOT NULL
+UNION ALL SELECT pub_uri, '{SO}publishedBy', org_uri, 'u' FROM ku WHERE org_uri IS NOT NULL
+UNION ALL SELECT pub_uri, '{SO}startDate', (1970 + doc_id % 30)::VARCHAR, 'l' FROM ku WHERE pub_uri IS NOT NULL
+UNION ALL SELECT pub_uri, '{SO}endDate', '2001', 'l' FROM ku WHERE pub_uri IS NOT NULL AND doc_id % 6 = 0
+UNION ALL SELECT org_uri, '{IS_A}', '{SO}Organization', 'u' FROM ku WHERE org_uri IS NOT NULL
+UNION ALL SELECT org_uri, '{LABEL}', 'Org ' || (doc_id % 7), 'l' FROM ku WHERE org_uri IS NOT NULL
+UNION ALL SELECT org_uri, '{SO}name', 'Org ' || (doc_id % 7), 'l' FROM ku WHERE org_uri IS NOT NULL
+UNION ALL SELECT org_uri, '{SO}description', 'descr ' || (doc_id % 7), 'l' FROM ku WHERE org_uri IS NOT NULL AND doc_id % 8 = 0
+""".replace("{IS_A}", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type") \
+   .replace("{LABEL}", RDF_LABEL).replace("{SO}", _SO)
 
     return sql

@@ -263,3 +263,56 @@ def planted_onto_responses(pdf):
         })
 
     return pdf["chunk_id"].map(one)
+
+
+def planted_doc_metadata(docs: DataFrame) -> DataFrame:
+    """Document-library metadata rows derived per document for the
+    schema.org triple emitters (operators/library.py): every nullable
+    field rotates through present/absent so each presence gate is
+    exercised; URIs are minted with the reference's sha256->UUID
+    identifier hash. Pure column expressions."""
+    from .operators.library import knowledge_hash_col, knowledge_uri_col
+
+    did = _did()
+    n = did.cast("string")
+    pub = did % 2 == 0
+    org = pub & (did % 4 == 0)
+    return docs.select(
+        knowledge_uri_col(
+            "doc", knowledge_hash_col(F.concat(F.lit("document-"), n))
+        ).alias("doc_uri"),
+        F.when(did % 11 != 0, F.concat(F.lit("Document "), n)).alias("name"),
+        F.when(did % 3 != 0, F.concat(F.lit("from "), F.col("source")))
+        .alias("description"),
+        F.when(did % 7 != 0, F.concat(F.lit("ident-"), n)).alias("identifier"),
+        F.lit(None).cast("string").alias("copyright_notice"),
+        F.when(did % 2 == 0, F.concat(F.lit("Holder "), (did % 5).cast("string")))
+        .alias("copyright_holder"),
+        F.when(did % 4 != 0, (1990 + did % 30).cast("string"))
+        .alias("copyright_year"),
+        F.when(did % 3 == 0, F.lit("CC-BY"))
+        .when(did % 3 == 1, F.lit("MIT")).alias("license"),
+        F.when(did % 5 != 0, F.concat(F.lit("https://example.org/doc/"), n))
+        .alias("url"),
+        F.when(did % 13 == 0, F.array().cast("array<string>")).otherwise(
+            F.array(F.concat(F.lit("kw"), (did % 9).cast("string")),
+                    F.concat(F.lit("topic"), (did % 4).cast("string")))
+        ).alias("keywords"),
+        F.when(pub, knowledge_uri_col(
+            "pubev", knowledge_hash_col(F.concat(F.lit("pub-"), n))
+        )).alias("pub_uri"),
+        F.when(pub, F.concat(F.lit("Pub "), (did % 17).cast("string")))
+        .alias("pub_name"),
+        F.lit(None).cast("string").alias("pub_description"),
+        F.when(pub, (1970 + did % 30).cast("string")).alias("pub_start"),
+        F.when(pub & (did % 6 == 0), F.lit("2001")).alias("pub_end"),
+        F.when(org, knowledge_uri_col(
+            "org", knowledge_hash_col(
+                F.concat(F.lit("org-"), (did % 7).cast("string")))
+        )).alias("org_uri"),
+        F.when(org, F.concat(F.lit("Org "), (did % 7).cast("string")))
+        .alias("org_name"),
+        F.when(org & (did % 8 == 0),
+               F.concat(F.lit("descr "), (did % 7).cast("string")))
+        .alias("org_description"),
+    )
