@@ -221,3 +221,52 @@ def test_translate_answer_seam_and_noop():
     assert translate_answer("Yes.", "es") == "Yes."  # no seam bound
     assert (translate_answer("Yes.", "es", translator=_fake_translator)
             == "[en->es] Yes.")
+
+
+# ---------------------------------------------------------------------------
+# i18n kernel (trustgraph-base/trustgraph/i18n)
+# ---------------------------------------------------------------------------
+
+
+class TestI18n:
+    def setup_method(self):
+        from trustgraph_spark.nllang import register_language_pack
+
+        register_language_pack("en", {
+            "greet": "Hello {name}", "only_en": "English only",
+            "bad": 123, 42: "x",  # filtered at registration
+        })
+        register_language_pack("es", {"greet": "Hola {name}"})
+
+    @pytest.mark.parametrize("raw,expected", [
+        (None, "en"), ("", "en"), ("es", "es"), ("es-ES", "es"),
+        ("en-US", "en"), ("pt_BR", "pt"), ("zh", "zh-cn"),
+        ("zh-Hans", "zh-cn"), ("zh-TW", "zh-cn"),
+        ("es-ES,es;q=0.9,en;q=0.8", "es"), ("klingon", "en"),
+        ("HE-il", "he"),
+    ])
+    def test_normalize_language(self, raw, expected):
+        from trustgraph_spark.nllang import normalize_language
+
+        assert normalize_language(raw) == expected
+
+    def test_translate_with_fallbacks(self):
+        from trustgraph_spark.nllang import get_translator
+
+        t = get_translator("es-ES")
+        assert t.t("greet", name="Ana") == "Hola Ana"
+        # missing in es -> English pack
+        assert t.t("only_en") == "English only"
+        # missing everywhere -> the key itself
+        assert t.t("nope.key") == "nope.key"
+
+    def test_format_failure_returns_template(self):
+        from trustgraph_spark.nllang import get_translator
+
+        assert get_translator("en").t("greet", wrong="x") == "Hello {name}"
+
+    def test_pack_registration_filters_non_strings(self):
+        from trustgraph_spark.nllang import get_language_pack
+
+        pack = get_language_pack("en")
+        assert "bad" not in pack and 42 not in pack

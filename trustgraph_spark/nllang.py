@@ -260,3 +260,93 @@ def translate_answer(
     if target_language == primary_language or translator is None:
         return answer
     return translator(answer, primary_language, target_language)
+
+
+# ---------------------------------------------------------------------------
+# Minimal i18n kernel (trustgraph-base/trustgraph/i18n/__init__.py:20-157)
+# ---------------------------------------------------------------------------
+#
+# The reference ships pre-generated language packs as package JSON; here
+# the PACKS are injectable data (registered dicts) while the kernel —
+# language normalization incl. Accept-Language parsing, the pack
+# string-filter, and the translate-with-fallback chain — is behavior-
+# parity. The reference's pack CONTENT is CLI strings and stays with the
+# reference; consumers register their own.
+
+I18N_SUPPORTED_LANGUAGES = {
+    "en": "English", "es": "Spanish", "sw": "Swahili", "pt": "Portuguese",
+    "tr": "Turkish", "hi": "Hindi", "he": "Hebrew", "ar": "Arabic",
+    "zh-cn": "Chinese (simplified)", "ru": "Russian",
+}
+
+_I18N_ALIASES = {
+    "zh": "zh-cn", "zh-hans": "zh-cn", "zh-hans-cn": "zh-cn",
+    "zh-cn": "zh-cn", "zh_cn": "zh-cn",
+}
+
+_I18N_PACKS: Dict[str, Dict[str, str]] = {}
+
+
+def normalize_language(value: Optional[str]) -> str:
+    """Normalize codes / region tags / Accept-Language headers to a
+    supported code, falling back to 'en' (i18n/__init__.py:43-99):
+    first Accept-Language entry, underscore-to-hyphen lowering, explicit
+    zh aliases, regional-tag collapse, then primary-subtag lookup."""
+    if not value:
+        return "en"
+    token = value.split(",", 1)[0].strip()
+    if not token:
+        return "en"
+    token = token.replace("_", "-").lower()
+    if token in _I18N_ALIASES:
+        token = _I18N_ALIASES[token]
+    for primary in ("en", "es", "pt", "tr", "hi", "he", "ar", "sw", "ru"):
+        if token.startswith(primary + "-"):
+            token = primary
+            break
+    else:
+        if token.startswith("zh-"):
+            token = "zh-cn"
+    primary = token.split("-", 1)[0]
+    if primary in I18N_SUPPORTED_LANGUAGES:
+        return primary
+    if token in I18N_SUPPORTED_LANGUAGES:
+        return token
+    return "en"
+
+
+def register_language_pack(language: str, pack: Dict[str, Any]) -> None:
+    """Install a pack for a language; non-string keys/values are dropped
+    (the reference's load-time filter, :121-126)."""
+    _I18N_PACKS[normalize_language(language)] = {
+        k: v for k, v in pack.items()
+        if isinstance(k, str) and isinstance(v, str)
+    }
+
+
+def get_language_pack(language: str) -> Dict[str, str]:
+    lang = normalize_language(language)
+    return _I18N_PACKS.get(lang, {})
+
+
+class Translator:
+    """t(key, **kwargs): current-language pack, then the English pack,
+    then the key itself; a failing .format returns the untranslated
+    template (i18n/__init__.py:129-151)."""
+
+    def __init__(self, language: Optional[str]):
+        self.language = normalize_language(language)
+
+    def t(self, key: str, **kwargs) -> str:
+        template = (get_language_pack(self.language).get(key)
+                    or get_language_pack("en").get(key) or key)
+        if not kwargs:
+            return template
+        try:
+            return template.format(**kwargs)
+        except Exception:
+            return template
+
+
+def get_translator(language: Optional[str]) -> Translator:
+    return Translator(language)
