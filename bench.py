@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "react_tool_trace",
     "react_prov_triples",
     "onto_extract_convert",
+    "media_stdlib_features",
+    "doc_library_triples",
 ]
 
 

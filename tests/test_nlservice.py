@@ -479,3 +479,25 @@ class TestCachedNlGraphQuery:
         # shaped error was returned but NOT stored
         assert cache.stats.misses == 1
         assert len(cache._entries) == 0
+
+    def test_differing_kwargs_do_not_share_cache_entries(self, spark, kb):
+        # review fix: the key must cover value-typed kwargs, not just the
+        # question — distinct namespaces/top_k must miss separately
+        from trustgraph_spark.nlservice import (
+            QueryResultCache,
+            cached_nl_graph_query,
+        )
+
+        edges, elements, ns = kb
+        cache = QueryResultCache(max_size=10)
+        a = cached_nl_graph_query(edges, elements, "find all Device",
+                                  cache=cache, namespace=ns)
+        b = cached_nl_graph_query(edges, elements, "find all Device",
+                                  cache=cache, namespace=ns,
+                                  answer_rows_limit=7)
+        assert a is not b
+        assert cache.stats.misses == 2
+        # same config repeats still hit
+        c = cached_nl_graph_query(edges, elements, "find all Device",
+                                  cache=cache, namespace=ns)
+        assert c is a

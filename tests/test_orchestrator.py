@@ -489,3 +489,18 @@ class TestMcpToolRegistry:
         assert calls == [("http://mcp.example/weather",
                           {"Authorization": "Bearer tok123"},
                           "get_weather", {"city": "Oslo"})]
+
+
+def test_duplicate_goals_deduped_so_aggregation_completes():
+    # review fix: duplicate goal strings would deadlock the aggregator
+    # (results keyed by goal, expected counts duplicates) — dedupe at
+    # validation, deviating from the reference's flawed behavior
+    goals = validate_subagent_goals(["a", "b", "a", "b", "c"], "q")
+    assert goals == ["a", "b", "c"]
+    parent = AgentRequest(question="q", session_id="p")
+    subs = build_fanout_requests(parent, goals, correlation_id="c")
+    agg = Aggregator()
+    agg.register_fanout("c", "p", len(subs))
+    assert agg.record_completion("c", "a", "ra") is False
+    assert agg.record_completion("c", "b", "rb") is False
+    assert agg.record_completion("c", "c", "rc") is True

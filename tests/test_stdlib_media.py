@@ -117,3 +117,30 @@ class TestSparkSeam:
         image = pdf[pdf.media_id == "m3"].feature.iloc[0]
         expected = stdlib_decode(synth_bmp_payload(3), "image")
         assert np.allclose(image, expected, atol=1e-6)
+
+
+def test_short_and_ragged_wavs_decode_without_nan():
+    # review fix: clips shorter than n_bands produce 0.0 for empty bands
+    # (not NaN), and non-divisible lengths keep their tail samples
+    import io
+    import wave
+
+    def pcm(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+        return buf.getvalue()
+
+    short = stdlib_decode(pcm([16384] * 5), "audio")
+    assert len(short) == 16
+    assert not np.isnan(short).any()
+    assert (short > 0).sum() == 5  # one band per real sample, rest 0.0
+
+    ragged = stdlib_decode(pcm([32767] * 4007), "audio")
+    assert not np.isnan(ragged).any()
+    # every sample identical -> every band RMS equals |x|/32768 exactly,
+    # which only holds if the tail samples were not dropped
+    assert np.allclose(ragged, 32767 / 32768.0)

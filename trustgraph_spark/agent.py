@@ -369,14 +369,10 @@ class StreamingReActParser:
         self.line_buffer = ""
 
     def _final_answer(self) -> None:
-        is_json = (self.answer_buffer.strip().startswith("{")
-                   or self.line_buffer.strip().startswith("{"))
-        if is_json:
-            self.answer_buffer += self.line_buffer
-            if self.on_answer_chunk:
-                self.on_answer_chunk(self.line_buffer)
-            self.line_buffer = ""
-        elif self.line_buffer:
+        # the reference splits a JSON-vs-text branch here, but both arms
+        # execute the identical append/emit/clear (its brace counting is
+        # inert, streaming_parser.py:276-303) — collapsed to one block
+        if self.line_buffer:
             self.answer_buffer += self.line_buffer
             if self.on_answer_chunk:
                 self.on_answer_chunk(self.line_buffer)
@@ -924,16 +920,16 @@ def react_tool_trace(docs: DataFrame, orders: DataFrame) -> DataFrame:
 # Agent provenance triples (trustgraph-base/trustgraph/provenance/agent.py)
 # ---------------------------------------------------------------------------
 
-_PROV = "http://www.w3.org/ns/prov#"
-_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
-_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+from .constants import (  # noqa: E402  (section-local import)
+    PROV_ENTITY,
+    PROV_STARTED_AT_TIME,
+    PROV_WAS_DERIVED_FROM,
+    RDF_LABEL as RDFS_LABEL_URI,
+    RDF_TYPE as RDF_TYPE_URI,
+)
+
 _TGNS = "https://trustgraph.ai/ns/"
 
-PROV_ENTITY = _PROV + "Entity"
-PROV_WAS_DERIVED_FROM = _PROV + "wasDerivedFrom"
-PROV_STARTED_AT_TIME = _PROV + "startedAtTime"
-RDF_TYPE_URI = _RDF + "type"
-RDFS_LABEL_URI = _RDFS + "label"
 TG_QUERY = _TGNS + "query"
 TG_QUESTION = _TGNS + "Question"
 TG_AGENT_QUESTION = _TGNS + "AgentQuestion"

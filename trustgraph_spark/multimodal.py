@@ -315,11 +315,13 @@ def stdlib_decode(payload: bytes, kind: str, n_bands: int = 16) -> np.ndarray:
     strict_decode."""
     if payload is not None and payload[:4] == b"RIFF":
         samples, _sr = decode_wav_pcm(payload)
-        seg = len(samples) // n_bands
         norm = samples.astype(np.float64) / 32768.0
+        # array_split keeps the tail samples (remainder spread over the
+        # first bands) and short clips yield 0.0 for empty bands instead
+        # of NaN; divisible lengths (the synth contract) split exactly
         return np.array([
-            float(np.sqrt(np.mean(norm[k * seg:(k + 1) * seg] ** 2)))
-            for k in range(n_bands)
+            float(np.sqrt(np.mean(band ** 2))) if len(band) else 0.0
+            for band in np.array_split(norm, n_bands)
         ])
     if payload is not None and payload[:2] == b"BM":
         rgb = decode_bmp_rgb(payload).astype(np.int64)

@@ -962,8 +962,18 @@ def cached_nl_graph_query(
     from .nlquery import nl_graph_query
 
     clock = clock or _time.monotonic
+    # Key covers the question plus every value-typed kwarg (namespace,
+    # top_k, thresholds, collection, ...) so differing configurations
+    # never share an entry — the reference wrapper hashes all
+    # args+kwargs (cache.py:633-635). Callable seams and the
+    # edges/elements frames are NOT keyable: the cache instance is
+    # scoped to one store + seam configuration (as the reference's is
+    # to its service instance); bind a fresh cache per configuration.
+    keyable = sorted(
+        (k, repr(v)) for k, v in nl_kwargs.items() if not callable(v)
+    )
     key = "nlq:" + hashlib.md5(
-        (question + "\x00" + str(nl_kwargs.get("collection"))).encode()
+        (question + "\x00" + repr(keyable)).encode()
     ).hexdigest()
 
     hit = cache.get(key)

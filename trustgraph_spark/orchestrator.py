@@ -412,6 +412,11 @@ def validate_subagent_goals(objects, question: str,
     remains (supervisor_pattern.py:133-140)."""
     goals = objects if isinstance(objects, list) else []
     goals = [g for g in goals if isinstance(g, str)]
+    # dedupe (order-preserving) — the reference does not, and duplicate
+    # goals deadlock its aggregator: results are keyed by goal string
+    # while expected_siblings counts duplicates, so the correlation
+    # never completes (aggregator.py:65-90). Deliberate fix.
+    goals = list(dict.fromkeys(goals))
     goals = goals[:max_subagents]
     return goals if goals else [question]
 
