@@ -1488,6 +1488,35 @@ def q_doc_library_triples(spark, sf_dir):
     return document_metadata_triples(planted_doc_metadata(_docs(spark, sf_dir)))
 
 
+def q_nquads_export(spark, sf_dir):
+    """N-Quads serialization of the triple store (trustgraph-cli/
+    nquads.py:1-119 hand-rolled grammar encoding): planted triples rotate
+    every encoding case — named-graph IRI objects, literals carrying the
+    full ECHAR escape set, language tags, xsd datatypes, grammar-invalid
+    IRIs (skipped with encodable=false), RDF-star rows (skipped, no
+    standard encoding). Pure column expressions; the oracle rebuilds
+    every line with the same escape chain."""
+    from trustgraph_spark.operators.serialize import triples_to_nquads
+    from trustgraph_spark.planted import planted_nquad_triples
+
+    return triples_to_nquads(planted_nquad_triples(_docs(spark, sf_dir)))
+
+
+def q_nquads_roundtrip(spark, sf_dir):
+    """Export -> parse roundtrip: the encodable planted lines re-parsed by
+    the regexp N-Quads grammar (sentinel-swap unescape) must reproduce the
+    original term columns byte-for-byte; the oracle is the planted
+    encodable subset itself — no string surgery on the oracle side."""
+    from trustgraph_spark.operators.serialize import (
+        parse_nquads,
+        triples_to_nquads,
+    )
+    from trustgraph_spark.planted import planted_nquad_triples
+
+    enc = triples_to_nquads(planted_nquad_triples(_docs(spark, sf_dir)))
+    return parse_nquads(enc.where(F.col("encodable")).select("line"))
+
+
 def q_onto_match_query(spark, sf_dir):
     """Query-variant ontology matcher (query/ontology/ontology_matcher.py):
     the top_k=15 / threshold=0.6 parameterization of the OntoRAG subset
@@ -1623,6 +1652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "react_prov_triples": q_react_prov_triples,
         "media_stdlib_features": q_media_stdlib_features,
         "doc_library_triples": q_doc_library_triples,
+        "nquads_export": q_nquads_export,
+        "nquads_roundtrip": q_nquads_roundtrip,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -3380,6 +3411,60 @@ WITH wav_samples AS (
   WHERE d.doc_id % 2 = 1
 )
 SELECT * FROM wav_feat UNION ALL SELECT * FROM bmp_feat
+"""
+
+    # N-Quads export: every line rebuilt with the same ECHAR escape chain
+    # (backslash first) and grammar gates; cases 4 (bad IRI) and 5
+    # (RDF-star) yield NULL lines with encodable=false
+    _NQ_CTE = """
+WITH t AS (
+  SELECT doc_id, doc_id % 6 AS m,
+    CASE WHEN doc_id % 6 = 0 THEN 'urn:graph:g' || (doc_id % 3) ELSE '' END AS g,
+    CASE WHEN doc_id % 6 = 4 THEN 'http://ex/bad subj' || doc_id
+         ELSE 'http://ex/s' || doc_id END AS s,
+    'http://ex/p' || (doc_id % 5) AS p,
+    CASE WHEN doc_id % 6 = 0 THEN 'http://ex/o' || doc_id
+         WHEN doc_id % 6 = 1 THEN 'say "hi"' || chr(10) || 'tab' || chr(9)
+                                   || 'back' || chr(92) || doc_id
+         WHEN doc_id % 6 = 2 THEN 'tagged ' || doc_id
+         WHEN doc_id % 6 = 3 THEN doc_id::VARCHAR
+         WHEN doc_id % 6 = 4 THEN 'x'
+         ELSE '{"s": "a", "p": "b", "o": "c"}' END AS o,
+    CASE WHEN doc_id % 6 = 0 THEN 'u' WHEN doc_id % 6 = 5 THEN 't'
+         ELSE 'l' END AS otype,
+    CASE WHEN doc_id % 6 = 3
+         THEN 'http://www.w3.org/2001/XMLSchema#integer' ELSE '' END AS dtype,
+    CASE WHEN doc_id % 6 = 2
+         THEN CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'fr' END
+         ELSE '' END AS lang
+  FROM documents
+)
+"""
+    sql["nquads_export"] = _NQ_CTE + """
+SELECT
+  CASE WHEN m IN (4, 5) THEN NULL
+       ELSE '<' || s || '> <' || p || '> '
+         || CASE WHEN otype = 'u' THEN '<' || o || '>'
+                 ELSE '"' ||
+                   replace(replace(replace(replace(replace(o,
+                     chr(92), chr(92)||chr(92)), '"', chr(92)||'"'),
+                     chr(10), chr(92)||'n'), chr(13), chr(92)||'r'),
+                     chr(9), chr(92)||'t')
+                   || '"'
+                   || CASE WHEN lang <> '' THEN '@' || lang
+                           WHEN dtype <> '' THEN '^^<' || dtype || '>'
+                           ELSE '' END
+            END
+         || CASE WHEN g <> '' THEN ' <' || g || '>' ELSE '' END
+         || ' .'
+  END AS line,
+  m NOT IN (4, 5) AS encodable
+FROM t
+"""
+    # roundtrip oracle: the planted encodable subset verbatim — the parse
+    # must undo the escape chain exactly
+    sql["nquads_roundtrip"] = _NQ_CTE + """
+SELECT g, s, p, o, otype, dtype, lang FROM t WHERE m NOT IN (4, 5)
 """
 
     # document-library schema.org triples: URIs re-minted with the same

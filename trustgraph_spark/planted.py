@@ -316,3 +316,38 @@ def planted_doc_metadata(docs: DataFrame) -> DataFrame:
                F.concat(F.lit("descr "), (did % 7).cast("string")))
         .alias("org_description"),
     )
+
+
+def planted_nquad_triples(docs: DataFrame) -> DataFrame:
+    """Triple rows exercising every N-Quads encoding case (one per doc,
+    rotating by doc_id % 6): IRI object with a named graph, a literal
+    whose value carries every ECHAR escape (quote, newline, tab,
+    backslash), a language-tagged literal, an xsd:integer-typed literal,
+    a grammar-invalid subject IRI (space -> skipped), and an RDF-star
+    row (no standard N-Quads encoding -> skipped)."""
+    did = _did()
+    n = did.cast("string")
+    m = did % 6
+    esc_lit = F.concat(
+        F.lit('say "hi"'), F.lit("\n"), F.lit("tab\t"), F.lit("back\\"), n
+    )
+    return docs.select(
+        F.lit("default").alias("collection"),
+        F.when(m == 0, F.concat(F.lit("urn:graph:g"), (did % 3).cast("string")))
+        .otherwise(F.lit("")).alias("g"),
+        F.when(m == 4, F.concat(F.lit("http://ex/bad subj"), n))
+        .otherwise(F.concat(F.lit("http://ex/s"), n)).alias("s"),
+        F.concat(F.lit("http://ex/p"), (did % 5).cast("string")).alias("p"),
+        F.when(m == 0, F.concat(F.lit("http://ex/o"), n))
+        .when(m == 1, esc_lit)
+        .when(m == 2, F.concat(F.lit("tagged "), n))
+        .when(m == 3, n)
+        .when(m == 4, F.lit("x"))
+        .otherwise(F.lit('{"s": "a", "p": "b", "o": "c"}')).alias("o"),
+        F.when(m == 0, F.lit("u")).when(m == 5, F.lit("t"))
+        .otherwise(F.lit("l")).alias("otype"),
+        F.when(m == 3, F.lit("http://www.w3.org/2001/XMLSchema#integer"))
+        .otherwise(F.lit("")).alias("dtype"),
+        F.when(m == 2, F.when(did % 2 == 0, F.lit("en")).otherwise(F.lit("fr")))
+        .otherwise(F.lit("")).alias("lang"),
+    )
