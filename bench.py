@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "onto_extract_convert",
     "media_stdlib_features",
     "doc_library_triples",
+    "nquads_export",
+    "nquads_roundtrip",
 ]
 
 

@@ -117,3 +117,32 @@ class TestParseRoundtrip:
         plan = parse_nquads(lines)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# property-based roundtrip (hypothesis)
+# ---------------------------------------------------------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# any codepoint may appear in a literal value (the grammar only forbids
+# RAW 0x22/0x5C/0x0A/0x0D, which the escape chain handles); exclude
+# surrogates, which are not valid in UTF-8 interchange
+_literal_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60)
+
+
+class TestPropertyRoundtrip:
+    @settings(max_examples=30, deadline=None)
+    @given(values=st.lists(_literal_text, min_size=1, max_size=8))
+    def test_literal_escape_roundtrip(self, spark, values):
+        rows = [("d", "", "http://e/s%d" % i, "http://e/p", v, "l", "", "")
+                for i, v in enumerate(values)]
+        df = spark.createDataFrame(rows, DDL)
+        enc = triples_to_nquads(df).where(F.col("encodable"))
+        back = parse_nquads(enc.select("line"))
+        got = sorted((r.s, r.o) for r in back.collect())
+        want = sorted((s, o) for (_, _, s, _, o, _, _, _) in rows)
+        assert got == want

@@ -12,9 +12,10 @@ standard N-Quads encoding and are skipped with an observable flag, as the
 reference skips-and-counts.
 
 The parser is the inverse grammar as regexp extraction plus a
-sentinel-swap unescape (single logical pass: literal backslash pairs are
-parked on \\x01 — a control char the exporter always escapes, so it cannot
-occur raw in well-formed input — before the short escapes are restored).
+sentinel-free unescape: the literal is split on escaped-backslash pairs,
+short escapes are restored inside each segment, and the segments rejoin
+with single backslashes — exact for every input (hypothesis-verified
+roundtrip in test_serialize).
 """
 
 from __future__ import annotations
@@ -111,17 +112,22 @@ _NQ_LIT_OBJ = (r'^<([^>]*)> <([^>]*)> '
 
 
 def _unescape_literal(col):
-    # park escaped backslashes on \x01 (a control char the exporter
-    # always escapes, so it cannot appear raw in well-formed input),
-    # restore the short escapes, then restore the backslashes — the
-    # order-safe inverse of _escape_literal
-    c = F.regexp_replace(col, r"\\\\", "\x01")
-    c = F.regexp_replace(c, r"\\n", "\n")
-    c = F.regexp_replace(c, r"\\r", "\r")
-    c = F.regexp_replace(c, r"\\t", "\t")
-    c = F.regexp_replace(c, '\\\\"', '"')
-    c = F.regexp_replace(c, "\x01", r"\\")
-    return c
+    # order-safe inverse of _escape_literal with NO sentinel character
+    # (a sentinel can collide with raw data — any codepoint except
+    # 0x22 0x5C 0x0A 0x0D may appear unescaped in the grammar): split
+    # on escaped-backslash pairs, restore the short escapes inside each
+    # segment (no segment can contain a backslash pair), rejoin with
+    # single backslashes
+    def _short(x):
+        x = F.regexp_replace(x, r"\\n", "\n")
+        x = F.regexp_replace(x, r"\\r", "\r")
+        x = F.regexp_replace(x, r"\\t", "\t")
+        return F.regexp_replace(x, '\\\\"', '"')
+
+    # -1 keeps trailing empty segments so a literal ending in an escaped
+    # backslash round-trips
+    segs = F.split(col, r"\\\\", -1)
+    return F.array_join(F.transform(segs, _short), "\\")
 
 
 def parse_nquads(lines: DataFrame, line_col: str = "line") -> DataFrame:
