@@ -1517,6 +1517,23 @@ def q_nquads_roundtrip(spark, sf_dir):
     return parse_nquads(enc.where(F.col("encodable")).select("line"))
 
 
+def q_turtle_export(spark, sf_dir):
+    """Turtle export with RDF-star (trustgraph-cli/graph_to_turtle.py):
+    deterministic single-line-block dialect — sorted @prefix header,
+    per-subject blocks with sorted predicate-object pairs, longest-prefix
+    qname compression, << s p o >> quoted-triple objects (which N-Quads
+    must skip), malformed IRIs skipped. One subject-keyed aggregation;
+    the oracle rebuilds the header and every block in SQL."""
+    from trustgraph_spark.operators.serialize import triples_to_turtle
+    from trustgraph_spark.planted import planted_nquad_triples
+
+    return triples_to_turtle(
+        planted_nquad_triples(_docs(spark, sf_dir)),
+        {"ex": "http://ex/",
+         "xsd": "http://www.w3.org/2001/XMLSchema#"},
+    )
+
+
 def q_onto_match_query(spark, sf_dir):
     """Query-variant ontology matcher (query/ontology/ontology_matcher.py):
     the top_k=15 / threshold=0.6 parameterization of the OntoRAG subset
@@ -1654,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_library_triples": q_doc_library_triples,
         "nquads_export": q_nquads_export,
         "nquads_roundtrip": q_nquads_roundtrip,
+        "turtle_export": q_turtle_export,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -3465,6 +3483,29 @@ FROM t
     # must undo the escape chain exactly
     sql["nquads_roundtrip"] = _NQ_CTE + """
 SELECT g, s, p, o, otype, dtype, lang FROM t WHERE m NOT IN (4, 5)
+"""
+
+    # Turtle export: header rows + one block per subject (every planted
+    # subject carries exactly one predicate-object pair); literals reuse
+    # the same escape chain, xsd:integer compresses, case 5 renders the
+    # RDF-star quoted triple, case 4 (bad IRI) is skipped entirely
+    sql["turtle_export"] = _NQ_CTE + """
+SELECT '@prefix ex: <http://ex/> .' AS line
+UNION ALL SELECT '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .'
+UNION ALL
+SELECT 'ex:s' || doc_id || ' ex:p' || (doc_id % 5) || ' ' ||
+  CASE WHEN m = 0 THEN 'ex:o' || doc_id
+       WHEN m = 1 THEN '"' ||
+         replace(replace(replace(replace(replace(o,
+           chr(92), chr(92)||chr(92)), '"', chr(92)||'"'),
+           chr(10), chr(92)||'n'), chr(13), chr(92)||'r'),
+           chr(9), chr(92)||'t') || '"'
+       WHEN m = 2 THEN '"tagged ' || doc_id || '"@'
+         || CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'fr' END
+       WHEN m = 3 THEN '"' || doc_id || '"^^xsd:integer'
+       ELSE '<< ex:a' || (doc_id % 9) || ' ex:b "v ' || doc_id || '" >>'
+  END || ' .' AS line
+FROM t WHERE m <> 4
 """
 
     # document-library schema.org triples: URIs re-minted with the same

@@ -146,3 +146,63 @@ class TestPropertyRoundtrip:
         got = sorted((r.s, r.o) for r in back.collect())
         want = sorted((s, o) for (_, _, s, _, o, _, _, _) in rows)
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Turtle export (graph_to_turtle.py)
+# ---------------------------------------------------------------------------
+
+
+import json
+
+from trustgraph_spark.operators.serialize import triples_to_turtle
+
+PREFIXES = {"ex": "http://e/", "xsd": "http://www.w3.org/2001/XMLSchema#"}
+
+
+class TestTurtle:
+    def test_subject_block_groups_sorted_pairs(self, spark):
+        rows = [
+            _row(s="http://e/s1", p="http://e/p2", o="http://e/o2"),
+            _row(s="http://e/s1", p="http://e/p1", o="http://e/o1"),
+            _row(s="http://e/s1", p="http://e/p1", o="zz", otype="l"),
+        ]
+        df = spark.createDataFrame(rows, DDL)
+        lines = {r.line for r in triples_to_turtle(df, PREFIXES).collect()}
+        assert 'ex:s1 ex:p1 "zz" ; ex:p1 ex:o1 ; ex:p2 ex:o2 .' in lines
+        assert "@prefix ex: <http://e/> ." in lines
+
+    def test_qname_falls_back_for_unsafe_local(self, spark):
+        # '%' is outside the conservative PN_LOCAL subset
+        rows = [_row(s="http://e/ok", o="http://e/o%65", otype="u")]
+        df = spark.createDataFrame(rows, DDL)
+        [line] = [r.line for r in triples_to_turtle(df, PREFIXES).collect()
+                  if not r.line.startswith("@prefix")]
+        assert line == "ex:ok ex:p <http://e/o%65> ."
+
+    def test_rdf_star_object(self, spark):
+        star = json.dumps({"s": {"type": "i", "iri": "http://e/a"},
+                           "p": {"type": "i", "iri": "http://e/b"},
+                           "o": {"type": "l", "value": 'v "q"'}})
+        rows = [_row(o=star, otype="t")]
+        df = spark.createDataFrame(rows, DDL)
+        [line] = [r.line for r in triples_to_turtle(df, PREFIXES).collect()
+                  if not r.line.startswith("@prefix")]
+        assert line == 'ex:s ex:p << ex:a ex:b "v \\"q\\"" >> .'
+
+    def test_malformed_star_and_iris_skipped(self, spark):
+        rows = [
+            _row(o="{not json}", otype="t"),
+            _row(s="http://e/bad subj"),
+        ]
+        df = spark.createDataFrame(rows, DDL)
+        out = [r.line for r in triples_to_turtle(df, PREFIXES).collect()]
+        assert all(line.startswith("@prefix") for line in out)
+
+    def test_datatype_qname_compression(self, spark):
+        rows = [_row(o="7", otype="l",
+                     dtype="http://www.w3.org/2001/XMLSchema#integer")]
+        df = spark.createDataFrame(rows, DDL)
+        [line] = [r.line for r in triples_to_turtle(df, PREFIXES).collect()
+                  if not r.line.startswith("@prefix")]
+        assert line.endswith('"7"^^xsd:integer .')

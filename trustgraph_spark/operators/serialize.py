@@ -152,3 +152,114 @@ def parse_nquads(lines: DataFrame, line_col: str = "line") -> DataFrame:
         F.when(is_lit, lit[3]).otherwise(
             F.when(is_iri, F.lit(""))).alias("lang"),
     ).where(F.col("otype").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Turtle export with RDF-star (graph_to_turtle.py:21-120)
+# ---------------------------------------------------------------------------
+#
+# The reference dumps the store through rdflib's Turtle serializer with
+# RDF-star quoted-triple support and skips malformed IRIs. rdflib's exact
+# byte layout is not the contract (it depends on its serializer version);
+# this writer defines a DETERMINISTIC single-line-block Turtle dialect —
+# sorted @prefix header, one `s p1 o1 ; p2 o2 .` block per subject with
+# sorted predicate-object pairs, longest-prefix qname compression, and
+# `<< s p o >>` for RDF-star rows (which N-Quads must skip) — all as
+# native columns plus ONE subject-keyed aggregation (the same scale shape
+# as the quads-by-entity store).
+
+_STAR_SCHEMA = (
+    "struct<s:struct<type:string,iri:string,value:string>,"
+    "p:struct<type:string,iri:string,value:string>,"
+    "o:struct<type:string,iri:string,value:string>>"
+)
+
+_PN_LOCAL = r"^[A-Za-z_][A-Za-z0-9_-]*$"
+
+
+def _qname(col, prefixes: dict):
+    """Longest-namespace-first qname compression; falls back to <iri>."""
+    expr = F.concat(F.lit("<"), col, F.lit(">"))
+    for k, ns in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
+        local = F.substring(col, len(ns) + 1, 2 ** 24)
+        cond = col.startswith(ns) & local.rlike(_PN_LOCAL)
+        expr = F.when(cond, F.concat(F.lit(k + ":"), local)).otherwise(expr)
+    return expr
+
+
+def _ttl_literal(val, dtype, lang, prefixes):
+    lit = F.concat(F.lit('"'), _escape_literal(val), F.lit('"'))
+    return F.when(
+        lang.isNotNull() & (lang != ""), F.concat(lit, F.lit("@"), lang)
+    ).when(
+        dtype.isNotNull() & (dtype != ""),
+        F.concat(lit, F.lit("^^"), _qname(dtype, prefixes)),
+    ).otherwise(lit)
+
+
+def triples_to_turtle(
+    triples: DataFrame, prefixes: dict[str, str]
+) -> DataFrame:
+    """(s,p,o,otype,dtype,lang) -> Turtle lines: sorted ``@prefix`` rows
+    followed by one single-line block per subject. RDF-star rows (otype
+    't', the provenance JSON term encoding) render as ``<< s p o >>``
+    objects; rows whose IRIs the grammar cannot carry are skipped, as the
+    reference's term mapper skips them (graph_to_turtle.py:28-31)."""
+    s, p, o = F.col("s"), F.col("p"), F.col("o")
+    otype = F.col("otype")
+    dtype = F.col("dtype") if "dtype" in triples.columns else F.lit("")
+    lang = F.col("lang") if "lang" in triples.columns else F.lit("")
+
+    star = F.from_json(o, _STAR_SCHEMA)
+    star_ok = (
+        _iri_ok(star["s"]["iri"]) & _iri_ok(star["p"]["iri"])
+        & (
+            ((star["o"]["type"] == "i") & _iri_ok(star["o"]["iri"]))
+            | (star["o"]["type"] == "l")
+        )
+    )
+    star_obj = F.when(star["o"]["type"] == "i",
+                      _qname(star["o"]["iri"], prefixes)).otherwise(
+        F.concat(F.lit('"'), _escape_literal(star["o"]["value"]), F.lit('"')))
+    star_term = F.concat(
+        F.lit("<< "), _qname(star["s"]["iri"], prefixes), F.lit(" "),
+        _qname(star["p"]["iri"], prefixes), F.lit(" "), star_obj,
+        F.lit(" >>"),
+    )
+
+    obj = (
+        F.when(otype == OTYPE_URI, _qname(o, prefixes))
+        .when(otype == OTYPE_LITERAL, _ttl_literal(o, dtype, lang, prefixes))
+        .when(otype == "t", star_term)
+    )
+    obj_ok = (
+        F.when(otype == OTYPE_URI, _iri_ok(o))
+        .when(otype == OTYPE_LITERAL, F.lit(True))
+        .when(otype == "t", star.isNotNull() & star_ok)
+        .otherwise(F.lit(False))
+    )
+    dt_ok = F.when(
+        (otype == OTYPE_LITERAL) & dtype.isNotNull() & (dtype != "")
+        & (lang.isNull() | (lang == "")),
+        _iri_ok(dtype),
+    ).otherwise(F.lit(True))
+    ok = _iri_ok(s) & _iri_ok(p) & obj_ok & dt_ok
+
+    po = F.concat(_qname(p, prefixes), F.lit(" "), obj)
+    blocks = (
+        triples.where(ok)
+        .groupBy(s.alias("_s"))
+        .agg(F.sort_array(F.collect_list(po)).alias("_pos"))
+        .select(
+            F.concat(
+                _qname(F.col("_s"), prefixes), F.lit(" "),
+                F.array_join(F.col("_pos"), " ; "), F.lit(" ."),
+            ).alias("line")
+        )
+    )
+    spark = triples.sparkSession
+    header = spark.createDataFrame(
+        [(f"@prefix {k}: <{ns}> .",) for k, ns in sorted(prefixes.items())],
+        "line string",
+    )
+    return header.unionByName(blocks)

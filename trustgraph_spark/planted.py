@@ -343,7 +343,14 @@ def planted_nquad_triples(docs: DataFrame) -> DataFrame:
         .when(m == 2, F.concat(F.lit("tagged "), n))
         .when(m == 3, n)
         .when(m == 4, F.lit("x"))
-        .otherwise(F.lit('{"s": "a", "p": "b", "o": "c"}')).alias("o"),
+        .otherwise(F.concat(
+            F.lit('{"s":{"type":"i","iri":"http://ex/a'),
+            (did % 9).cast("string"),
+            F.lit('"},"p":{"type":"i","iri":"http://ex/b"},'
+                  '"o":{"type":"l","value":"v '),
+            n,
+            F.lit('"}}'),
+        )).alias("o"),
         F.when(m == 0, F.lit("u")).when(m == 5, F.lit("t"))
         .otherwise(F.lit("l")).alias("otype"),
         F.when(m == 3, F.lit("http://www.w3.org/2001/XMLSchema#integer"))
