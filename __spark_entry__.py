@@ -1534,6 +1534,68 @@ def q_turtle_export(spark, sf_dir):
     )
 
 
+def q_kg_core_msgpack(spark, sf_dir):
+    """Portable knowledge-core exchange (get_kg_core.py:17-73 msgpack
+    record stream, put_kg_core.py:16-60 reader, TermTranslator compact
+    keys primitives.py:50-99): the planted triples — every term shape
+    incl. RDF-star quoted objects and grammar-invalid IRIs N-Quads must
+    skip but msgpack must not — grouped into per-(id, collection)
+    batches, packed to wire records by the pure-Python codec seam, then
+    decoded back; per-document root-metadata triples ride in every
+    record as the reference's writer does.  Batched applyInPandas
+    encode / streaming mapInPandas decode; roundtrip must be the planted
+    frame byte-for-byte, so the oracle is the planted set itself."""
+    from trustgraph_spark.operators.kgcore import (
+        decode_core_triples,
+        encode_core_triples,
+    )
+    from trustgraph_spark.planted import planted_nquad_triples
+
+    planted = planted_nquad_triples(_docs(spark, sf_dir))
+    root = planted.select("id", "collection").distinct().select(
+        "id", "collection",
+        F.concat(F.lit("http://ex/doc/"), F.col("id")).alias("s"),
+        F.lit("http://purl.org/dc/terms/title").alias("p"),
+        F.concat(F.lit("Core "), F.col("id")).alias("o"),
+        F.lit("l").alias("otype"),
+        F.lit("").alias("dtype"), F.lit("").alias("lang"),
+        F.lit("").alias("g"),
+    )
+    recs = encode_core_triples(planted, root_metadata=root, batch_size=16)
+    return decode_core_triples(recs).select(
+        "id", "collection", "g", "s", "p", "o", "otype", "dtype", "lang")
+
+
+def q_kg_core_ge_msgpack(spark, sf_dir):
+    """Graph-embeddings leg of the core exchange (get_kg_core.py:30-48
+    ``("ge", ...)`` records, entity term + float64 vector): planted
+    dyadic-rational vectors (exact in binary and in the oracle's SQL
+    arithmetic) roundtrip bit-exactly through pack -> unpack; the vector
+    re-exploded to scalar rows for the value-hash compare."""
+    from trustgraph_spark.operators.kgcore import (
+        decode_core_entities,
+        encode_core_entities,
+    )
+
+    did = F.col("doc_id").cast("long")
+    ents = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc-"), (did % 7).cast("string")).alias("id"),
+        F.lit("default").alias("collection"),
+        F.concat(F.lit("http://ex/e"), did.cast("string")).alias("entity"),
+        F.array(
+            did / F.lit(4.0),
+            -did / F.lit(8.0),
+            (did % 16) / F.lit(2.0),
+        ).alias("vector"),
+    )
+    back = decode_core_entities(encode_core_entities(ents, batch_size=32))
+    return back.select(
+        "id", "collection", "entity",
+        F.posexplode("vector").alias("pos", "value"),
+    ).select("id", "collection", "entity", "pos",
+             F.col("value").cast("double").alias("value"))
+
+
 def q_onto_match_query(spark, sf_dir):
     """Query-variant ontology matcher (query/ontology/ontology_matcher.py):
     the top_k=15 / threshold=0.6 parameterization of the OntoRAG subset
@@ -1672,6 +1734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_export": q_nquads_export,
         "nquads_roundtrip": q_nquads_roundtrip,
         "turtle_export": q_turtle_export,
+        "kg_core_msgpack": q_kg_core_msgpack,
+        "kg_core_ge_msgpack": q_kg_core_ge_msgpack,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -3509,6 +3573,54 @@ FROM t WHERE m <> 4
 """
 
     # document-library schema.org triples: URIs re-minted with the same
+    # Knowledge-core msgpack roundtrip: pack -> unpack must reproduce the
+    # planted frame byte-for-byte, so the oracle is the planted set itself
+    # — including the grammar-invalid IRI (m=4) and RDF-star (m=5) rows
+    # the N-Quads oracles exclude; the m=5 object is the REAL planted
+    # RDF-star JSON (the _NQ_CTE placeholder is never selected by the
+    # nquads/turtle oracles)
+    sql["kg_core_msgpack"] = """
+SELECT
+  'doc-' || (doc_id % 7) AS id,
+  'default' AS collection,
+  CASE WHEN doc_id % 6 = 0 THEN 'urn:graph:g' || (doc_id % 3) ELSE '' END AS g,
+  CASE WHEN doc_id % 6 = 4 THEN 'http://ex/bad subj' || doc_id
+       ELSE 'http://ex/s' || doc_id END AS s,
+  'http://ex/p' || (doc_id % 5) AS p,
+  CASE WHEN doc_id % 6 = 0 THEN 'http://ex/o' || doc_id
+       WHEN doc_id % 6 = 1 THEN 'say "hi"' || chr(10) || 'tab' || chr(9)
+                                 || 'back' || chr(92) || doc_id
+       WHEN doc_id % 6 = 2 THEN 'tagged ' || doc_id
+       WHEN doc_id % 6 = 3 THEN doc_id::VARCHAR
+       WHEN doc_id % 6 = 4 THEN 'x'
+       ELSE '{"s":{"type":"i","iri":"http://ex/a' || (doc_id % 9)
+            || '"},"p":{"type":"i","iri":"http://ex/b"},'
+            || '"o":{"type":"l","value":"v ' || doc_id || '"}}' END AS o,
+  CASE WHEN doc_id % 6 = 0 THEN 'u' WHEN doc_id % 6 = 5 THEN 't'
+       ELSE 'l' END AS otype,
+  CASE WHEN doc_id % 6 = 3
+       THEN 'http://www.w3.org/2001/XMLSchema#integer' ELSE '' END AS dtype,
+  CASE WHEN doc_id % 6 = 2
+       THEN CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'fr' END
+       ELSE '' END AS lang
+FROM documents
+"""
+
+    # GE-record roundtrip: dyadic-rational vectors are exact in float64
+    # wire bytes AND in the oracle's double arithmetic
+    sql["kg_core_ge_msgpack"] = """
+SELECT 'doc-' || (doc_id % 7) AS id,
+       'default' AS collection,
+       'http://ex/e' || doc_id AS entity,
+       u.pos, u.value
+FROM documents,
+  LATERAL (
+    SELECT 0 AS pos, doc_id / 4.0 AS value
+    UNION ALL SELECT 1, -doc_id / 8.0
+    UNION ALL SELECT 2, (doc_id % 16) / 2.0
+  ) u
+"""
+
     # sha256 -> every-2nd-hex-char -> UUID formula, presence gates
     # replayed per field (the reference's builtin-id identifier bug is
     # fixed on both sides: subject = document URI)

@@ -332,6 +332,7 @@ def planted_nquad_triples(docs: DataFrame) -> DataFrame:
         F.lit('say "hi"'), F.lit("\n"), F.lit("tab\t"), F.lit("back\\"), n
     )
     return docs.select(
+        F.concat(F.lit("doc-"), (did % 7).cast("string")).alias("id"),
         F.lit("default").alias("collection"),
         F.when(m == 0, F.concat(F.lit("urn:graph:g"), (did % 3).cast("string")))
         .otherwise(F.lit("")).alias("g"),
