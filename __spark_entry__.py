@@ -1596,6 +1596,48 @@ def q_kg_core_ge_msgpack(spark, sf_dir):
              F.col("value").cast("double").alias("value"))
 
 
+def q_structured_ingest(spark, sf_dir):
+    """Descriptor-driven structured ingest (load_structured_data.py:
+    340-573 _parse_data_by_format -> _apply_transformations ->
+    _format_extracted_objects): per-doc planted CSV — quoted field with
+    an embedded comma, padded numerics, a to_int failure arm, an empty
+    to_float arm, a missing source field — parsed in the ingest seam,
+    every transform (trim/upper/to_int/to_float/title_case) compiled to
+    native columns, ExtractedObject shaping with sequential parsed-N
+    ids.  The planted text is synthesized from doc_id, so the oracle
+    reconstructs every output value analytically (no SQL CSV parser)."""
+    from trustgraph_spark.operators.ingest import load_structured
+
+    did = F.col("doc_id").cast("long")
+    n = did.cast("string")
+    text = F.concat(
+        F.lit("name,qty,price,note\n"),
+        F.lit("  alpha "), n, F.lit(" , "), (did % 100).cast("string"),
+        F.lit(" ,"), n, F.lit('.5,mixed CASE text '), n, F.lit("\n"),
+        F.lit('"beta, '), n, F.lit('",bad'), n,
+        F.lit(",,second row "), n, F.lit("\n"),
+    )
+    docs = _docs(spark, sf_dir).select(did.alias("doc_id"),
+                                       text.alias("text"))
+    descriptor = {
+        "format": {"type": "csv", "options": {"delimiter": ","}},
+        "mappings": [
+            {"source_field": "name", "target_field": "name",
+             "transforms": [{"type": "trim"}, {"type": "upper"}]},
+            {"source_field": "qty", "target_field": "quantity",
+             "transforms": [{"type": "to_int"}]},
+            {"source_field": "price", "target_field": "price",
+             "transforms": [{"type": "to_float"}]},
+            {"source_field": "note", "target_field": "label",
+             "transforms": [{"type": "title_case"}]},
+            {"source_field": "nosuch", "target_field": "ghost"},
+        ],
+        "output": {"schema_name": "item",
+                   "options": {"confidence": 0.75}},
+    }
+    return load_structured(docs, descriptor, collection="kb")
+
+
 def q_onto_match_query(spark, sf_dir):
     """Query-variant ontology matcher (query/ontology/ontology_matcher.py):
     the top_k=15 / threshold=0.6 parameterization of the OntoRAG subset
@@ -1736,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turtle_export": q_turtle_export,
         "kg_core_msgpack": q_kg_core_msgpack,
         "kg_core_ge_msgpack": q_kg_core_ge_msgpack,
+        "structured_ingest": q_structured_ingest,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -3619,6 +3662,32 @@ FROM documents,
     UNION ALL SELECT 1, -doc_id / 8.0
     UNION ALL SELECT 2, (doc_id % 16) / 2.0
   ) u
+"""
+
+    # Structured ingest: the planted CSV text is synthesized from doc_id,
+    # so every parsed + transformed output value is reconstructed
+    # analytically — trim/upper/title/to_int/to_float results written
+    # out directly, the quoted-comma field proving the seam ran a real
+    # CSV parser (a naive split would shear 'beta, N' apart)
+    sql["structured_ingest"] = """
+WITH r AS (
+  SELECT doc_id, u.rec_idx,
+    CASE WHEN u.rec_idx = 0 THEN 'ALPHA ' || doc_id
+         ELSE 'BETA, ' || doc_id END AS name,
+    CASE WHEN u.rec_idx = 0 THEN (doc_id % 100)::VARCHAR
+         ELSE 'bad' || doc_id END AS quantity,
+    CASE WHEN u.rec_idx = 0 THEN doc_id || '.5' ELSE '' END AS price,
+    CASE WHEN u.rec_idx = 0 THEN 'Mixed Case Text ' || doc_id
+         ELSE 'Second Row ' || doc_id END AS label,
+    NULL::VARCHAR AS ghost
+  FROM documents, (SELECT 0 AS rec_idx UNION ALL SELECT 1) u
+)
+SELECT 'parsed-' || row_number() OVER (ORDER BY doc_id, rec_idx) AS object_id,
+  'item' AS schema_name, 'kb' AS collection,
+  CAST(0.75 AS DOUBLE) AS confidence,
+  doc_id, CAST(rec_idx AS BIGINT) AS rec_idx,
+  name, quantity, price, label, ghost
+FROM r
 """
 
     # sha256 -> every-2nd-hex-char -> UUID formula, presence gates
