@@ -1596,6 +1596,32 @@ def q_kg_core_ge_msgpack(spark, sf_dir):
              F.col("value").cast("double").alias("value"))
 
 
+def q_turtle_roundtrip(spark, sf_dir):
+    """Turtle import (load_turtle.py:40-76 / load_knowledge.py:37-76 —
+    the reference parses Turtle with rdflib; here a hand-written
+    tokenizer + recursive-descent parser covering the practical grammar
+    incl. qnames, @lang, ^^datatypes and RDF-star ``<< >>`` objects):
+    the planted triples exported by triples_to_turtle and parsed back
+    must reproduce every encodable row byte-for-byte — quoted-triple
+    JSON included — so the oracle is the planted encodable subset.  The
+    single-document assembly is the roundtrip harness; the operator's
+    corpus shape is per-document parallel parsing (test_turtle)."""
+    from trustgraph_spark.operators.serialize import triples_to_turtle
+    from trustgraph_spark.operators.turtle import parse_turtle
+    from trustgraph_spark.planted import planted_nquad_triples
+
+    lines = triples_to_turtle(
+        planted_nquad_triples(_docs(spark, sf_dir)),
+        {"ex": "http://ex/",
+         "xsd": "http://www.w3.org/2001/XMLSchema#"},
+    )
+    one_doc = lines.agg(
+        F.array_join(F.sort_array(F.collect_list("line")), "\n")
+        .alias("text")).select(F.lit(0).alias("doc_id"), "text")
+    return parse_turtle(one_doc).select(
+        "s", "p", "o", "otype", "dtype", "lang")
+
+
 def q_structured_ingest(spark, sf_dir):
     """Descriptor-driven structured ingest (load_structured_data.py:
     340-573 _parse_data_by_format -> _apply_transformations ->
@@ -1779,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_core_msgpack": q_kg_core_msgpack,
         "kg_core_ge_msgpack": q_kg_core_ge_msgpack,
         "structured_ingest": q_structured_ingest,
+        "turtle_roundtrip": q_turtle_roundtrip,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -3590,6 +3617,34 @@ FROM t
     # must undo the escape chain exactly
     sql["nquads_roundtrip"] = _NQ_CTE + """
 SELECT g, s, p, o, otype, dtype, lang FROM t WHERE m NOT IN (4, 5)
+"""
+
+    # Turtle roundtrip: export -> parse must reproduce every
+    # Turtle-encodable planted row (m=4 bad-IRI skipped; m=5 RDF-star IS
+    # Turtle-encodable via << >> and parses back to the REAL provenance
+    # JSON, so the oracle writes it inline rather than reusing the
+    # _NQ_CTE placeholder)
+    sql["turtle_roundtrip"] = """
+SELECT
+  'http://ex/s' || doc_id AS s,
+  'http://ex/p' || (doc_id % 5) AS p,
+  CASE WHEN doc_id % 6 = 0 THEN 'http://ex/o' || doc_id
+       WHEN doc_id % 6 = 1 THEN 'say "hi"' || chr(10) || 'tab' || chr(9)
+                                 || 'back' || chr(92) || doc_id
+       WHEN doc_id % 6 = 2 THEN 'tagged ' || doc_id
+       WHEN doc_id % 6 = 3 THEN doc_id::VARCHAR
+       ELSE '{"s":{"type":"i","iri":"http://ex/a' || (doc_id % 9)
+            || '"},"p":{"type":"i","iri":"http://ex/b"},'
+            || '"o":{"type":"l","value":"v ' || doc_id || '"}}' END AS o,
+  CASE WHEN doc_id % 6 = 0 THEN 'u' WHEN doc_id % 6 = 5 THEN 't'
+       ELSE 'l' END AS otype,
+  CASE WHEN doc_id % 6 = 3
+       THEN 'http://www.w3.org/2001/XMLSchema#integer' ELSE '' END AS dtype,
+  CASE WHEN doc_id % 6 = 2
+       THEN CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'fr' END
+       ELSE '' END AS lang
+FROM documents
+WHERE doc_id % 6 <> 4
 """
 
     # Turtle export: header rows + one block per subject (every planted
