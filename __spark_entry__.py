@@ -1622,6 +1622,59 @@ def q_turtle_roundtrip(spark, sf_dir):
         "s", "p", "o", "otype", "dtype", "lang")
 
 
+def q_prompt_render(spark, sf_dir):
+    """Prompt templating at corpus scale (template/prompt_manager.py:
+    12-215 + the tg-set-prompt config wire shape from cli/set_prompt.py:
+    16-61): a PromptManager loads the planted config dict (system /
+    template-index / template.{id} JSON strings), then the selected
+    template — vars, dotted struct fields, for-loop, if/else, flag —
+    is compiled to ONE native Catalyst column (transform + array_join +
+    CASE WHEN, no UDF) and rendered for every document row.  The oracle
+    rebuilds every rendered prompt in SQL (list_transform +
+    list_aggregate)."""
+    import json as _json
+
+    from trustgraph_spark.template import PromptManager, compile_template
+
+    pm = PromptManager()
+    pm.load_config({
+        "system": _json.dumps("Be helpful."),
+        "template-index": _json.dumps(["render_demo"]),
+        "template.render_demo": _json.dumps({
+            "prompt": (
+                "Doc {{ doc_id }}: {{ title }}\n"
+                "{% if items %}Items:\n"
+                "{% for item in items %}- {{ item.name }} x{{ item.qty }}\n"
+                "{% endfor %}"
+                "{% else %}No items\n{% endif %}"
+                "{% if flag %}FLAGGED{% endif %}"),
+            "response-type": "text",
+        }),
+    })
+
+    n = F.col("doc_id")
+    items = F.when(
+        n % 4 >= 1,
+        F.transform(
+            F.sequence(F.lit(1), (n % 4).cast("int")),
+            lambda i: F.struct(
+                F.concat(F.lit("it"), i.cast("string")).alias("name"),
+                (i * 2).alias("qty")),
+        ),
+    ).otherwise(F.array().cast("array<struct<name:string,qty:int>>"))
+    terms = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("T"), n.cast("string")).alias("title"),
+        items.alias("items"),
+        (n % 5 == 0).alias("flag"),
+    )
+    return terms.select(
+        "doc_id",
+        compile_template(pm.prompts["render_demo"].template, terms)
+        .alias("rendered"),
+    )
+
+
 def q_structured_ingest(spark, sf_dir):
     """Descriptor-driven structured ingest (load_structured_data.py:
     340-573 _parse_data_by_format -> _apply_transformations ->
@@ -1806,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_core_ge_msgpack": q_kg_core_ge_msgpack,
         "structured_ingest": q_structured_ingest,
         "turtle_roundtrip": q_turtle_roundtrip,
+        "prompt_render": q_prompt_render,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -3617,6 +3671,22 @@ FROM t
     # must undo the escape chain exactly
     sql["nquads_roundtrip"] = _NQ_CTE + """
 SELECT g, s, p, o, otype, dtype, lang FROM t WHERE m NOT IN (4, 5)
+"""
+
+    # Prompt templating: every rendered prompt rebuilt in SQL —
+    # list_transform/list_aggregate mirror the native transform +
+    # array_join lowering, CASE WHEN the if/else branches
+    sql["prompt_render"] = """
+SELECT doc_id,
+  'Doc ' || doc_id || ': T' || doc_id || chr(10)
+  || CASE WHEN doc_id % 4 >= 1 THEN 'Items:' || chr(10) ||
+       list_aggregate(
+         list_transform(generate_series(1, doc_id % 4),
+                        i -> '- it' || i || ' x' || (i * 2) || chr(10)),
+         'string_agg', '')
+     ELSE 'No items' || chr(10) END
+  || CASE WHEN doc_id % 5 = 0 THEN 'FLAGGED' ELSE '' END AS rendered
+FROM documents
 """
 
     # Turtle roundtrip: export -> parse must reproduce every
