@@ -1622,6 +1622,31 @@ def q_turtle_roundtrip(spark, sf_dir):
         "s", "p", "o", "otype", "dtype", "lang")
 
 
+def q_config_resolve(spark, sf_dir):
+    """Config-store read path (config/service/config.py:16-301 over
+    tables/config.py's Cassandra ((workspace, class), key) table): the
+    append-log layout's last-write-wins resolve — latest seq per
+    (workspace, type, key), tombstones dropped — as ONE window argmax.
+    Planted log: each doc is a write batch; every 7th is a delete, and
+    keys collide across batches so both LWW and revive-after-delete
+    paths execute."""
+    from trustgraph_spark.operators.config import config_resolve
+
+    n = F.col("doc_id")
+    log = _docs(spark, sf_dir).select(
+        F.concat(F.lit("ws"), (n % 3).cast("string")).alias("workspace"),
+        F.when(n % 2 == 0, F.lit("prompt")).otherwise(F.lit("flow"))
+        .alias("type"),
+        F.concat(F.lit("k"), (n % 10).cast("string")).alias("key"),
+        F.when(n % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("v"), n.cast("string"))).alias("value"),
+        n.cast("long").alias("seq"),
+        (n % 7 == 0).alias("deleted"),
+    )
+    return config_resolve(log).select("workspace", "type", "key",
+                                      "value", "seq")
+
+
 def q_prompt_render(spark, sf_dir):
     """Prompt templating at corpus scale (template/prompt_manager.py:
     12-215 + the tg-set-prompt config wire shape from cli/set_prompt.py:
@@ -1860,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structured_ingest": q_structured_ingest,
         "turtle_roundtrip": q_turtle_roundtrip,
         "prompt_render": q_prompt_render,
+        "config_resolve_state": q_config_resolve,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -3671,6 +3697,28 @@ FROM t
     # must undo the escape chain exactly
     sql["nquads_roundtrip"] = _NQ_CTE + """
 SELECT g, s, p, o, otype, dtype, lang FROM t WHERE m NOT IN (4, 5)
+"""
+
+    # Config store: the same append log + window argmax in SQL —
+    # last write per (workspace, type, key), tombstones dropped
+    sql["config_resolve_state"] = """
+WITH log AS (
+  SELECT
+    'ws' || (doc_id % 3) AS workspace,
+    CASE WHEN doc_id % 2 = 0 THEN 'prompt' ELSE 'flow' END AS type,
+    'k' || (doc_id % 10) AS key,
+    CASE WHEN doc_id % 7 = 0 THEN NULL
+         ELSE 'v' || doc_id END AS value,
+    doc_id::BIGINT AS seq,
+    doc_id % 7 = 0 AS deleted
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY workspace, type, key ORDER BY seq DESC) AS rn
+  FROM log
+)
+SELECT workspace, type, key, value, seq
+FROM ranked WHERE rn = 1 AND NOT deleted
 """
 
     # Prompt templating: every rendered prompt rebuilt in SQL —
