@@ -1622,6 +1622,42 @@ def q_turtle_roundtrip(spark, sf_dir):
         "s", "p", "o", "otype", "dtype", "lang")
 
 
+def q_flow_topic_sweep(spark, sf_dir):
+    """Flow-service topic closure (flow/service/flow.py:381-517): every
+    live flow's owned topics via fully native template interpolation —
+    {workspace}/{blueprint}/{id} as chained replace, arbitrary {param}
+    substitution as an aggregate fold over map_entries — then the
+    closure refcount the stop sweep consults (refs == 1 means deletable
+    when its flow stops).  Stopping flows keep nothing alive; literal
+    templates (no '{') are not flow-owned and never appear."""
+    from trustgraph_spark.operators.flow import (
+        resolve_flow_topics, topic_refcounts)
+
+    n = F.col("doc_id")
+    flows = _docs(spark, sf_dir).select(
+        F.concat(F.lit("ws"), (n % 3).cast("string")).alias("workspace"),
+        F.concat(F.lit("f"), n.cast("string")).alias("flow_id"),
+        F.concat(F.lit("bp"), (n % 4).cast("string"))
+        .alias("blueprint_name"),
+        F.when(n % 11 == 0, F.lit("stopping")).otherwise(F.lit("running"))
+        .alias("status"),
+        F.create_map(
+            F.lit("model"), F.concat(F.lit("m"), (n % 2).cast("string")),
+            F.lit("tier"), F.concat(F.lit("t"), (n % 3).cast("string")),
+        ).alias("parameters"),
+    )
+    templates = spark.createDataFrame(
+        [(f"bp{i}", t) for i in range(4) for t in (
+            "persistent://tg/flow/chunk-{id}",
+            "request:{workspace}:rag-{model}-{tier}",
+            "shared-{blueprint}",
+            "request:tg:librarian",
+        )],
+        "blueprint_name string, template string")
+    return (topic_refcounts(resolve_flow_topics(flows, templates))
+            .select("topic", F.col("refs").cast("long").alias("refs")))
+
+
 def q_config_resolve(spark, sf_dir):
     """Config-store read path (config/service/config.py:16-301 over
     tables/config.py's Cassandra ((workspace, class), key) table): the
@@ -1886,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turtle_roundtrip": q_turtle_roundtrip,
         "prompt_render": q_prompt_render,
         "config_resolve_state": q_config_resolve,
+        "flow_topic_sweep": q_flow_topic_sweep,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -3697,6 +3734,37 @@ FROM t
     # must undo the escape chain exactly
     sql["nquads_roundtrip"] = _NQ_CTE + """
 SELECT g, s, p, o, otype, dtype, lang FROM t WHERE m NOT IN (4, 5)
+"""
+
+    # Flow topic closure: interpolation as nested replace, ownership =
+    # template contains '{', stopping flows excluded, refcount per topic
+    sql["flow_topic_sweep"] = """
+WITH flows AS (
+  SELECT
+    'ws' || (doc_id % 3) AS ws,
+    'f' || doc_id AS fid,
+    'bp' || (doc_id % 4) AS bp,
+    CASE WHEN doc_id % 11 = 0 THEN 'stopping' ELSE 'running' END AS status,
+    'm' || (doc_id % 2) AS model,
+    't' || (doc_id % 3) AS tier
+  FROM documents
+), tpl AS (
+  SELECT 'bp' || s.i AS bp, v.t AS t
+  FROM generate_series(0, 3) AS s(i), (VALUES
+    ('persistent://tg/flow/chunk-{id}'),
+    ('request:{workspace}:rag-{model}-{tier}'),
+    ('shared-{blueprint}'),
+    ('request:tg:librarian')) AS v(t)
+), resolved AS (
+  SELECT DISTINCT ws, fid,
+    replace(replace(replace(replace(replace(t,
+      '{workspace}', ws), '{blueprint}', flows.bp), '{id}', fid),
+      '{model}', model), '{tier}', tier) AS topic
+  FROM flows JOIN tpl ON flows.bp = tpl.bp
+  WHERE status <> 'stopping' AND t LIKE '%{%'
+)
+SELECT topic, COUNT(*)::BIGINT AS refs
+FROM resolved GROUP BY topic
 """
 
     # Config store: the same append log + window argmax in SQL —

@@ -239,6 +239,37 @@ class ConfigService:
         self._append([tuple(r) for r in rows])
         return len(rows)
 
+    # -- convenience surface (the FlowConfig-facing API of the
+    #    reference config client: get/put/delete/keys/put_many/
+    #    delete_many/workspaces_for_type) --
+
+    def get(self, workspace: str, type_: str, key: str) -> str | None:
+        resp = self.handle_get([ConfigValue(type_, key)], workspace)
+        return resp.values[0].value
+
+    def put(self, workspace: str, type_: str, key: str, value: str) -> None:
+        self.handle_put([ConfigValue(type_, key, value)], workspace)
+
+    def delete(self, workspace: str, type_: str, key: str) -> None:
+        self.handle_delete([ConfigValue(type_, key)], workspace)
+
+    def keys(self, workspace: str, type_: str) -> list[str]:
+        return self.handle_list(type_, workspace).directory
+
+    def put_many(self, workspace: str,
+                 values: list[tuple[str, str, str]]) -> None:
+        self.handle_put([ConfigValue(t, k, v) for t, k, v in values],
+                        workspace)
+
+    def delete_many(self, workspace: str,
+                    keys: list[tuple[str, str]]) -> None:
+        self.handle_delete([ConfigValue(t, k) for t, k in keys], workspace)
+
+    def workspaces_for_type(self, type_: str) -> list[str]:
+        rows = (self._current().where(F.col("type") == type_)
+                .select("workspace").distinct().collect())
+        return sorted(r.workspace for r in rows)
+
     # -- dispatch (config.py:211-301) --
 
     def handle_workspace(self, msg: dict, workspace: str) -> ConfigResponse:
