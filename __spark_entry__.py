@@ -1658,6 +1658,42 @@ def q_flow_topic_sweep(spark, sf_dir):
             .select("topic", F.col("refs").cast("long").alias("refs")))
 
 
+def q_gopher_metrics(spark, sf_dir):
+    """Gopher corpus-quality rules (Rae et al. 2021 A1.1) over the
+    documents table — per-doc repetition/structure metrics and the
+    combined pass verdict, one narrow UDF-free projection."""
+    from trustgraph_spark.operators.quality import gopher_doc_metrics
+
+    df = gopher_doc_metrics(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_fraction",
+        "ellipsis_line_fraction",
+        "alpha_word_fraction",
+        F.col("stopword_hits").cast("long").alias("stopword_hits"),
+        "duplicate_line_fraction",
+        "duplicate_line_char_fraction",
+        "gopher_pass",
+    )
+
+
+def q_ngram_repetition(spark, sf_dir):
+    """Gopher top-/duplicated-n-gram character fractions (n = 2..4):
+    native n-gram build, ONE explode, map-side-combinable counts."""
+    from trustgraph_spark.operators.quality import ngram_repetition
+
+    df = ngram_repetition(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n"),
+        "top_ngram_char_frac",
+        "dup_ngram_char_frac",
+    )
+
+
 def q_config_resolve(spark, sf_dir):
     """Config-store read path (config/service/config.py:16-301 over
     tables/config.py's Cassandra ((workspace, class), key) table): the
@@ -1923,6 +1959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prompt_render": q_prompt_render,
         "config_resolve_state": q_config_resolve,
         "flow_topic_sweep": q_flow_topic_sweep,
+        "gopher_metrics": q_gopher_metrics,
+        "ngram_repetition": q_ngram_repetition,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -3980,5 +4018,96 @@ UNION ALL SELECT org_uri, '{SO}name', 'Org ' || (doc_id % 7), 'l' FROM ku WHERE 
 UNION ALL SELECT org_uri, '{SO}description', 'descr ' || (doc_id % 7), 'l' FROM ku WHERE org_uri IS NOT NULL AND doc_id % 8 = 0
 """.replace("{IS_A}", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type") \
    .replace("{LABEL}", RDF_LABEL).replace("{SO}", _SO)
+
+    _gopher_stops = ", ".join(
+        f"'{w}'" for w in
+        ("the", "be", "to", "of", "and", "that", "have", "with"))
+
+    def _sdiv(num, den):
+        return (f"round(CASE WHEN {den} > 0 THEN ({num})::DOUBLE / ({den}) "
+                f"ELSE 0.0 END, 4)")
+
+    sql["gopher_metrics"] = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS w,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ln
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS nw,
+         coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS wc,
+         len(ln) AS nl,
+         coalesce(list_sum(list_transform(ln, x -> length(x))), 0) AS lc,
+         coalesce(list_sum(list_transform(list_distinct(ln),
+                                          x -> length(x))), 0) AS dlc,
+         len(list_distinct(ln)) AS ndl,
+         length(text) - length(replace(text, '#', ''))
+           + len(regexp_extract_all(text, '\\.\\.\\.'))
+           + length(text) - length(replace(text, '…', '')) AS nsym,
+         len(list_filter(ln, x -> regexp_matches(x, '^[•‣▶*\\-]')))
+           AS nbul,
+         len(list_filter(ln, x -> ends_with(x, '...') OR ends_with(x, '…')))
+           AS nell,
+         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS nalpha,
+         len(list_filter([{_gopher_stops}],
+                         s -> list_contains(w, s))) AS swh
+  FROM t
+), r AS (
+  SELECT doc_id,
+         nw::BIGINT AS n_words,
+         {_sdiv('wc', 'nw')} AS mean_word_len,
+         {_sdiv('nsym', 'nw')} AS symbol_word_ratio,
+         {_sdiv('nbul', 'nl')} AS bullet_line_fraction,
+         {_sdiv('nell', 'nl')} AS ellipsis_line_fraction,
+         {_sdiv('nalpha', 'nw')} AS alpha_word_fraction,
+         swh::BIGINT AS stopword_hits,
+         {_sdiv('nl - ndl', 'nl')} AS duplicate_line_fraction,
+         {_sdiv('lc - dlc', 'lc')} AS duplicate_line_char_fraction
+  FROM m
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_fraction <= 0.9
+        AND ellipsis_line_fraction <= 0.3
+        AND alpha_word_fraction >= 0.8
+        AND stopword_hits >= 2) AS gopher_pass
+FROM r
+"""
+
+    sql["ngram_repetition"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), b AS (
+  SELECT doc_id, length(array_to_string(w, ' ')) AS denom, w FROM t
+), g AS (
+  SELECT b.doc_id, b.denom, u.n AS n,
+         array_to_string(b.w[v.i:v.i + u.n - 1], ' ') AS gram
+  FROM b,
+       unnest([2, 3, 4]) AS u(n),
+       unnest(generate_series(1, len(b.w) - u.n + 1)) AS v(i)
+  WHERE len(b.w) >= u.n
+), c AS (
+  SELECT doc_id, denom, n, gram, count(*) AS cnt
+  FROM g GROUP BY ALL
+), r AS (
+  SELECT doc_id, denom, n,
+         max(cnt * length(gram)) AS top_chars,
+         sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+           AS dup_chars
+  FROM c GROUP BY ALL
+)
+SELECT doc_id, n::BIGINT AS n,
+       {_sdiv('top_chars', 'denom')} AS top_ngram_char_frac,
+       {_sdiv('dup_chars', 'denom')} AS dup_ngram_char_frac
+FROM r
+"""
 
     return sql

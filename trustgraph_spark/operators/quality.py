@@ -1,0 +1,190 @@
+"""Gopher-style corpus quality rules — the repetition and document
+filters a pre-training data pipeline applies before anything reaches a
+tokenizer (published in Rae et al. 2021, "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher", appendix A1.1;
+the same rule family ships in public corpus tooling).  Complements
+textstats.quality_score (length/stopword/punct ratios) with the
+line-structure and repetition rules that catch boilerplate and
+auto-generated spam.
+
+Two operators, two execution shapes, both UDF-free:
+
+* :func:`gopher_doc_metrics` — every per-document rule that needs no
+  cross-row state: word count bounds, mean word length, symbol-to-word
+  ratio, bullet / ellipsis line fractions, alphabetic-word fraction,
+  stopword hits, duplicate-line fraction and duplicate-line character
+  fraction (computed per row with ``array_distinct`` — O(lines)),
+  plus the combined ``gopher_pass`` verdict.  ONE narrow projection,
+  no shuffle: at 100 TB this runs at scan speed.
+
+* :func:`ngram_repetition` — the top-n-gram and duplicated-n-gram
+  character fractions.  N-grams are built natively (``sequence`` +
+  ``slice`` + ``array_join``), then ONE explode feeds a map-side-
+  combinable (doc, n, gram) count whose per-(doc, n) rollup joins back
+  to the per-doc character denominator.  Keys are (doc, gram) so the
+  shuffle cannot skew onto a hot key even when one document dominates.
+
+Exact formulas (mirrored by the driver oracle; the paper's prose
+leaves room, so this module PINS the semantics):
+
+* words = lowercased whitespace tokens; ``denom`` = characters of the
+  words joined with single spaces.
+* top_ngram_char_fraction(n)  = max over grams of count·len(gram) / denom
+* dup_ngram_char_fraction(n)  = sum over grams with count > 1 of
+  count·len(gram) / denom
+* duplicate_line_fraction      = (lines - distinct lines) / lines
+* duplicate_line_char_fraction = (line chars - distinct line chars) /
+  line chars  (characters in occurrences after the first)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Gopher A1.1 thresholds
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_SYMBOL_WORD_RATIO = 0.1
+MAX_BULLET_LINE_FRACTION = 0.9
+MAX_ELLIPSIS_LINE_FRACTION = 0.3
+MIN_ALPHA_WORD_FRACTION = 0.8
+MIN_STOPWORD_HITS = 2
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+BULLET_PREFIXES = ("•", "‣", "▶", "-", "*")
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+
+
+def _lines(text: Column) -> Column:
+    return F.filter(F.transform(F.split(text, "\n"), F.trim),
+                    lambda x: x != "")
+
+
+def _safe_div(num: Column, den: Column) -> Column:
+    return F.round(F.when(den > 0, num.cast("double") / den)
+                   .otherwise(F.lit(0.0)), 4)
+
+
+def gopher_doc_metrics(documents: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rules as one narrow projection (no shuffle,
+    no UDF) — metrics plus the combined ``gopher_pass`` flag."""
+    t = F.col(text_col)
+    words = _words(t)
+    n_words = F.size(words)
+    word_chars = F.aggregate(words, F.lit(0),
+                             lambda acc, w: acc + F.length(w))
+    mean_word_len = _safe_div(word_chars, n_words)
+
+    n_symbols = (F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+                 + F.regexp_count(t, F.lit(r"\.\.\."))
+                 + F.regexp_count(t, F.lit("…")))
+    symbol_word_ratio = _safe_div(n_symbols, n_words)
+
+    alpha_words = F.size(F.filter(words,
+                                  lambda w: w.rlike("[a-zA-Z]")))
+    alpha_word_fraction = _safe_div(alpha_words, n_words)
+
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stopword_hits = F.size(F.filter(
+        sw, lambda s: F.array_contains(words, s)))
+
+    lines = _lines(t)
+    n_lines = F.size(lines)
+    bullets = F.size(F.filter(lines, lambda ln: ln.rlike("^[•‣▶*\\-]")))
+    ellipses = F.size(F.filter(
+        lines, lambda ln: ln.endswith("...") | ln.endswith("…")))
+    bullet_line_fraction = _safe_div(bullets, n_lines)
+    ellipsis_line_fraction = _safe_div(ellipses, n_lines)
+
+    line_chars = F.aggregate(lines, F.lit(0),
+                             lambda acc, ln: acc + F.length(ln))
+    distinct_lines = F.array_distinct(lines)
+    distinct_line_chars = F.aggregate(distinct_lines, F.lit(0),
+                                      lambda acc, ln: acc + F.length(ln))
+    duplicate_line_fraction = _safe_div(
+        n_lines - F.size(distinct_lines), n_lines)
+    duplicate_line_char_fraction = _safe_div(
+        line_chars - distinct_line_chars, line_chars)
+
+    out = documents.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        bullet_line_fraction.alias("bullet_line_fraction"),
+        ellipsis_line_fraction.alias("ellipsis_line_fraction"),
+        alpha_word_fraction.alias("alpha_word_fraction"),
+        stopword_hits.alias("stopword_hits"),
+        duplicate_line_fraction.alias("duplicate_line_fraction"),
+        duplicate_line_char_fraction.alias("duplicate_line_char_fraction"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= MIN_WORDS)
+        & (F.col("n_words") <= MAX_WORDS)
+        & (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_word_ratio") <= MAX_SYMBOL_WORD_RATIO)
+        & (F.col("bullet_line_fraction") <= MAX_BULLET_LINE_FRACTION)
+        & (F.col("ellipsis_line_fraction") <= MAX_ELLIPSIS_LINE_FRACTION)
+        & (F.col("alpha_word_fraction") >= MIN_ALPHA_WORD_FRACTION)
+        & (F.col("stopword_hits") >= MIN_STOPWORD_HITS),
+    )
+
+
+def _ngram_structs(words: Column, n: int) -> Column:
+    """Array of struct<n, gram> for one n — empty (not descending!)
+    when the document is shorter than n words; Spark 4.1's
+    ``sequence(1, 0)`` counts DOWN, hence the explicit guard."""
+    idx = F.when(
+        F.size(words) >= n,
+        F.sequence(F.lit(1), (F.size(words) - F.lit(n - 1)).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.array_join(F.slice(words, i, n), " ").alias("gram")),
+    )
+
+
+def ngram_repetition(documents: DataFrame, ns: tuple = (2, 3, 4),
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Top-/duplicated-n-gram character fractions, long format:
+    one row per (doc, n).  One explode -> one (doc, n, gram) count
+    (map-side combinable) -> one (doc, n) rollup joined to the per-doc
+    denominator."""
+    t = F.col(text_col)
+    words = _words(t)
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.array_join(words, " ")).alias("denom"),
+        F.concat(*[_ngram_structs(words, n) for n in ns]).alias("grams"),
+    )
+    denoms = base.select("doc_id", "denom")
+    counts = (base
+              .select("doc_id", F.explode("grams").alias("g"))
+              .groupBy("doc_id", F.col("g.n").alias("n"),
+                       F.col("g.gram").alias("gram"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    rolled = (counts
+              .withColumn("chars", F.col("cnt") * F.length("gram"))
+              .groupBy("doc_id", "n")
+              .agg(F.max("chars").alias("top_chars"),
+                   F.sum(F.when(F.col("cnt") > 1, F.col("chars"))
+                         .otherwise(F.lit(0))).alias("dup_chars")))
+    return (rolled.join(denoms, "doc_id")
+            .select("doc_id", "n",
+                    _safe_div(F.col("top_chars"), F.col("denom"))
+                    .alias("top_ngram_char_frac"),
+                    _safe_div(F.col("dup_chars"), F.col("denom"))
+                    .alias("dup_ngram_char_frac")))
