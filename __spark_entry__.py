@@ -1694,6 +1694,73 @@ def q_ngram_repetition(spark, sf_dir):
     )
 
 
+_CC_PLANT = (
+    "4111 1111 1111 1111",   # Luhn-valid (Visa test vector)
+    "5500-0000-0000-0004",   # Luhn-valid (MC test vector)
+    "4539148803436467",      # Luhn-valid
+    "378282246310005",       # Luhn-valid (Amex, 15 digits)
+    "1234 5678 9012 3456",   # shaped but checksum-invalid
+)
+
+
+def _pii_planted_docs(spark, sf_dir):
+    """documents with deterministic PII planted per doc_id (the base
+    word-soup has none); the oracle mirrors the same concat."""
+    n = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" mail u"), s(n), F.lit("@ex"), s(n % 7), F.lit(".org"),
+        F.when(n % 3 == 0, F.concat(
+            F.lit(" ph (555) 86"), s(n % 10), F.lit("-"),
+            F.lpad(s(n % 10000), 4, "0"))).otherwise(F.lit("")),
+        F.when(n % 4 == 1, F.concat(
+            F.lit(" ip 10."), s(n % 256), F.lit("."), s((n * 7) % 256),
+            F.lit("."), s(n % 100))).otherwise(F.lit("")),
+        F.when(n % 5 == 2, F.concat(
+            F.lit(" ssn "), F.lpad(s(n % 1000), 3, "0"), F.lit("-"),
+            F.lpad(s(n % 100), 2, "0"), F.lit("-"),
+            F.lpad(s(n % 10000), 4, "0"))).otherwise(F.lit("")),
+        F.when(n % 2 == 0, F.concat(
+            F.lit(" card "),
+            F.element_at(F.array(*[F.lit(c) for c in _CC_PLANT]),
+                         (n % 5).cast("int") + 1))).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select(n.alias("doc_id"),
+                                       planted.alias("text"))
+
+
+def q_pii_profile(spark, sf_dir):
+    """PII scrub-pass profile (LLM-data-pipeline family): regex match
+    counts per category + native-fold Luhn validation of card-shaped
+    digit runs, over documents with deterministic planted PII."""
+    from trustgraph_spark.operators.pii import pii_profile
+
+    df = pii_profile(_pii_planted_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        *[F.col(f"n_{c}").cast("long").alias(f"n_{c}")
+          for c in ("email", "phone", "ipv4", "ssn")],
+        F.col("n_cc_shaped").cast("long").alias("n_cc_shaped"),
+        F.col("n_cc_valid").cast("long").alias("n_cc_valid"),
+        "has_pii",
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """Placeholder redaction as one chained regexp_replace pass; the
+    oracle replays the identical pattern chain in RE2."""
+    from trustgraph_spark.operators.pii import pii_redact
+
+    df = pii_redact(_pii_planted_docs(spark, sf_dir))
+    return df.select(
+        "doc_id", "redacted",
+        F.col("chars_delta").cast("long").alias("chars_delta"))
+
+
 def q_config_resolve(spark, sf_dir):
     """Config-store read path (config/service/config.py:16-301 over
     tables/config.py's Cassandra ((workspace, class), key) table): the
@@ -1961,6 +2028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_topic_sweep": q_flow_topic_sweep,
         "gopher_metrics": q_gopher_metrics,
         "ngram_repetition": q_ngram_repetition,
+        "pii_profile": q_pii_profile,
+        "pii_redact": q_pii_redact,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -4078,6 +4147,106 @@ SELECT *,
         AND stopword_hits >= 2) AS gopher_pass
 FROM r
 """
+
+    from trustgraph_spark.operators.pii import CC_PATTERN, PII_PATTERNS
+
+    _pii_base = """
+  SELECT doc_id,
+         text || ' mail u' || doc_id || '@ex' || (doc_id % 7) || '.org'
+         || CASE WHEN doc_id % 3 = 0 THEN ' ph (555) 86' || (doc_id % 10)
+              || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+            ELSE '' END
+         || CASE WHEN doc_id % 4 = 1 THEN ' ip 10.' || (doc_id % 256)
+              || '.' || ((doc_id * 7) % 256) || '.' || (doc_id % 100)
+            ELSE '' END
+         || CASE WHEN doc_id % 5 = 2 THEN ' ssn '
+              || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+              || lpad((doc_id % 100)::VARCHAR, 2, '0') || '-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+            ELSE '' END
+         || CASE WHEN doc_id % 2 = 0 THEN ' card '
+              || (['4111 1111 1111 1111', '5500-0000-0000-0004',
+                   '4539148803436467', '378282246310005',
+                   '1234 5678 9012 3456'])[(doc_id % 5) + 1]
+            ELSE '' END AS text
+  FROM documents
+"""
+
+    # Luhn over a candidate string <C>, separators stripped
+    _luhn = (
+        "(length(regexp_replace(<C>, '[ -]', '', 'g')) >= 13 AND "
+        "list_sum(list_transform("
+        "generate_series(1, length(regexp_replace(<C>, '[ -]', '', 'g'))), "
+        "i -> CASE WHEN i % 2 = 0 THEN "
+        "CASE WHEN substr(regexp_replace(<C>, '[ -]', '', 'g'), "
+        "length(regexp_replace(<C>, '[ -]', '', 'g')) - i + 1, 1)::INT * 2 > 9 "
+        "THEN substr(regexp_replace(<C>, '[ -]', '', 'g'), "
+        "length(regexp_replace(<C>, '[ -]', '', 'g')) - i + 1, 1)::INT * 2 - 9 "
+        "ELSE substr(regexp_replace(<C>, '[ -]', '', 'g'), "
+        "length(regexp_replace(<C>, '[ -]', '', 'g')) - i + 1, 1)::INT * 2 END "
+        "ELSE substr(regexp_replace(<C>, '[ -]', '', 'g'), "
+        "length(regexp_replace(<C>, '[ -]', '', 'g')) - i + 1, 1)::INT END"
+        ")) % 10 = 0)"
+    )
+
+    sql["pii_profile"] = ("""
+WITH d AS (<BASE>),
+cc AS (SELECT doc_id, text,
+              regexp_extract_all(text, '<CC>') AS cands
+       FROM d)
+SELECT doc_id,
+       len(regexp_extract_all(text, '<EMAIL>'))::BIGINT AS n_email,
+       len(regexp_extract_all(text, '<PHONE>'))::BIGINT AS n_phone,
+       len(regexp_extract_all(text, '<IPV4>'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(text, '<SSN>'))::BIGINT AS n_ssn,
+       len(cands)::BIGINT AS n_cc_shaped,
+       len(list_filter(cands, c -> <LUHN_C>))::BIGINT AS n_cc_valid,
+       (len(regexp_extract_all(text, '<EMAIL>'))
+        + len(regexp_extract_all(text, '<PHONE>'))
+        + len(regexp_extract_all(text, '<IPV4>'))
+        + len(regexp_extract_all(text, '<SSN>'))
+        + len(cands)) > 0 AS has_pii
+FROM cc
+"""
+        .replace("<BASE>", _pii_base)
+        .replace("<LUHN_C>", _luhn.replace("<C>", "c"))
+        .replace("<EMAIL>", PII_PATTERNS["email"])
+        .replace("<PHONE>", PII_PATTERNS["phone"])
+        .replace("<IPV4>", PII_PATTERNS["ipv4"])
+        .replace("<SSN>", PII_PATTERNS["ssn"])
+        .replace("<CC>", CC_PATTERN))
+
+    sql["pii_redact"] = ("""
+WITH d AS (<BASE>),
+r AS (SELECT doc_id, text,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(text,
+                 '<EMAIL>', '[AT]', 'g'),
+                 '<PHONE>', '[PH]', 'g'),
+                 '<IPV4>', '[IP]', 'g'),
+                 '<SSN>', '[ID]', 'g'),
+                 '<CC>', '[CD]', 'g') AS step
+      FROM d)
+SELECT doc_id,
+       replace(replace(replace(replace(replace(step,
+         '[AT]', '<EMAIL_PH>'), '[PH]', '<PHONE_PH>'), '[IP]', '<IP_PH>'),
+         '[ID]', '<SSN_PH>'), '[CD]', '<CARD_PH>') AS redacted,
+       (length(text) - length(replace(replace(replace(replace(replace(step,
+         '[AT]', '<EMAIL_PH>'), '[PH]', '<PHONE_PH>'), '[IP]', '<IP_PH>'),
+         '[ID]', '<SSN_PH>'), '[CD]', '<CARD_PH>')))::BIGINT AS chars_delta
+FROM r
+"""
+        .replace("<BASE>", _pii_base)
+        .replace("<EMAIL>", PII_PATTERNS["email"])
+        .replace("<PHONE>", PII_PATTERNS["phone"])
+        .replace("<IPV4>", PII_PATTERNS["ipv4"])
+        .replace("<SSN>", PII_PATTERNS["ssn"])
+        .replace("<CC>", CC_PATTERN)
+        .replace("<EMAIL_PH>", "<EMAIL>")
+        .replace("<PHONE_PH>", "<PHONE>")
+        .replace("<IP_PH>", "<IP>")
+        .replace("<SSN_PH>", "<SSN>")
+        .replace("<CARD_PH>", "<CARD>"))
 
     sql["ngram_repetition"] = f"""
 WITH t AS (

@@ -140,6 +140,10 @@ BENCH_QUERIES = [
     "doc_library_triples",
     "nquads_export",
     "nquads_roundtrip",
+    "gopher_metrics",
+    "ngram_repetition",
+    "pii_profile",
+    "pii_redact",
 ]
 
 
