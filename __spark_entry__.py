@@ -1761,6 +1761,51 @@ def q_pii_redact(spark, sf_dir):
         F.col("chars_delta").cast("long").alias("chars_delta"))
 
 
+def _lined_docs(spark, sf_dir):
+    """Multi-line corpus planted from documents (the word-soup base has
+    no newlines): a banner every doc shares, a near-unique body line,
+    a footer shared within doc_id%7 groups, a blank structural line or
+    a unique tail, and an in-doc banner repeat every 5th doc."""
+    n = F.col("doc_id")
+    base = F.concat_ws(
+        "\n",
+        F.lit("COOKIE NOTICE please accept"),
+        F.substring(F.col("text"), 1, 120),
+        F.concat(F.lit("footer "), (n % 7).cast("string")),
+        F.when(n % 3 == 0, F.lit("  "))
+        .otherwise(F.concat(F.lit("tail "), n.cast("string"))),
+    )
+    lined = F.concat(
+        base,
+        F.when(n % 5 == 0, F.lit("\nCOOKIE NOTICE please accept"))
+        .otherwise(F.lit("")))
+    return _docs(spark, sf_dir).select(n.alias("doc_id"),
+                                       lined.alias("text"))
+
+
+def q_line_dedup_clean(spark, sf_dir):
+    """C4-style corpus line dedup (keep-first policy): one explode, a
+    map-side-combinable count on the line-key hash, equi-join back,
+    per-doc reassembly."""
+    from trustgraph_spark.operators.linededup import corpus_line_dedup
+
+    return corpus_line_dedup(_lined_docs(spark, sf_dir))
+
+
+def q_line_dedup_stats(spark, sf_dir):
+    """The duplicated-line table the dedup join builds from: occurrence
+    counts and globally-first positions per boilerplate line."""
+    from trustgraph_spark.operators.linededup import corpus_line_stats
+
+    df = corpus_line_stats(_lined_docs(spark, sf_dir))
+    return df.select(
+        "line_key",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("first_doc_id").cast("long").alias("first_doc_id"),
+        F.col("first_line_pos").cast("long").alias("first_line_pos"),
+    )
+
+
 def q_config_resolve(spark, sf_dir):
     """Config-store read path (config/service/config.py:16-301 over
     tables/config.py's Cassandra ((workspace, class), key) table): the
@@ -2030,6 +2075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": q_ngram_repetition,
         "pii_profile": q_pii_profile,
         "pii_redact": q_pii_redact,
+        "line_dedup_clean": q_line_dedup_clean,
+        "line_dedup_stats": q_line_dedup_stats,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -4247,6 +4294,61 @@ FROM r
         .replace("<IP_PH>", "<IP>")
         .replace("<SSN_PH>", "<SSN>")
         .replace("<CARD_PH>", "<CARD>"))
+
+    _lined_base = """
+  SELECT doc_id,
+         concat_ws(chr(10),
+           'COOKIE NOTICE please accept',
+           substr(text, 1, 120),
+           'footer ' || (doc_id % 7),
+           CASE WHEN doc_id % 3 = 0 THEN '  '
+                ELSE 'tail ' || doc_id END)
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'COOKIE NOTICE please accept'
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+    _lined_lines = """
+  SELECT doc_id, i - 1 AS line_pos, ln[i] AS line, trim(ln[i]) AS key
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM d),
+       unnest(generate_series(1, len(ln))) AS u(i)
+"""
+
+    sql["line_dedup_clean"] = f"""
+WITH d AS ({_lined_base}),
+l AS ({_lined_lines}),
+c AS (
+  SELECT key AS k2, count(*) AS cnt,
+         min(doc_id * 100000 + line_pos) AS first_ord
+  FROM l WHERE key <> '' GROUP BY key
+),
+f AS (
+  SELECT l.doc_id, l.line_pos, l.line,
+         CASE WHEN l.key = '' THEN false
+              WHEN c.cnt IS NULL THEN false
+              ELSE (l.doc_id * 100000 + l.line_pos) <> c.first_ord
+         END AS dropped
+  FROM l LEFT JOIN c ON l.key = c.k2 AND c.cnt >= 2
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT dropped THEN line END, chr(10)
+                           ORDER BY line_pos), '') AS text,
+       (count(*) FILTER (WHERE NOT dropped))::BIGINT AS n_lines_kept,
+       (count(*) FILTER (WHERE dropped))::BIGINT AS n_lines_dropped
+FROM f GROUP BY doc_id
+"""
+
+    sql["line_dedup_stats"] = f"""
+WITH d AS ({_lined_base}),
+l AS ({_lined_lines})
+SELECT key AS line_key,
+       count(*)::BIGINT AS n_occurrences,
+       (min(doc_id * 100000 + line_pos) // 100000)::BIGINT AS first_doc_id,
+       (min(doc_id * 100000 + line_pos) % 100000)::BIGINT AS first_line_pos
+FROM l WHERE key <> ''
+GROUP BY key HAVING count(*) >= 2
+"""
 
     sql["ngram_repetition"] = f"""
 WITH t AS (

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "ngram_repetition",
     "pii_profile",
     "pii_redact",
+    "line_dedup_clean",
 ]
 
 
