@@ -1703,7 +1703,7 @@ _CC_PLANT = (
 )
 
 
-def _pii_planted_docs(spark, sf_dir):
+def _pii_plant(docs):
     """documents with deterministic PII planted per doc_id (the base
     word-soup has none); the oracle mirrors the same concat."""
     n = F.col("doc_id")
@@ -1729,8 +1729,11 @@ def _pii_planted_docs(spark, sf_dir):
             F.element_at(F.array(*[F.lit(c) for c in _CC_PLANT]),
                          (n % 5).cast("int") + 1))).otherwise(F.lit("")),
     )
-    return _docs(spark, sf_dir).select(n.alias("doc_id"),
-                                       planted.alias("text"))
+    return docs.select(n.alias("doc_id"), planted.alias("text"))
+
+
+def _pii_planted_docs(spark, sf_dir):
+    return _pii_plant(_docs(spark, sf_dir))
 
 
 def q_pii_profile(spark, sf_dir):
@@ -1761,7 +1764,7 @@ def q_pii_redact(spark, sf_dir):
         F.col("chars_delta").cast("long").alias("chars_delta"))
 
 
-def _lined_docs(spark, sf_dir):
+def _lined_plant(docs):
     """Multi-line corpus planted from documents (the word-soup base has
     no newlines): a banner every doc shares, a near-unique body line,
     a footer shared within doc_id%7 groups, a blank structural line or
@@ -1779,8 +1782,11 @@ def _lined_docs(spark, sf_dir):
         base,
         F.when(n % 5 == 0, F.lit("\nCOOKIE NOTICE please accept"))
         .otherwise(F.lit("")))
-    return _docs(spark, sf_dir).select(n.alias("doc_id"),
-                                       lined.alias("text"))
+    return docs.select(n.alias("doc_id"), lined.alias("text"))
+
+
+def _lined_docs(spark, sf_dir):
+    return _lined_plant(_docs(spark, sf_dir))
 
 
 def q_line_dedup_clean(spark, sf_dir):
@@ -1804,6 +1810,37 @@ def q_line_dedup_stats(spark, sf_dir):
         F.col("first_doc_id").cast("long").alias("first_doc_id"),
         F.col("first_line_pos").cast("long").alias("first_line_pos"),
     )
+
+
+_MIX_TARGETS = {"src0": 0.4, "src1": 0.25, "src2": 0.2,
+                "src3": 0.1, "src4": 0.05}
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source corpus composition (doc/token/char totals and
+    fractions) — the input to mixture construction."""
+    from trustgraph_spark.operators.mixing import source_stats
+
+    df = source_stats(_docs(spark, sf_dir))
+    return df.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "doc_frac", "token_frac")
+
+
+def q_sample_to_mix(spark, sf_dir):
+    """Deterministic training-mix sampling: md5-hash Bernoulli +
+    epoch-repeat upsampling toward pinned per-source token shares
+    (sources outside the target map drop; src0 upsamples ~8x at the
+    uniform 20-source corpus)."""
+    from trustgraph_spark.operators.mixing import sample_to_mix
+
+    df = sample_to_mix(_docs(spark, sf_dir), _MIX_TARGETS)
+    return df.select(
+        "doc_id", "source",
+        F.col("epoch").cast("long").alias("epoch"), "rate")
 
 
 def q_config_resolve(spark, sf_dir):
@@ -2077,6 +2114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "line_dedup_clean": q_line_dedup_clean,
         "line_dedup_stats": q_line_dedup_stats,
+        "source_stats": q_source_stats,
+        "sample_to_mix": q_sample_to_mix,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -4313,6 +4352,52 @@ FROM r
   SELECT doc_id, i - 1 AS line_pos, ln[i] AS line, trim(ln[i]) AS key
   FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM d),
        unnest(generate_series(1, len(ln))) AS u(i)
+"""
+
+    _toks_expr = ("len(list_filter(regexp_split_to_array(text, '\\s+'), "
+                  "x -> x <> ''))")
+    _mix_case = ("CASE source "
+                 + " ".join(f"WHEN '{s}' THEN {f}::DOUBLE"
+                            for s, f in _MIX_TARGETS.items())
+                 + " ELSE 0.0::DOUBLE END")
+
+    sql["source_stats"] = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs, sum({_toks_expr}) AS n_tokens,
+         sum(length(text)) AS n_chars
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM per)
+SELECT source, n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
+       n_chars::BIGINT AS n_chars,
+       round(n_docs / td, 6) AS doc_frac,
+       round(n_tokens / tt, 6) AS token_frac
+FROM per, tot
+"""
+
+    sql["sample_to_mix"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_toks_expr} AS toks FROM documents
+), per AS (
+  SELECT source, sum(toks) AS src_tokens FROM toks GROUP BY source
+), tot AS (SELECT sum(src_tokens)::DOUBLE AS budget FROM per),
+rates AS (
+  SELECT source, ({_mix_case} * budget) / src_tokens AS rate
+  FROM per, tot
+), d AS (
+  SELECT t.doc_id, t.source, r.rate,
+         ('0x' || substr(md5('mix' || t.doc_id), 1, 8))::UBIGINT::DOUBLE
+           / 4294967296.0 AS u
+  FROM toks t JOIN rates r USING (source)
+), n AS (
+  SELECT doc_id, source, rate,
+         (floor(rate) + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END)
+           ::INT AS n_copies
+  FROM d
+)
+SELECT doc_id, source, e.epoch::BIGINT AS epoch,
+       round(rate, 6) AS rate
+FROM n, unnest(generate_series(1, n_copies)) AS e(epoch)
+WHERE n_copies > 0
 """
 
     sql["line_dedup_clean"] = f"""

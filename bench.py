@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "pii_profile",
     "pii_redact",
     "line_dedup_clean",
+    "sample_to_mix",
 ]
 
 

@@ -1,0 +1,113 @@
+"""Deterministic data-mixture construction — the sampling stage that
+turns a curated corpus into a training mix with pinned per-source
+proportions (the published recipe behind every major pre-training
+dataset card: per-domain target weights, downsample the over-
+represented sources, repeat ("epoch") the under-represented ones).
+
+Two operators:
+
+* :func:`source_stats` — per-source doc/token/char totals and corpus
+  fractions.  ONE map-side-combinable aggregate; the fraction join is
+  against a 1-row total, broadcast.
+* :func:`sample_to_mix` — given ``targets`` (source → fraction of the
+  token budget), compute each source's sampling rate
+  ``rate = target_frac * budget / source_tokens`` and emit each doc
+  ``floor(rate)`` times plus one more with probability ``frac(rate)``
+  — i.e. downsampling for rate < 1 and epoch-repeat upsampling for
+  rate > 1, in expectation hitting the budget exactly.
+
+Determinism (the property that makes the mix reproducible across
+cluster sizes and reruns, and lets the DuckDB oracle replay it): the
+Bernoulli draw is NOT ``rand()`` but ``u(doc) = int(md5(salt ||
+doc_id)[:8]) / 2^32`` — a pure column expression, identical on any
+partitioning.  md5 (not xxhash64) so the oracle computes the same u.
+
+Scale shape: the per-source token totals are a tiny aggregate (one
+row per source) joined back via broadcast; the copy expansion is a
+native ``explode(sequence(...))`` — no corpus-side shuffle anywhere,
+scan speed at 100 TB.  Sources missing from ``targets`` get rate 0
+(dropped); targeted sources missing from the corpus contribute no
+rows (there is nothing to upsample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _n_tokens(text: Column) -> Column:
+    return F.size(F.filter(F.split(text, r"\s+"), lambda x: x != ""))
+
+
+def uniform_hash(doc_id: Column, salt: str) -> Column:
+    """Deterministic u in [0, 1): first 8 md5 hex digits of
+    salt||doc_id over 2^32.  Pure column expr — partitioning-proof."""
+    h = F.md5(F.concat(F.lit(salt), doc_id.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+            / F.lit(4294967296.0))
+
+
+def source_stats(documents: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 source_col: str = "source") -> DataFrame:
+    """Per-source doc/token/char totals + corpus fractions."""
+    per = (documents
+           .select(F.col(source_col).alias("source"),
+                   _n_tokens(F.col(text_col)).alias("toks"),
+                   F.length(text_col).alias("chars"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("toks").alias("n_tokens"),
+                F.sum("chars").alias("n_chars")))
+    tot = per.agg(F.sum("n_docs").alias("td"),
+                  F.sum("n_tokens").alias("tt"))
+    return (per.join(F.broadcast(tot))
+            .select("source", "n_docs", "n_tokens", "n_chars",
+                    F.round(F.col("n_docs") / F.col("td"), 6)
+                    .alias("doc_frac"),
+                    F.round(F.col("n_tokens") / F.col("tt"), 6)
+                    .alias("token_frac")))
+
+
+def sample_to_mix(documents: DataFrame, targets: dict[str, float],
+                  token_budget: int | None = None, salt: str = "mix",
+                  id_col: str = "doc_id", text_col: str = "text",
+                  source_col: str = "source") -> DataFrame:
+    """Emit (doc_id, source, epoch, rate) rows realizing the target
+    mix; epoch numbers copies 1..n for upsampled docs.  With
+    ``token_budget=None`` the budget is the corpus's own token total
+    (pure re-weighting)."""
+    tgt = F.create_map(*[
+        F.lit(x) for kv in targets.items() for x in kv])
+
+    per = (documents
+           .select(F.col(source_col).alias("source"),
+                   _n_tokens(F.col(text_col)).alias("toks"))
+           .groupBy("source")
+           .agg(F.sum("toks").alias("src_tokens")))
+    # budget as a scalar: the corpus's own token total (or the constant)
+    tot = per.agg(F.sum("src_tokens").cast("double").alias("budget"))
+    rates = (per.join(F.broadcast(tot))
+             .select(
+                 "source", "src_tokens",
+                 (F.coalesce(tgt[F.col("source")], F.lit(0.0))
+                  * (F.lit(float(token_budget))
+                     if token_budget is not None else F.col("budget"))
+                  / F.col("src_tokens")).alias("rate")))
+
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"))
+    u = uniform_hash(F.col("doc_id"), salt)
+    n_copies = (F.floor("rate").cast("int")
+                + F.when(u < F.col("rate") - F.floor("rate"), 1)
+                .otherwise(0))
+    return (docs
+            .join(F.broadcast(rates.drop("src_tokens")), "source")
+            .withColumn("n_copies", n_copies)
+            .where(F.col("n_copies") > 0)
+            .select("doc_id", "source",
+                    F.explode(F.sequence(F.lit(1), F.col("n_copies")))
+                    .alias("epoch"),
+                    F.round("rate", 6).alias("rate")))

