@@ -1843,6 +1843,23 @@ def q_sample_to_mix(spark, sf_dir):
         F.col("epoch").cast("long").alias("epoch"), "rate")
 
 
+def q_decontam_13gram(spark, sf_dir):
+    """GPT-3-style eval-set decontamination: the eval corpus is 20-word
+    spans lifted from every 25th document, so exactly the source docs
+    collide on 13-grams; the eval gram set broadcasts and the train
+    side stays a pure scan."""
+    from trustgraph_spark.operators.decontam import ngram_contamination
+    from trustgraph_spark.operators.quality import _words
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    evals = (docs.where(F.col("doc_id") % 25 == 0)
+             .select((F.col("doc_id") / 25).cast("long").alias("eval_id"),
+                     F.array_join(
+                         F.slice(_words(F.col("text")), 6, 20), " ")
+                     .alias("text")))
+    return ngram_contamination(docs, evals)
+
+
 def q_config_resolve(spark, sf_dir):
     """Config-store read path (config/service/config.py:16-301 over
     tables/config.py's Cassandra ((workspace, class), key) table): the
@@ -2116,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_stats": q_line_dedup_stats,
         "source_stats": q_source_stats,
         "sample_to_mix": q_sample_to_mix,
+        "decontam_13gram": q_decontam_13gram,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -4398,6 +4416,50 @@ SELECT doc_id, source, e.epoch::BIGINT AS epoch,
        round(rate, 6) AS rate
 FROM n, unnest(generate_series(1, n_copies)) AS e(epoch)
 WHERE n_copies > 0
+"""
+
+    sql["decontam_13gram"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), dg AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 12, 0)),
+           i -> md5(array_to_string(w[i:i+12], ' ')))) AS gs
+  FROM t
+), eg AS (
+  SELECT doc_id // 25 AS eval_id, w[6:25] AS ew FROM t
+  WHERE doc_id % 25 = 0
+), egx AS (
+  SELECT DISTINCT eval_id, g
+  FROM (SELECT eval_id,
+               list_transform(
+                 generate_series(1, greatest(len(ew) - 12, 0)),
+                 i -> md5(array_to_string(ew[i:i+12], ' '))) AS gs
+        FROM eg), unnest(gs) AS u(g)
+), dgx AS (
+  SELECT doc_id, g FROM dg, unnest(gs) AS u(g)
+), agg AS (
+  SELECT d.doc_id,
+         count(DISTINCT d.g) AS n_grams,
+         count(DISTINCT CASE WHEN e.eval_id IS NOT NULL THEN d.g END)
+           AS n_overlap,
+         count(DISTINCT e.eval_id) AS n_eval_docs
+  FROM dgx d LEFT JOIN egx e ON d.g = e.g
+  GROUP BY d.doc_id
+)
+SELECT dg.doc_id,
+       coalesce(agg.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(agg.n_overlap, 0)::BIGINT AS n_overlap,
+       round(CASE WHEN coalesce(agg.n_grams, 0) > 0
+                  THEN agg.n_overlap / agg.n_grams ELSE 0.0 END, 6)
+         AS overlap_frac,
+       coalesce(agg.n_eval_docs, 0)::BIGINT AS n_eval_docs,
+       coalesce(agg.n_overlap, 0) > 0 AS contaminated
+FROM dg LEFT JOIN agg USING (doc_id)
 """
 
     sql["line_dedup_clean"] = f"""

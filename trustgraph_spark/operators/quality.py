@@ -140,9 +140,9 @@ def gopher_doc_metrics(documents: DataFrame, id_col: str = "doc_id",
     )
 
 
-def _ngram_structs(words: Column, n: int) -> Column:
-    """Array of struct<n, gram> for one n, built as a zip_with chain
-    of shifted arrays — one element-wise concat pass per extra token.
+def ngram_array(words: Column, n: int) -> Column:
+    """Array of space-joined n-grams, built as a zip_with chain of
+    shifted arrays — one element-wise concat pass per extra token.
     The obvious per-index ``slice + array_join`` costs ~30µs/gram in
     Spark's interpreted higher-order-function path (measured 21s for
     0.77M grams); this formulation is ~11x faster because each gram
@@ -156,9 +156,13 @@ def _ngram_structs(words: Column, n: int) -> Column:
             F.slice(words, k + 1,
                     F.greatest(F.size(words) - k, F.lit(0))),
             lambda a, b: F.concat(a, F.lit(" "), b))
-    g = F.slice(g, 1, F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    return F.slice(g, 1, F.greatest(F.size(words) - (n - 1), F.lit(0)))
+
+
+def _ngram_structs(words: Column, n: int) -> Column:
     return F.transform(
-        g, lambda s: F.struct(F.lit(n).alias("n"), s.alias("gram")))
+        ngram_array(words, n),
+        lambda s: F.struct(F.lit(n).alias("n"), s.alias("gram")))
 
 
 def ngram_repetition(documents: DataFrame, ns: tuple = (2, 3, 4),
