@@ -1860,6 +1860,20 @@ def q_decontam_13gram(spark, sf_dir):
     return ngram_contamination(docs, evals)
 
 
+def q_dedup_resolve(spark, sf_dir):
+    """End-to-end duplicate resolution over planted path-shaped pair
+    chains ({10k..10k+4} linked only consecutively — transitive closure
+    is the thing under test): alternating-star CC + min-id canonical
+    election + cluster sizes; singletons self-canonical."""
+    from trustgraph_spark.operators.dedup import resolve_duplicates
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = F.col("doc_id")
+    pairs = (docs.where((n % 10).isin(1, 2, 3, 4))
+             .select(n.alias("a"), (n - 1).alias("b")))
+    return resolve_duplicates(docs, pairs)
+
+
 def q_config_resolve(spark, sf_dir):
     """Config-store read path (config/service/config.py:16-301 over
     tables/config.py's Cassandra ((workspace, class), key) table): the
@@ -2134,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "sample_to_mix": q_sample_to_mix,
         "decontam_13gram": q_decontam_13gram,
+        "dedup_resolve": q_dedup_resolve,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -4416,6 +4431,35 @@ SELECT doc_id, source, e.epoch::BIGINT AS epoch,
        round(rate, 6) AS rate
 FROM n, unnest(generate_series(1, n_copies)) AS e(epoch)
 WHERE n_copies > 0
+"""
+
+    sql["dedup_resolve"] = """
+WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+p AS (
+  SELECT doc_id AS a, doc_id - 1 AS b FROM d
+  WHERE doc_id % 10 IN (1, 2, 3, 4)
+),
+bidir AS (
+  SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p
+),
+reach(node, comp) AS (
+  SELECT u, u FROM bidir
+  UNION
+  SELECT b.v, r.comp FROM reach r JOIN bidir b ON b.u = r.node
+),
+cc AS (SELECT node, min(comp) AS canonical FROM reach GROUP BY node),
+res AS (
+  SELECT d.doc_id, coalesce(cc.canonical, d.doc_id) AS canonical_id
+  FROM d LEFT JOIN cc ON cc.node = d.doc_id
+),
+sizes AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM res
+  GROUP BY canonical_id
+)
+SELECT r.doc_id, r.canonical_id::BIGINT AS canonical_id,
+       s.cluster_size::BIGINT AS cluster_size,
+       r.doc_id = r.canonical_id AS is_canonical
+FROM res r JOIN sizes s USING (canonical_id)
 """
 
     sql["decontam_13gram"] = """

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "line_dedup_clean",
     "sample_to_mix",
     "decontam_13gram",
+    "dedup_resolve",
 ]
 
 

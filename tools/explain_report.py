@@ -332,6 +332,51 @@ def main() -> None:
         convert_extraction_triples(parsed, elements2, "kb"),
     )
 
+    # --- Corpus-hygiene family (round 5b) -----------------------------------
+    import __spark_entry__ as entry
+    from trustgraph_spark.operators.decontam import ngram_contamination
+    from trustgraph_spark.operators.linededup import corpus_line_dedup
+    from trustgraph_spark.operators.mixing import sample_to_mix
+    from trustgraph_spark.operators.quality import gopher_doc_metrics
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    add(
+        "Gopher doc metrics (gopher_metrics)",
+        "ONE narrow Project over the scan — no Exchange, no Python, every "
+        "rule inside whole-stage codegen; at 100 TB this runs at scan "
+        "speed. pii_profile/pii_redact compile to the same shape (their "
+        "plan gates live in test_pii).",
+        gopher_doc_metrics(docs),
+    )
+
+    add(
+        "Corpus line dedup (line_dedup_clean)",
+        "The duplicated-key build side (count >= 2 after a map-side-"
+        "combinable partial aggregate on xxhash64(line)) broadcasts; the "
+        "corpus side is Generate -> BroadcastHashJoin -> one doc_id "
+        "exchange for reassembly. Hot boilerplate lines cannot skew the "
+        "count shuffle: partial aggregation compacts them per map task.",
+        corpus_line_dedup(entry._lined_plant(docs)),
+    )
+
+    add(
+        "Mixture sampling (sample_to_mix)",
+        "The per-source rate table (a tiny aggregate) broadcasts back; "
+        "the md5-hash Bernoulli and explode(sequence) epoch expansion are "
+        "pure column work — the corpus never shuffles.",
+        sample_to_mix(docs, {"src0": 0.5, "src1": 0.5}),
+    )
+
+    add(
+        "Eval-set decontamination (decontam_13gram)",
+        "The eval 13-gram set is deduped and broadcast; the training side "
+        "is scan -> Generate -> BroadcastHashJoin -> partial-agg rollup on "
+        "doc_id. No SortMergeJoin, no corpus-side gram shuffle.",
+        ngram_contamination(
+            docs, docs.limit(5).selectExpr("doc_id AS eval_id", "text")),
+    )
+
     with open("/root/repo/EXPLAIN.md", "w") as f:
         f.write(
             "# EXPLAIN — physical plans of the core operators\n\n"

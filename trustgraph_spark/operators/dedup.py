@@ -382,3 +382,40 @@ def embedding_near_dup_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def resolve_duplicates(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """End-to-end duplicate RESOLUTION: verified duplicate pairs (from
+    any of this module's candidate generators — MinHash-LSH, PPJoin,
+    SimHash, embedding buckets) -> duplicate clusters -> one canonical
+    per cluster -> per-doc verdict (doc_id, canonical_id, cluster_size,
+    is_canonical).  Keeping ``is_canonical`` rows IS the dedup'd corpus.
+
+    Clusters come from linking.connected_components (the alternating-
+    star algorithm, O(log n) checkpointed rounds — duplicate chains
+    a~b~c collapse even when (a, c) was never a candidate pair).  The
+    canonical is the cluster's minimum doc id: deterministic under any
+    partitioning, no tie to break.  Docs in no pair are their own
+    singleton canonicals (left join + coalesce, no data lost)."""
+    from trustgraph_spark.operators.linking import connected_components
+
+    cc = connected_components(pairs, src=a_col, dst=b_col)
+    docs = documents.select(F.col(id_col).alias("doc_id"))
+    res = (docs
+           .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("component", F.col("doc_id"))
+                   .alias("canonical_id")))
+    sizes = res.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (res.join(sizes, "canonical_id")
+            .select("doc_id", "canonical_id",
+                    F.col("cluster_size").cast("long").alias("cluster_size"),
+                    (F.col("doc_id") == F.col("canonical_id"))
+                    .alias("is_canonical")))
