@@ -1874,6 +1874,15 @@ def q_dedup_resolve(spark, sf_dir):
     return resolve_duplicates(docs, pairs)
 
 
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style unigram LM quality score fitted on the corpus
+    itself; vocab capped at 30 so the word-soup tail exercises the
+    OOV floor path."""
+    from trustgraph_spark.operators.lmquality import unigram_logprob_score
+
+    return unigram_logprob_score(_docs(spark, sf_dir), vocab_size=30)
+
+
 def q_config_resolve(spark, sf_dir):
     """Config-store read path (config/service/config.py:16-301 over
     tables/config.py's Cassandra ((workspace, class), key) table): the
@@ -2149,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_to_mix": q_sample_to_mix,
         "decontam_13gram": q_decontam_13gram,
         "dedup_resolve": q_dedup_resolve,
+        "lm_quality": q_lm_quality,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -4431,6 +4441,36 @@ SELECT doc_id, source, e.epoch::BIGINT AS epoch,
        round(rate, 6) AS rate
 FROM n, unnest(generate_series(1, n_copies)) AS e(epoch)
 WHERE n_copies > 0
+"""
+
+    sql["lm_quality"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), tok AS (
+  SELECT doc_id, tk FROM t, unnest(w) AS u(tk)
+), freq AS (
+  SELECT tk AS token, count(*) AS cnt FROM tok
+  GROUP BY tk ORDER BY cnt DESC, token LIMIT 30
+), tot AS (SELECT count(*)::DOUBLE AS total FROM tok),
+scored AS (
+  SELECT s.doc_id, f.cnt,
+         CASE WHEN f.cnt IS NOT NULL THEN ln(f.cnt / total)
+              ELSE ln(0.5 / total) END AS logp
+  FROM tok s LEFT JOIN freq f ON s.tk = f.token, tot
+), agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         round(avg(logp), 6) AS mean_logprob
+  FROM scored GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(agg.n_oov, 0)::BIGINT AS n_oov,
+       coalesce(agg.mean_logprob, 0.0) AS mean_logprob
+FROM t LEFT JOIN agg USING (doc_id)
 """
 
     sql["dedup_resolve"] = """

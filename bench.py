@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "sample_to_mix",
     "decontam_13gram",
     "dedup_resolve",
+    "lm_quality",
 ]
 
 
