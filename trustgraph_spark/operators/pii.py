@@ -108,15 +108,21 @@ def pii_profile(documents: DataFrame, id_col: str = "doc_id",
     return out.withColumn("has_pii", total > 0)
 
 
+def redact_col(t: Column) -> Column:
+    """The chained-replace redaction as a single column expression
+    (order pinned in REDACT_ORDER, credit-card shapes last) — reused
+    by the batch operator and the streaming hygiene path."""
+    red = t
+    for cat in REDACT_ORDER:
+        red = F.regexp_replace(red, PII_PATTERNS[cat], PLACEHOLDERS[cat])
+    return F.regexp_replace(red, CC_PATTERN, PLACEHOLDERS["cc"])
+
+
 def pii_redact(documents: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Text with every PII match replaced by its category placeholder,
-    as one chained regexp_replace pass (order pinned in REDACT_ORDER,
-    credit-card shapes last)."""
-    red = F.col(text_col)
-    for cat in REDACT_ORDER:
-        red = F.regexp_replace(red, PII_PATTERNS[cat], PLACEHOLDERS[cat])
-    red = F.regexp_replace(red, CC_PATTERN, PLACEHOLDERS["cc"])
+    as one chained regexp_replace pass."""
+    red = redact_col(F.col(text_col))
     return documents.select(
         F.col(id_col),
         red.alias("redacted"),

@@ -72,11 +72,11 @@ def _safe_div(num: Column, den: Column) -> Column:
                    .otherwise(F.lit(0.0)), 4)
 
 
-def gopher_doc_metrics(documents: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
-    """Per-document Gopher rules as one narrow projection (no shuffle,
-    no UDF) — metrics plus the combined ``gopher_pass`` flag."""
-    t = F.col(text_col)
+def gopher_metric_exprs(t: Column) -> dict[str, Column]:
+    """The nine Gopher rule metrics as named column expressions over a
+    text column — reused by the batch projection and the streaming
+    hygiene path (a plain dict of Columns composes onto any frame
+    without a join)."""
     words = _words(t)
     n_words = F.size(words)
     word_chars = F.aggregate(words, F.lit(0),
@@ -114,29 +114,44 @@ def gopher_doc_metrics(documents: DataFrame, id_col: str = "doc_id",
     duplicate_line_char_fraction = _safe_div(
         line_chars - distinct_line_chars, line_chars)
 
-    out = documents.select(
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_word_ratio": symbol_word_ratio,
+        "bullet_line_fraction": bullet_line_fraction,
+        "ellipsis_line_fraction": ellipsis_line_fraction,
+        "alpha_word_fraction": alpha_word_fraction,
+        "stopword_hits": stopword_hits,
+        "duplicate_line_fraction": duplicate_line_fraction,
+        "duplicate_line_char_fraction": duplicate_line_char_fraction,
+    }
+
+
+def gopher_pass_col(t: Column) -> Column:
+    """The combined verdict over the (rounded) metric expressions —
+    identical to the flag gopher_doc_metrics emits."""
+    m = gopher_metric_exprs(t)
+    return ((m["n_words"] >= MIN_WORDS)
+            & (m["n_words"] <= MAX_WORDS)
+            & (m["mean_word_len"] >= MIN_MEAN_WORD_LEN)
+            & (m["mean_word_len"] <= MAX_MEAN_WORD_LEN)
+            & (m["symbol_word_ratio"] <= MAX_SYMBOL_WORD_RATIO)
+            & (m["bullet_line_fraction"] <= MAX_BULLET_LINE_FRACTION)
+            & (m["ellipsis_line_fraction"] <= MAX_ELLIPSIS_LINE_FRACTION)
+            & (m["alpha_word_fraction"] >= MIN_ALPHA_WORD_FRACTION)
+            & (m["stopword_hits"] >= MIN_STOPWORD_HITS))
+
+
+def gopher_doc_metrics(documents: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rules as one narrow projection (no shuffle,
+    no UDF) — metrics plus the combined ``gopher_pass`` flag."""
+    t = F.col(text_col)
+    metrics = gopher_metric_exprs(t)
+    return documents.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        symbol_word_ratio.alias("symbol_word_ratio"),
-        bullet_line_fraction.alias("bullet_line_fraction"),
-        ellipsis_line_fraction.alias("ellipsis_line_fraction"),
-        alpha_word_fraction.alias("alpha_word_fraction"),
-        stopword_hits.alias("stopword_hits"),
-        duplicate_line_fraction.alias("duplicate_line_fraction"),
-        duplicate_line_char_fraction.alias("duplicate_line_char_fraction"),
-    )
-    return out.withColumn(
-        "gopher_pass",
-        (F.col("n_words") >= MIN_WORDS)
-        & (F.col("n_words") <= MAX_WORDS)
-        & (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
-        & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN)
-        & (F.col("symbol_word_ratio") <= MAX_SYMBOL_WORD_RATIO)
-        & (F.col("bullet_line_fraction") <= MAX_BULLET_LINE_FRACTION)
-        & (F.col("ellipsis_line_fraction") <= MAX_ELLIPSIS_LINE_FRACTION)
-        & (F.col("alpha_word_fraction") >= MIN_ALPHA_WORD_FRACTION)
-        & (F.col("stopword_hits") >= MIN_STOPWORD_HITS),
+        *[c.alias(name) for name, c in metrics.items()],
+        gopher_pass_col(t).alias("gopher_pass"),
     )
 
 

@@ -243,3 +243,28 @@ def compact_edges(spark: SparkSession, edges_path: str, out_path: str) -> DataFr
     edges = spark.read.parquet(edges_path).dropDuplicates(QUAD_KEY)
     edges.write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+def hygiene_stream(docs: DataFrame) -> DataFrame:
+    """Streaming corpus hygiene: the batch scrub operators compose
+    UNCHANGED on a streaming DataFrame.  Exact dedup runs on Structured
+    Streaming's native dropDuplicates state keyed by the normalized
+    content hash (the streaming twin of dedup.exact_dedup_groups; JVM-
+    managed state, no Python seam — on an event-time source switch to
+    dropDuplicatesWithinWatermark to bound state growth), and the
+    stateless projections (pii.redact_col chain, quality.gopher_pass_col
+    verdict) ride the same select.  One code path, batch == stream."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import normalize_text_col
+    from .operators.pii import redact_col
+    from .operators.quality import gopher_pass_col
+
+    hashed = docs.withColumn(
+        "text_hash", F.md5(normalize_text_col(F.col("text"))))
+    deduped = hashed.dropDuplicates(["text_hash"])
+    return deduped.select(
+        "doc_id", "text_hash",
+        redact_col(F.col("text")).alias("redacted"),
+        gopher_pass_col(F.col("text")).alias("gopher_pass"),
+    )
