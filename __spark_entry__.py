@@ -1883,6 +1883,15 @@ def q_lm_quality(spark, sf_dir):
     return unigram_logprob_score(_docs(spark, sf_dir), vocab_size=30)
 
 
+def q_pack_blocks(spark, sf_dir):
+    """GPT-style concat-split sequence packing: deterministic doc_id
+    order, two-phase prefix sum (bucket windows + n_buckets driver
+    scalars) instead of a single-partition global window."""
+    from trustgraph_spark.operators.packing import pack_blocks
+
+    return pack_blocks(_docs(spark, sf_dir), seq_len=2048)
+
+
 def q_config_resolve(spark, sf_dir):
     """Config-store read path (config/service/config.py:16-301 over
     tables/config.py's Cassandra ((workspace, class), key) table): the
@@ -2159,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_13gram": q_decontam_13gram,
         "dedup_resolve": q_dedup_resolve,
         "lm_quality": q_lm_quality,
+        "pack_blocks": q_pack_blocks,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -4441,6 +4451,27 @@ SELECT doc_id, source, e.epoch::BIGINT AS epoch,
        round(rate, 6) AS rate
 FROM n, unnest(generate_series(1, n_copies)) AS e(epoch)
 WHERE n_copies > 0
+"""
+
+    sql["pack_blocks"] = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tokens)::BIGINT AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, start_tok,
+       (start_tok // 2048)::BIGINT AS start_block,
+       CASE WHEN n_tokens > 0
+            THEN ((start_tok + n_tokens - 1) // 2048)::BIGINT
+            ELSE (start_tok // 2048)::BIGINT END AS end_block
+FROM c
 """
 
     sql["lm_quality"] = """

@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "decontam_13gram",
     "dedup_resolve",
     "lm_quality",
+    "pack_blocks",
 ]
 
 
