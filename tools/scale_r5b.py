@@ -44,9 +44,22 @@ def main():
     import __spark_entry__ as entry
     from trustgraph_spark.operators.linededup import (
         corpus_line_dedup, corpus_line_stats)
+    from trustgraph_spark.operators.decontam import ngram_contamination
+    from trustgraph_spark.operators.dedup import resolve_duplicates
+    from trustgraph_spark.operators.lmquality import unigram_logprob_score
+    from trustgraph_spark.operators.packing import pack_blocks
     from trustgraph_spark.operators.pii import pii_profile, pii_redact
     from trustgraph_spark.operators.quality import (
-        gopher_doc_metrics, ngram_repetition)
+        _words, gopher_doc_metrics, ngram_repetition)
+
+    def _decontam(d):
+        evals = (d.where(F.col("doc_id") % 25 == 0)
+                 .select((F.col("doc_id") / 25).cast("long")
+                         .alias("eval_id"),
+                         F.array_join(
+                             F.slice(_words(F.col("text")), 6, 20), " ")
+                         .alias("text")))
+        return ngram_contamination(d, evals).count()
 
     spark = get_spark(cores=32)
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -67,6 +80,15 @@ def main():
             entry._lined_plant(d)).count(),
         "line_dedup_dupkeys": lambda d: corpus_line_stats(
             entry._lined_plant(d)).count(),
+        "decontam_13gram": lambda d: _decontam(d),
+        "lm_quality": lambda d: unigram_logprob_score(
+            d, vocab_size=30).count(),
+        "pack_blocks": lambda d: pack_blocks(d, seq_len=2048).count(),
+        "dedup_resolve": lambda d: resolve_duplicates(
+            d.select("doc_id"),
+            d.select("doc_id").where((F.col("doc_id") % 10).isin(1, 2, 3, 4))
+            .select(F.col("doc_id").alias("a"),
+                    (F.col("doc_id") - 1).alias("b"))).count(),
     }
 
     rows = {}
