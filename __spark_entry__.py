@@ -1892,6 +1892,25 @@ def q_pack_blocks(spark, sf_dir):
     return pack_blocks(_docs(spark, sf_dir), seq_len=2048)
 
 
+def q_span_dedup(spark, sf_dir):
+    """Exact-substring span dedup (Lee et al. ExactSubstr semantics,
+    n=8 anchors): every 4th doc carries a shared 10-token span — the
+    globally-first copy survives intact, later copies lose exactly the
+    span; unique text is never touched."""
+    from trustgraph_spark.operators.spandedup import exact_substring_dedup
+
+    n = F.col("doc_id")
+    planted = _docs(spark, sf_dir).select(
+        n.alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(n % 4 == 0,
+                   F.lit(" shared span alpha beta gamma delta epsilon"
+                         " zeta eta theta")).otherwise(F.lit("")))
+        .alias("text"))
+    return exact_substring_dedup(planted, n=8)
+
+
 def q_config_resolve(spark, sf_dir):
     """Config-store read path (config/service/config.py:16-301 over
     tables/config.py's Cassandra ((workspace, class), key) table): the
@@ -2169,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve": q_dedup_resolve,
         "lm_quality": q_lm_quality,
         "pack_blocks": q_pack_blocks,
+        "span_dedup": q_span_dedup,
         # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -4451,6 +4471,49 @@ SELECT doc_id, source, e.epoch::BIGINT AS epoch,
        round(rate, 6) AS rate
 FROM n, unnest(generate_series(1, n_copies)) AS e(epoch)
 WHERE n_copies > 0
+"""
+
+    sql["span_dedup"] = """
+WITH d AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0
+           THEN ' shared span alpha beta gamma delta epsilon zeta eta theta'
+           ELSE '' END AS text
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM d
+), tok AS (
+  SELECT doc_id, i - 1 AS idx, w[i] AS token
+  FROM t, unnest(generate_series(1, len(w))) AS u(i)
+), occ AS (
+  SELECT doc_id, i - 1 AS start,
+         md5(array_to_string(w[i:i+7], ' ')) AS h
+  FROM t, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS u(i)
+), dup AS (
+  SELECT h, min(doc_id * 100000 + start) AS ford
+  FROM occ GROUP BY h HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT o.doc_id, o.start + k.k AS idx
+  FROM occ o JOIN dup ON o.h = dup.h,
+       unnest(generate_series(0, 7)) AS k(k)
+  WHERE o.doc_id * 100000 + o.start <> dup.ford
+), kept AS (
+  SELECT tok.doc_id, tok.idx, tok.token
+  FROM tok LEFT JOIN cov
+    ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+  WHERE cov.idx IS NULL
+), ka AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY idx) AS text,
+         count(*) AS nk
+  FROM kept GROUP BY doc_id
+), tt AS (SELECT doc_id, len(w) AS nt FROM t)
+SELECT tt.doc_id, coalesce(ka.text, '') AS text,
+       coalesce(ka.nk, 0)::BIGINT AS n_tokens_kept,
+       (tt.nt - coalesce(ka.nk, 0))::BIGINT AS n_tokens_removed
+FROM tt LEFT JOIN ka USING (doc_id)
 """
 
     sql["pack_blocks"] = """

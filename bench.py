@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "dedup_resolve",
     "lm_quality",
     "pack_blocks",
+    "span_dedup",
 ]
 
 
