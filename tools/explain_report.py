@@ -377,6 +377,27 @@ def main() -> None:
             docs, docs.limit(5).selectExpr("doc_id AS eval_id", "text")),
     )
 
+    from trustgraph_spark.operators.packing import pack_blocks
+    from trustgraph_spark.operators.spandedup import exact_substring_dedup
+
+    add(
+        "Sequence packing (pack_blocks)",
+        "Two-phase prefix sum: the window partitions by bucket (parallel "
+        "sort within ranges, one exchange), never a global-order window "
+        "that would drag the corpus through a single partition; bucket "
+        "offsets come back as a literal map built from n_buckets driver "
+        "scalars.",
+        pack_blocks(docs, seq_len=2048),
+    )
+
+    add(
+        "Exact-substring span dedup (span_dedup)",
+        "The duplicated-anchor table (count >= 2) is the join build side; "
+        "covered-position Generate amplifies only duplicated occurrences; "
+        "final anti-join + doc rollup. No suffix structure, no cartesian.",
+        exact_substring_dedup(docs, n=8),
+    )
+
     with open("/root/repo/EXPLAIN.md", "w") as f:
         f.write(
             "# EXPLAIN — physical plans of the core operators\n\n"
