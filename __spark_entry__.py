@@ -2189,7 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "pack_blocks": q_pack_blocks,
         "span_dedup": q_span_dedup,
-        # -- never driver-checked (r03 verdict ask #1) + round-4 additions --
+        # -- driver-r4 green (all 50 rows in CORRECTNESS_r04.json) --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
         "doc_rag_mmr_pool": q_doc_rag_mmr_pool,

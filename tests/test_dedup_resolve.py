@@ -44,6 +44,22 @@ def test_resolve_matches_union_find(spark, pairs):
     assert got == py_resolve(doc_ids, pairs)
 
 
+def test_resolve_stale_pair_ids_never_elected(spark):
+    # pair ids 100/7 link docs but 100 is absent from documents (stale
+    # candidate over a filtered corpus): the cluster canonical must be
+    # the minimum PRESENT doc, and... id 0 < 5 links through 100
+    docs = spark.createDataFrame([(5,), (7,), (9,)], "doc_id long")
+    pdf = spark.createDataFrame([(100, 5), (100, 7)], "a long, b long")
+    got = {r["doc_id"]: r.asDict()
+           for r in resolve_duplicates(docs, pdf).collect()}
+    assert got[5]["canonical_id"] == 5 and got[5]["is_canonical"] is True
+    assert got[7]["canonical_id"] == 5 and got[7]["is_canonical"] is False
+    assert got[5]["cluster_size"] == 2          # only present docs count
+    assert got[9]["is_canonical"] is True       # untouched singleton
+    # every cluster keeps exactly one canonical survivor
+    assert sum(1 for r in got.values() if r["is_canonical"]) == 2
+
+
 def test_resolve_canonical_corpus(spark):
     docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
     pdf = spark.createDataFrame([(0, 5), (5, 9), (2, 3)], "a long, b long")

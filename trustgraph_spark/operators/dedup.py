@@ -400,21 +400,28 @@ def resolve_duplicates(
     Clusters come from linking.connected_components (the alternating-
     star algorithm, O(log n) checkpointed rounds — duplicate chains
     a~b~c collapse even when (a, c) was never a candidate pair).  The
-    canonical is the cluster's minimum doc id: deterministic under any
-    partitioning, no tie to break.  Docs in no pair are their own
-    singleton canonicals (left join + coalesce, no data lost)."""
+    canonical is the cluster's minimum PRESENT doc id — deterministic
+    under any partitioning, and pair ids absent from documents (stale
+    candidates over a filtered corpus) can participate in clustering
+    without ever being elected, so every cluster keeps exactly one
+    is_canonical survivor.  Docs in no pair are their own singleton
+    canonicals (left join + coalesce, no data lost)."""
     from trustgraph_spark.operators.linking import connected_components
 
     cc = connected_components(pairs, src=a_col, dst=b_col)
     docs = documents.select(F.col(id_col).alias("doc_id"))
-    res = (docs
-           .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-           .select("doc_id",
-                   F.coalesce("component", F.col("doc_id"))
-                   .alias("canonical_id")))
-    sizes = res.groupBy("canonical_id").agg(
+    comp = (docs
+            .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", F.col("doc_id"))
+                    .alias("comp")))
+    # elect the canonical among PRESENT docs: a stale pair id absent
+    # from documents must never become the canonical (it would leave
+    # its whole cluster without an is_canonical survivor)
+    canon = comp.groupBy("comp").agg(
+        F.min("doc_id").alias("canonical_id"),
         F.count(F.lit(1)).alias("cluster_size"))
-    return (res.join(sizes, "canonical_id")
+    return (comp.join(canon, "comp")
             .select("doc_id", "canonical_id",
                     F.col("cluster_size").cast("long").alias("cluster_size"),
                     (F.col("doc_id") == F.col("canonical_id"))

@@ -59,10 +59,13 @@ def unigram_logprob_score(documents: DataFrame,
                           text_col: str = "text") -> DataFrame:
     """Per-doc mean unigram log-probability under the corpus-fitted
     top-V model; OOV tokens take the ln(alpha/total) floor."""
-    freq = token_frequencies(documents, vocab_size, id_col, text_col)
-    total = (documents
-             .select(F.size(_words(F.col(text_col))).alias("n"))
-             .agg(F.sum("n").cast("double").alias("total")))
+    # total = sum over the UN-limited frequency table (a tiny aggregate
+    # over vocab rows), so fit and total share one corpus scan — the
+    # corpus is read exactly twice: fit, then score
+    freq_full = token_frequencies(documents, None, id_col, text_col)
+    freq = (freq_full.orderBy(F.col("cnt").desc(), F.col("token"))
+            .limit(vocab_size))
+    total = freq_full.agg(F.sum("cnt").cast("double").alias("total"))
 
     doc_toks = documents.select(
         F.col(id_col).alias("doc_id"),
@@ -87,12 +90,19 @@ def unigram_logprob_score(documents: DataFrame,
 
 
 def py_unigram_scores(docs, vocab_size=65536, alpha=OOV_ALPHA):
-    """Pure-Python replay of the pinned semantics (test oracle)."""
+    """Pure-Python replay of the pinned semantics (test oracle).
+    Tokenization uses an ASCII-only ``\\s+`` split to match Java
+    regex semantics (``str.split()`` would also split on Unicode
+    whitespace like NBSP, which Spark's ``split(text, '\\s+')``
+    does not)."""
+    import re
+
     counts: dict[str, int] = {}
     total = 0
     toks = {}
     for doc_id, text in docs:
-        ws = [w for w in text.lower().split() if w]
+        ws = [w for w in re.split(r"\s+", text.lower(), flags=re.ASCII)
+              if w]
         toks[doc_id] = ws
         total += len(ws)
         for w in ws:

@@ -62,12 +62,15 @@ def source_stats(documents: DataFrame, id_col: str = "doc_id",
                 F.sum("chars").alias("n_chars")))
     tot = per.agg(F.sum("n_docs").alias("td"),
                   F.sum("n_tokens").alias("tt"))
+
+    def _frac(num, den):
+        return F.round(F.when(F.col(den) > 0, F.col(num) / F.col(den))
+                       .otherwise(F.lit(0.0)), 6)
+
     return (per.join(F.broadcast(tot))
             .select("source", "n_docs", "n_tokens", "n_chars",
-                    F.round(F.col("n_docs") / F.col("td"), 6)
-                    .alias("doc_frac"),
-                    F.round(F.col("n_tokens") / F.col("tt"), 6)
-                    .alias("token_frac")))
+                    _frac("n_docs", "td").alias("doc_frac"),
+                    _frac("n_tokens", "tt").alias("token_frac")))
 
 
 def sample_to_mix(documents: DataFrame, targets: dict[str, float],
@@ -88,13 +91,19 @@ def sample_to_mix(documents: DataFrame, targets: dict[str, float],
            .agg(F.sum("toks").alias("src_tokens")))
     # budget as a scalar: the corpus's own token total (or the constant)
     tot = per.agg(F.sum("src_tokens").cast("double").alias("budget"))
+    budget = (F.lit(float(token_budget)) if token_budget is not None
+              else F.col("budget"))
+    # src_tokens == 0 (a source whose docs are all empty) would trip
+    # ANSI DIVIDE_BY_ZERO before the join could filter it; rate 0 is
+    # also the right semantics — nothing to sample or upsample
     rates = (per.join(F.broadcast(tot))
              .select(
                  "source", "src_tokens",
-                 (F.coalesce(tgt[F.col("source")], F.lit(0.0))
-                  * (F.lit(float(token_budget))
-                     if token_budget is not None else F.col("budget"))
-                  / F.col("src_tokens")).alias("rate")))
+                 F.when(
+                     F.col("src_tokens") > 0,
+                     F.coalesce(tgt[F.col("source")], F.lit(0.0))
+                     * budget / F.col("src_tokens"))
+                 .otherwise(F.lit(0.0)).alias("rate")))
 
     docs = documents.select(
         F.col(id_col).alias("doc_id"),

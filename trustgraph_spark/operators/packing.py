@@ -8,7 +8,9 @@ independently.
 
 Pinned semantics (mirrored by the DuckDB oracle):
 
-* order = ascending doc_id; tokens = lowercased whitespace tokens.
+* order = ascending doc_id, which must be a UNIQUE integer key (any
+  64-bit range is fine — bucket math runs in monotone double space);
+  tokens = lowercased whitespace tokens.
 * ``start_tok`` = exclusive prefix sum of token counts;
   ``start_block`` = start_tok // seq_len;
   ``end_block`` = (start_tok + n_tokens - 1) // seq_len for non-empty
@@ -47,6 +49,11 @@ def pack_blocks(documents: DataFrame, seq_len: int = 2048,
     toks = documents.select(
         F.col(id_col).alias("doc_id"),
         F.size(_words(F.col(text_col))).cast("long").alias("n_tokens"))
+    if toks.schema["doc_id"].dataType.simpleString() not in (
+            "bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            "pack_blocks requires an integer doc_id (the concatenation "
+            f"order key); got {toks.schema['doc_id'].dataType}")
 
     lo, hi = toks.agg(F.min("doc_id"), F.max("doc_id")).first()
     if lo is None:
@@ -55,12 +62,23 @@ def pack_blocks(documents: DataFrame, seq_len: int = 2048,
             F.lit(0).cast("long").alias("start_tok"),
             F.lit(0).cast("long").alias("start_block"),
             F.lit(0).cast("long").alias("end_block"))
-    span = max(hi - lo + 1, 1)
-    bucket = ((F.col("doc_id") - F.lit(lo)) * n_buckets / span) \
-        .cast("long")
+    # bucket math in DOUBLE: span for full-range 64-bit ids would
+    # overflow long arithmetic (Python ints here don't), and the double
+    # conversion stays monotonic in doc_id — any monotone contiguous
+    # split is a correct bucketing, exactness is not required
+    span = float(max(hi - lo + 1, 1))
+    bucket = F.least(
+        F.floor((F.col("doc_id").cast("double") - float(lo))
+                / span * n_buckets),
+        F.lit(n_buckets - 1)).cast("long")
     b = toks.withColumn("bucket", bucket)
 
-    w = Window.partitionBy("bucket").orderBy("doc_id")
+    # ROWS frame, not the default RANGE: duplicate doc_ids under a
+    # RANGE frame would all receive the same cumsum (overlapping
+    # start_tok ranges); with ROWS, ties order arbitrarily but offsets
+    # stay disjoint — still, a unique doc_id is the documented contract
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = b.withColumn(
         "local_cum",
         F.sum("n_tokens").over(w) - F.col("n_tokens"))

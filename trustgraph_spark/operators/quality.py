@@ -55,7 +55,9 @@ MIN_STOPWORD_HITS = 2
 
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
-BULLET_PREFIXES = ("•", "‣", "▶", "-", "*")
+# The bullet rule is the regex class '^[•‣▶*\-]' inline in
+# gopher_metric_exprs (and mirrored verbatim in the DuckDB oracle) —
+# the pinned artifact is the pattern string itself, not a token list.
 
 
 def _words(text: Column) -> Column:
