@@ -1,0 +1,72 @@
+"""spark-submit entry point for the corpus-hygiene pipeline.
+
+Usage (local sandbox):
+
+    python jobs/package.py   # builds dist/trustgraph_spark.zip
+    spark-submit --master local[32] \
+        --py-files dist/trustgraph_spark.zip \
+        jobs/run_hygiene.py \
+        --input /root/testdata/sf0.01/documents.parquet \
+        --output /tmp/hygiene_out \
+        [--span-n 50] [--seq-len 2048] [--no-gopher-filter] \
+        [--mix web=0.5,code=0.3,wiki=0.2]
+
+Writes <output>/cleaned, <output>/packed, <output>/report as parquet
+and prints a one-line JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--span-n", type=int, default=50)
+    ap.add_argument("--seq-len", type=int, default=2048)
+    ap.add_argument("--lm-vocab", type=int, default=65536)
+    ap.add_argument("--no-gopher-filter", action="store_true")
+    ap.add_argument("--mix", default="",
+                    help="source=frac,... target token shares")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("trustgraph-hygiene").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from trustgraph_spark.hygiene import HygieneConfig, run_hygiene
+
+    targets = {}
+    if args.mix:
+        for kv in args.mix.split(","):
+            k, v = kv.split("=")
+            targets[k] = float(v)
+
+    cfg = HygieneConfig(
+        span_n=args.span_n, seq_len=args.seq_len,
+        lm_vocab_size=args.lm_vocab,
+        apply_gopher_filter=not args.no_gopher_filter,
+        mix_targets=targets)
+
+    t0 = time.monotonic()
+    docs = spark.read.parquet(args.input)
+    out = run_hygiene(docs, cfg)
+    for name in ("cleaned", "packed", "report"):
+        out[name].write.mode("overwrite").parquet(
+            f"{args.output}/{name}")
+    wall = round(time.monotonic() - t0, 2)
+
+    report = {r["stage"]: r["n_docs"]
+              for r in spark.read.parquet(f"{args.output}/report").collect()}
+    print(json.dumps({"wall_sec": wall, "report": report,
+                      "output": args.output}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

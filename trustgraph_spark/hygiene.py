@@ -1,0 +1,125 @@
+"""The corpus-hygiene pipeline — every scrub stage this package ships,
+composed in the order the stages are actually sound:
+
+1. **exact-dedup resolution** — collapse verbatim documents FIRST:
+   span dedup would otherwise gut every later copy to an empty doc
+   (all its n-grams are repeats) and the quality filter would silently
+   eat them, losing the cluster accounting.
+2. **corpus line dedup** (C4 keep-first) — strip cross-document
+   boilerplate lines while LINE STRUCTURE still exists (span dedup
+   re-joins tokens with spaces, destroying newlines).
+3. **span dedup** (exact-substring, keep-first) — remove residual
+   verbatim repeated spans.
+4. **PII redaction** — chained-replace scrub.
+5. **Gopher document filter** — drop documents failing the
+   repetition/structure rules, computed on the CLEANED text.
+6. **LM quality score** — corpus-fitted unigram mean-logprob for
+   downstream thresholding.
+7. **mixture sampling** (optional, targets given) — realize per-source
+   token shares with deterministic hash sampling.
+8. **sequence packing** — block assignment for the surviving docs.
+
+Each stage is the already-oracled operator; this module only wires
+them.  The composition is integration-tested
+(tests/test_hygiene_pipeline.py) and runnable as one spark-submit job
+(jobs/run_hygiene.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class HygieneConfig:
+    span_n: int = 50
+    line_min_count: int = 2
+    seq_len: int = 2048
+    lm_vocab_size: int = 65536
+    apply_gopher_filter: bool = True
+    mix_targets: dict = field(default_factory=dict)
+    mix_salt: str = "mix"
+
+
+def run_hygiene(documents: DataFrame,
+                config: HygieneConfig | None = None) -> dict:
+    """Run the scrub chain over (doc_id, text[, source]); returns a
+    dict of DataFrames: cleaned (the surviving corpus with scores and
+    dup-cluster sizes), packed (block assignments), report (per-stage
+    doc counts)."""
+    from trustgraph_spark.operators.dedup import resolve_duplicates
+    from trustgraph_spark.operators.linededup import corpus_line_dedup
+    from trustgraph_spark.operators.lmquality import unigram_logprob_score
+    from trustgraph_spark.operators.mixing import sample_to_mix
+    from trustgraph_spark.operators.packing import pack_blocks
+    from trustgraph_spark.operators.pii import redact_col
+    from trustgraph_spark.operators.quality import gopher_pass_col
+    from trustgraph_spark.operators.spandedup import exact_substring_dedup
+
+    cfg = config or HygieneConfig()
+    has_source = "source" in documents.columns
+    sources = (documents.select("doc_id", "source")
+               if has_source else None)
+
+    n0 = documents.count()
+
+    # 1. exact dedup: pair every doc with the min doc of its normalized
+    # content hash, resolve via CC, keep canonicals (+ cluster sizes)
+    hashed = documents.select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+        .alias("h"))
+    firsts = hashed.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    dup_pairs = (hashed.join(firsts, "h")
+                 .where(F.col("doc_id") != F.col("first_doc"))
+                 .select(F.col("doc_id").alias("a"),
+                         F.col("first_doc").alias("b")))
+    resolved = resolve_duplicates(documents, dup_pairs)
+    canon = (documents.join(
+        resolved.where("is_canonical").select("doc_id", "cluster_size"),
+        "doc_id"))
+    n_dedup = canon.count()
+
+    # 2-4. line dedup (needs intact newlines), span dedup, redaction
+    lined = (corpus_line_dedup(canon.select("doc_id", "text"),
+                               min_count=cfg.line_min_count)
+             .select("doc_id", "text"))
+    spanned = (exact_substring_dedup(lined, n=cfg.span_n)
+               .select("doc_id", "text"))
+    redacted = spanned.select(
+        "doc_id", redact_col(F.col("text")).alias("text"))
+
+    # 5. Gopher filter on the cleaned text
+    if cfg.apply_gopher_filter:
+        filtered = redacted.where(gopher_pass_col(F.col("text")))
+    else:
+        filtered = redacted
+    n_filtered = filtered.count()
+
+    # 6. LM quality score (model fitted on the surviving corpus)
+    scored = (filtered
+              .join(unigram_logprob_score(
+                  filtered, vocab_size=cfg.lm_vocab_size), "doc_id")
+              .join(canon.select("doc_id", "cluster_size"), "doc_id"))
+
+    cleaned = scored
+    if cfg.mix_targets:
+        if not has_source:
+            raise ValueError("mix_targets given but no source column")
+        sampled = sample_to_mix(
+            scored.join(sources, "doc_id"), cfg.mix_targets,
+            salt=cfg.mix_salt)
+        cleaned = scored.join(
+            sampled.select("doc_id", "epoch", "rate"), "doc_id")
+
+    # 8. packing over the survivors
+    packed = pack_blocks(filtered, seq_len=cfg.seq_len)
+
+    report_df = documents.sparkSession.createDataFrame(
+        [("input", n0), ("after_dedup", n_dedup),
+         ("after_scrub_filter", n_filtered)],
+        "stage string, n_docs long")
+    return {"cleaned": cleaned, "packed": packed, "report": report_df}
