@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "lm_quality",
     "pack_blocks",
     "span_dedup",
+    "semdedup_keep",
+    "dsir_sample",
 ]
 
 
