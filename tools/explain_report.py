@@ -398,6 +398,39 @@ def main() -> None:
         exact_substring_dedup(docs, n=8),
     )
 
+    from trustgraph_spark.operators.dsir import dsir_weights
+    from trustgraph_spark.operators.semdedup import semdedup
+
+    add(
+        "DSIR importance weights (dsir_sample)",
+        "Both hashed-n-gram model fits are map-side-combinable aggregates "
+        "on a CONSTANT-cardinality bucket key; the fitted models and their "
+        "smoothing floors broadcast back, so scoring is scan -> Generate "
+        "-> BroadcastHashJoin x2 -> partial-agg rollup on doc_id. No "
+        "SortMergeJoin, no Python; the top-k in dsir_sample lowers to "
+        "TakeOrderedAndProject.",
+        dsir_weights(docs, docs.where("lang = 'en'"), n_buckets=256),
+    )
+
+    import numpy as np
+
+    _cents = [[float(x) for x in r]
+              for r in np.random.RandomState(5).randn(4, 64)]
+    add(
+        "SemDedup (semdedup_keep)",
+        "Cluster assignment is the sanctioned Arrow-GEMM seam "
+        "(MapInPandas); everything after is native: broadcast centroid "
+        "join, per-cluster window rank, and the upper-triangular pair "
+        "test as a cluster-key SortMergeJoin (both sides are corpus-"
+        "sized — one exchange on cluster_id each) with the rank/eps "
+        "predicates as join filters — quadratic only within a cluster, "
+        "no CartesianProduct anywhere.",
+        semdedup(
+            spark.read.parquet(
+                "/root/testdata/sf0.001/embeddings.parquet"),
+            _cents, eps=0.95),
+    )
+
     with open("/root/repo/EXPLAIN.md", "w") as f:
         f.write(
             "# EXPLAIN — physical plans of the core operators\n\n"
