@@ -9,7 +9,9 @@ Usage (local sandbox):
         --input /root/testdata/sf0.01/documents.parquet \
         --output /tmp/hygiene_out \
         [--span-n 50] [--seq-len 2048] [--no-gopher-filter] \
-        [--mix web=0.5,code=0.3,wiki=0.2]
+        [--mix web=0.5,code=0.3,wiki=0.2] \
+        [--embeddings emb.parquet]       # (doc_id, embedding): SemDedup \
+        [--dsir-target tgt.parquet --dsir-keep 1000]   # DSIR selection
 
 Writes <output>/cleaned, <output>/packed, <output>/report as parquet
 and prints a one-line JSON summary.
@@ -19,7 +21,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# `python jobs/run_hygiene.py` puts jobs/ (not the repo root) on
+# sys.path; under spark-submit --py-files the zip supplies the package
+# and this prepend is a harmless no-op.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -32,6 +41,11 @@ def main() -> None:
     ap.add_argument("--no-gopher-filter", action="store_true")
     ap.add_argument("--mix", default="",
                     help="source=frac,... target token shares")
+    ap.add_argument("--embeddings", default="",
+                    help="(doc_id, embedding) parquet: enables SemDedup")
+    ap.add_argument("--dsir-target", default="",
+                    help="(doc_id, text) parquet: enables DSIR selection")
+    ap.add_argument("--dsir-keep", type=int, default=0)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,11 +65,14 @@ def main() -> None:
         span_n=args.span_n, seq_len=args.seq_len,
         lm_vocab_size=args.lm_vocab,
         apply_gopher_filter=not args.no_gopher_filter,
-        mix_targets=targets)
+        mix_targets=targets, dsir_keep=args.dsir_keep)
 
     t0 = time.monotonic()
     docs = spark.read.parquet(args.input)
-    out = run_hygiene(docs, cfg)
+    emb = spark.read.parquet(args.embeddings) if args.embeddings else None
+    tgt = (spark.read.parquet(args.dsir_target)
+           if args.dsir_target else None)
+    out = run_hygiene(docs, cfg, embeddings=emb, dsir_target=tgt)
     for name in ("cleaned", "packed", "report"):
         out[name].write.mode("overwrite").parquet(
             f"{args.output}/{name}")

@@ -20,8 +20,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# `python jobs/run_pipeline.py` puts jobs/ (not the repo root) on
+# sys.path; under spark-submit --py-files the zip supplies the package
+# and this prepend is a harmless no-op.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

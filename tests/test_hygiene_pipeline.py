@@ -100,6 +100,49 @@ def test_mix_targets_path(spark):
     assert rows and all(r["epoch"] >= 1 and r["rate"] > 0 for r in rows)
 
 
+def test_semdedup_and_dsir_stages(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in DOCS], "doc_id long, text string")
+    vecs = {i: rng.randn(16) for i, _ in DOCS}
+    vecs[4] = vecs[1] + rng.randn(16) * 0.01   # semantic near-dup pair
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "doc_id long, embedding array<double>")
+    target = docs.where("doc_id IN (0, 1)").select("doc_id", "text")
+
+    out = run_hygiene(
+        docs,
+        HygieneConfig(span_n=5, seq_len=32, lm_vocab_size=400,
+                      dsir_keep=3),
+        embeddings=emb, dsir_target=target)
+    rep = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert rep["after_dedup"] == 9
+    assert rep["after_semdedup"] == 8       # one of the {1, 4} pair goes
+    assert rep["after_dsir"] == 3
+    cleaned = {r["doc_id"] for r in out["cleaned"].collect()}
+    assert len(cleaned) == 3
+    # survivors are a subset of the semdedup'd, gopher-passing docs
+    assert cleaned <= {0, 1, 2, 3, 4, 5, 6}
+    packed = {r["doc_id"] for r in out["packed"].collect()}
+    assert packed == cleaned
+
+
+def test_docs_without_embeddings_are_kept(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in DOCS], "doc_id long, text string")
+    # embeddings only for docs 0 and 1, well separated
+    emb = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 15), (1, [0.0] * 15 + [1.0])],
+        "doc_id long, embedding array<double>")
+    out = run_hygiene(docs, HygieneConfig(span_n=5, seq_len=32),
+                      embeddings=emb)
+    rep = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert rep["after_semdedup"] == 9       # nothing semantic to drop
+
+
 def test_no_gopher_filter_keeps_everything(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t in DOCS], "doc_id long, text string")

@@ -5,6 +5,10 @@ composed in the order the stages are actually sound:
    span dedup would otherwise gut every later copy to an empty doc
    (all its n-grams are repeats) and the quality filter would silently
    eat them, losing the cluster accounting.
+1b. **SemDedup** (optional, embeddings given) — drop semantic
+   near-duplicates exact dedup cannot see, while the doc set is
+   already free of verbatim copies (which would otherwise all land in
+   one cluster and burn pair-join budget re-discovering stage 1).
 2. **corpus line dedup** (C4 keep-first) — strip cross-document
    boilerplate lines while LINE STRUCTURE still exists (span dedup
    re-joins tokens with spaces, destroying newlines).
@@ -13,6 +17,10 @@ composed in the order the stages are actually sound:
 4. **PII redaction** — chained-replace scrub.
 5. **Gopher document filter** — drop documents failing the
    repetition/structure rules, computed on the CLEANED text.
+5b. **DSIR selection** (optional, target corpus given) — importance-
+   resample the survivors toward the target distribution; runs on
+   scrubbed, quality-passed text so the hashed-n-gram models never
+   fit on boilerplate that later stages would have removed.
 6. **LM quality score** — corpus-fitted unigram mean-logprob for
    downstream thresholding.
 7. **mixture sampling** (optional, targets given) — realize per-source
@@ -42,21 +50,36 @@ class HygieneConfig:
     apply_gopher_filter: bool = True
     mix_targets: dict = field(default_factory=dict)
     mix_salt: str = "mix"
+    semdedup_eps: float = 0.95
+    semdedup_cluster_size: int = 512
+    dsir_keep: int = 0           # 0 = keep everything
+    dsir_buckets: int = 8192
 
 
 def run_hygiene(documents: DataFrame,
-                config: HygieneConfig | None = None) -> dict:
+                config: HygieneConfig | None = None,
+                embeddings: DataFrame | None = None,
+                dsir_target: DataFrame | None = None) -> dict:
     """Run the scrub chain over (doc_id, text[, source]); returns a
     dict of DataFrames: cleaned (the surviving corpus with scores and
     dup-cluster sizes), packed (block assignments), report (per-stage
-    doc counts)."""
+    doc counts).
+
+    ``embeddings`` — optional (doc_id, embedding) table: enables the
+    SemDedup stage (centroids k-means-refined at n_docs /
+    semdedup_cluster_size lists, the operator's k-proportional-to-N
+    cost model).  Docs without an embedding row are kept (nothing to
+    compare).  ``dsir_target`` — optional (doc_id, text) corpus:
+    enables DSIR selection of the top ``dsir_keep`` survivors."""
     from trustgraph_spark.operators.dedup import resolve_duplicates
+    from trustgraph_spark.operators.dsir import dsir_sample
     from trustgraph_spark.operators.linededup import corpus_line_dedup
     from trustgraph_spark.operators.lmquality import unigram_logprob_score
     from trustgraph_spark.operators.mixing import sample_to_mix
     from trustgraph_spark.operators.packing import pack_blocks
     from trustgraph_spark.operators.pii import redact_col
     from trustgraph_spark.operators.quality import gopher_pass_col
+    from trustgraph_spark.operators.semdedup import semdedup
     from trustgraph_spark.operators.spandedup import exact_substring_dedup
 
     cfg = config or HygieneConfig()
@@ -82,6 +105,25 @@ def run_hygiene(documents: DataFrame,
         resolved.where("is_canonical").select("doc_id", "cluster_size"),
         "doc_id"))
     n_dedup = canon.count()
+    stages = [("input", n0), ("after_dedup", n_dedup)]
+
+    # 1b. SemDedup over the exact-dedup survivors (embeddings given)
+    if embeddings is not None:
+        from trustgraph_spark.operators.embeddings import ivf_kmeans
+
+        emb = embeddings.join(canon.select("doc_id"), "doc_id") \
+            .localCheckpoint()
+        # k proportional to N (expected cluster size ~ cluster_size);
+        # never more lists than needed — a tiny corpus is ONE cluster
+        n_lists = max(1, -(-emb.count() // cfg.semdedup_cluster_size))
+        cents = ivf_kmeans(emb, n_lists=n_lists, id_col="doc_id",
+                           vec_col="embedding")
+        sem_drop = (semdedup(emb, cents, eps=cfg.semdedup_eps,
+                             id_col="doc_id", vec_col="embedding")
+                    .where(~F.col("kept")).select("doc_id"))
+        canon = canon.join(sem_drop, "doc_id", "left_anti")
+        n_sem = canon.count()
+        stages.append(("after_semdedup", n_sem))
 
     # 2-4. line dedup (needs intact newlines), span dedup, redaction
     lined = (corpus_line_dedup(canon.select("doc_id", "text"),
@@ -98,6 +140,14 @@ def run_hygiene(documents: DataFrame,
     else:
         filtered = redacted
     n_filtered = filtered.count()
+    stages.append(("after_scrub_filter", n_filtered))
+
+    # 5b. DSIR selection over the scrubbed, quality-passed survivors
+    if dsir_target is not None and cfg.dsir_keep > 0:
+        sel = dsir_sample(filtered, dsir_target, k=cfg.dsir_keep,
+                          n_buckets=cfg.dsir_buckets)
+        filtered = filtered.join(sel.select("doc_id"), "doc_id")
+        stages.append(("after_dsir", filtered.count()))
 
     # 6. LM quality score (model fitted on the surviving corpus)
     scored = (filtered
@@ -119,7 +169,5 @@ def run_hygiene(documents: DataFrame,
     packed = pack_blocks(filtered, seq_len=cfg.seq_len)
 
     report_df = documents.sparkSession.createDataFrame(
-        [("input", n0), ("after_dedup", n_dedup),
-         ("after_scrub_filter", n_filtered)],
-        "stage string, n_docs long")
+        stages, "stage string, n_docs long")
     return {"cleaned": cleaned, "packed": packed, "report": report_df}
