@@ -2191,6 +2191,198 @@ def q_dsir_sample(spark, sf_dir):
     return dsir_sample(docs, target, k=40, n_buckets=256)
 
 
+_EXPLAIN_TG = "https://trustgraph.ai/ns/"
+
+
+def _explain_gr_sessions(spark, sf_dir):
+    """Planted GraphRAG query sessions (doc_id % 5 == 1, 100 at sf0.01):
+    every optional emit arm (edge concept/score/reasoning, document,
+    tokens, model) toggles on a distinct doc_id residue so the oracle
+    replays each conditional row exactly."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return _docs(spark, sf_dir).where(d % 5 == 1).select(
+        F.concat(F.lit("s"), s(d)).alias("session_id"),
+        F.concat(F.lit("who is entity "), s(d % 40), F.lit("?"))
+        .alias("query"),
+        F.concat(F.lit("2026-01-01T00:00:"),
+                 F.lpad(s(d % 60), 2, "0"), F.lit("Z")).alias("ts"),
+        F.array(F.concat(F.lit("alpha"), s(d % 7))).alias("concepts"),
+        F.array(F.concat(F.lit("http://trustgraph.ai/e/e"), s(d % 11)))
+        .alias("entities"),
+        (d % 13).cast("int").alias("edge_count"),
+        F.array(F.struct(
+            F.concat(F.lit("http://trustgraph.ai/e/e"), s(d % 11))
+            .alias("s"),
+            F.lit(_EXPLAIN_TG + "rel").alias("p"),
+            F.concat(F.lit("http://trustgraph.ai/e/e"), s(d % 9))
+            .alias("o"),
+            F.when(d % 2 == 0, F.concat(F.lit("alpha"), s(d % 7)))
+            .otherwise("").alias("concept"),
+            F.when(d % 3 != 0, F.concat(F.lit("0."), s(d % 89 + 10)))
+            .otherwise("").alias("score"),
+            F.when(d % 4 == 0, F.concat(F.lit("because "), s(d)))
+            .otherwise("").alias("reasoning"),
+        )).alias("selected_edges"),
+        F.when(d % 2 == 0, F.concat(F.lit("urn:doc:"), s(d)))
+        .alias("document_id"),
+        F.when(d % 3 == 0, d).alias("in_token"),
+        F.when(d % 3 == 0, d + 1).alias("out_token"),
+        F.when(d % 6 == 0, F.lit("test-model")).alias("model"),
+    )
+
+
+def _explain_dr_sessions(spark, sf_dir):
+    """Planted DocumentRAG sessions (doc_id % 5 == 3): d % 7 == 0 has no
+    reranked entries (no Focus entity), d % 3 == 0 has an empty
+    chunk_id (selection row skipped, envelope kept)."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    empty = F.array().cast(
+        "array<struct<chunk_id:string,score:string>>")
+    return _docs(spark, sf_dir).where(d % 5 == 3).select(
+        F.concat(F.lit("d"), s(d)).alias("session_id"),
+        F.concat(F.lit("what about doc "), s(d), F.lit("?")).alias("query"),
+        F.concat(F.lit("2026-01-02T00:00:"),
+                 F.lpad(s(d % 60), 2, "0"), F.lit("Z")).alias("ts"),
+        F.array(F.concat(F.lit("beta"), s(d % 4))).alias("concepts"),
+        (d % 6).cast("int").alias("chunk_count"),
+        F.array(F.concat(F.lit("urn:chunk:"), s(d % 17)))
+        .alias("chunk_ids"),
+        F.when(d % 7 == 0, empty).otherwise(F.array(F.struct(
+            F.when(d % 3 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("urn:chunk:"), s(d % 17))).alias("chunk_id"),
+            F.when(d % 2 == 0, F.concat(F.lit("0."), s(d % 89 + 10)))
+            .otherwise("").alias("score"),
+        ))).alias("reranked"),
+        F.when(d % 3 == 0, F.concat(F.lit("urn:doc:"), s(d)))
+        .alias("document_id"),
+        F.when(d % 4 == 0, d).alias("in_token"),
+        F.when(d % 4 == 0, d * 2).alias("out_token"),
+        F.lit(None).cast("string").alias("model"),
+    )
+
+
+def _explain_store(spark, sf_dir):
+    from trustgraph_spark.operators.explain import (
+        docrag_session_triples,
+        graphrag_session_triples,
+    )
+
+    return graphrag_session_triples(
+        _explain_gr_sessions(spark, sf_dir)
+    ).unionByName(docrag_session_triples(_explain_dr_sessions(spark, sf_dir)))
+
+
+def q_explain_rag_emit(spark, sf_dir):
+    """Query-time explainability emission (provenance/triples.py:372-833):
+    the full GraphRAG Question->Grounding->Exploration->Focus(+edge
+    selections)->Synthesis chain and the DocumentRAG twin (synthesis
+    derived from exploration, chunk-selection Focus only when reranked)
+    over planted sessions — inline array + explode per session, the
+    RDF-star edge JSON via the sanctioned byte-exact seam, every
+    optional arm (concept/score/reasoning/document/tokens/model)
+    exercised on a doc_id residue."""
+    return _explain_store(spark, sf_dir).select("s", "p", "o", "otype")
+
+
+def q_explain_entities(spark, sf_dir):
+    """Explainability entity reconstruction (api/explainability.py:85-416):
+    emit both RAG chains, then parse EVERY entity back in one
+    map-side-combinable groupBy — the reference's from_triples type
+    dispatch (exact priority order) + per-type field parsers, fields
+    masked to the owning type. Oracle = ground truth computed directly
+    from the planted session definitions, so emit->parse must round-trip
+    exactly."""
+    from trustgraph_spark.operators.explain import explain_entities
+
+    e = explain_entities(_explain_store(spark, sf_dir))
+    return e.select(
+        "uri", "entity_type", "question_type", "query", "timestamp",
+        F.size("concepts").alias("n_concepts"),
+        F.md5(F.concat_ws("|", "concepts")).alias("concepts_key"),
+        "edge_count", "chunk_count",
+        F.size("entities").alias("n_entities"),
+        F.md5(F.concat_ws("|", "selected_edge_uris")).alias("edges_key"),
+        "document",
+    )
+
+
+def q_explain_trace(spark, sf_dir):
+    """Whole-store trace reconstruction (fetch_graphrag_trace
+    :735-864 / fetch_docrag_trace :866-972): every session's
+    Question->Grounding->Exploration[->Focus]->Synthesis chain assembled
+    with fixed-depth joins on the prov:wasDerivedFrom edge frame — the
+    set-oriented replacement for the reference's per-request chained
+    fetches. GraphRAG synthesis hangs off Focus, DocumentRAG off
+    Exploration; sessions without a Focus surface null tails."""
+    from trustgraph_spark.operators.explain import rag_traces
+
+    t = rag_traces(_explain_store(spark, sf_dir))
+    return t.select(
+        "question_uri", "question_type", "query", "timestamp",
+        "grounding_uri",
+        F.md5(F.concat_ws("|", "grounding_concepts")).alias("concepts_key"),
+        "exploration_uri",
+        F.col("exploration_edge_count").alias("edge_count"),
+        F.col("exploration_chunk_count").alias("chunk_count"),
+        F.size("exploration_entities").alias("n_entities"),
+        "focus_uri",
+        F.size("focus_selected_edge_uris").alias("n_selected"),
+        "synthesis_uri", "synthesis_document",
+    )
+
+
+def q_doc_prov_triples(spark, sf_dir):
+    """Extraction-time document + derived-entity provenance
+    (provenance/triples.py:97-280): source documents as typed
+    prov:Entity rows with presence-gated Dublin Core metadata, one
+    derived chunk per document with the wasDerivedFrom / generation
+    activity / agent scaffolding and the image>section>page>chunk
+    specific-type priority (deterministic sha256 activity URIs, see
+    derived_entity_prov_triples docstring)."""
+    from trustgraph_spark.operators.explain import (
+        derived_entity_prov_triples,
+        document_prov_triples,
+    )
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    base = _docs(spark, sf_dir)
+    docs = base.select(
+        F.concat(F.lit("urn:doc:"), s(d)).alias("doc_uri"),
+        F.when(d % 2 == 0, F.concat(F.lit("Doc "), s(d)))
+        .otherwise("").alias("title"),
+        F.when(d % 3 == 0, F.concat(F.lit("http://src/"), s(d)))
+        .otherwise("").alias("source"),
+        F.when(d % 4 == 0,
+               F.concat(F.lit("2026-0"), s(d % 9 + 1), F.lit("-01")))
+        .otherwise("").alias("date"),
+        F.when(d % 5 == 0, F.concat(F.lit("author "), s(d % 13)))
+        .otherwise("").alias("creator"),
+        F.when(d % 6 == 0, (d % 9).cast("int")).alias("page_count"),
+        F.when(d % 2 == 1, F.lit("text/plain"))
+        .otherwise("").alias("mime_type"),
+    )
+    ents = base.select(
+        F.concat(F.lit("urn:chunk:c"), s(d)).alias("entity_uri"),
+        F.concat(F.lit("urn:doc:"), s(d)).alias("parent_uri"),
+        F.when(d % 3 == 0, F.concat(F.lit("chunk of "), s(d)))
+        .alias("label"),
+        F.lit(None).cast("int").alias("page_number"),
+        (d % 5).cast("int").alias("chunk_index"),
+        (d % 7).cast("int").alias("char_offset"),
+        F.col("n_chars").cast("int").alias("char_length"),
+        F.lit(False).alias("section"),
+        (d % 11 == 0).alias("image"),
+        F.lit(None).cast("string").alias("mime_type"),
+    )
+    out = document_prov_triples(docs).unionByName(
+        derived_entity_prov_triples(
+            ents, "chunker", "0.1.0", "2026-01-01T00:00:00Z"))
+    return out.select("s", "p", "o", "otype")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's CORRECTNESS snapshot covers the FIRST 50
     # registry entries (observed in r02 and r03).  Entries that have never had
@@ -2199,6 +2391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds of green driver history rotate to the back.
     return {
         # -- round-5 additions (driver window: first 50) --
+        "explain_rag_emit": q_explain_rag_emit,
+        "explain_entities": q_explain_entities,
+        "explain_trace": q_explain_trace,
+        "doc_prov_triples": q_doc_prov_triples,
         "semdedup_keep": q_semdedup_keep,
         "dsir_sample": q_dsir_sample,
         "react_tool_trace": q_react_tool_trace,
@@ -2437,6 +2633,244 @@ SELECT doc_id, n_grams, weight,
 FROM alldocs
 ORDER BY key DESC, doc_id ASC LIMIT 40
 """
+
+    # -- explainability provenance (provenance/triples.py:97-833 emit;
+    #    api/explainability.py:85-972 read) ------------------------------
+    _ns = "https://trustgraph.ai/ns/"
+    _rt = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    _pv = "http://www.w3.org/ns/prov#"
+    _pe, _wdf, _sat = _pv + "Entity", _pv + "wasDerivedFrom", _pv + "startedAtTime"
+    _ejson = (
+        "'{\"s\": {\"type\": \"i\", \"iri\": \"' || es || "
+        "'\"}, \"p\": {\"type\": \"i\", \"iri\": \"" + _ns + "rel\"}, "
+        "\"o\": {\"type\": \"i\", \"iri\": \"' || eo || '\"}}'"
+    )
+    _EXPLAIN_CTE = f"""
+WITH gr AS (
+  SELECT doc_id AS d,
+    'urn:trustgraph:question:s' || doc_id AS q,
+    'urn:trustgraph:prov:grounding:s' || doc_id AS g,
+    'urn:trustgraph:prov:exploration:s' || doc_id AS e,
+    'urn:trustgraph:prov:focus:s' || doc_id AS f,
+    'urn:trustgraph:prov:synthesis:s' || doc_id AS syn,
+    'urn:trustgraph:prov:edge:s' || doc_id || ':0' AS sel,
+    'who is entity ' || (doc_id % 40) || '?' AS query,
+    '2026-01-01T00:00:' || lpad((doc_id % 60)::VARCHAR, 2, '0') || 'Z' AS ts,
+    'alpha' || (doc_id % 7) AS concept,
+    'http://trustgraph.ai/e/e' || (doc_id % 11) AS ent,
+    (doc_id % 13)::VARCHAR AS ec,
+    'http://trustgraph.ai/e/e' || (doc_id % 11) AS es,
+    'http://trustgraph.ai/e/e' || (doc_id % 9) AS eo,
+    '0.' || (doc_id % 89 + 10) AS score
+  FROM documents WHERE doc_id % 5 = 1
+), dr AS (
+  SELECT doc_id AS d,
+    'urn:trustgraph:docrag:d' || doc_id AS q,
+    'urn:trustgraph:docrag:d' || doc_id || '/grounding' AS g,
+    'urn:trustgraph:docrag:d' || doc_id || '/exploration' AS e,
+    'urn:trustgraph:docrag:d' || doc_id || '/focus' AS f,
+    'urn:trustgraph:docrag:d' || doc_id || '/synthesis' AS syn,
+    'urn:trustgraph:prov:chunk:d' || doc_id || ':0' AS sel,
+    'what about doc ' || doc_id || '?' AS query,
+    '2026-01-02T00:00:' || lpad((doc_id % 60)::VARCHAR, 2, '0') || 'Z' AS ts,
+    'beta' || (doc_id % 4) AS concept,
+    (doc_id % 6)::VARCHAR AS cc,
+    'urn:chunk:' || (doc_id % 17) AS chunk,
+    '0.' || (doc_id % 89 + 10) AS score
+  FROM documents WHERE doc_id % 5 = 3
+)
+"""
+
+    def _arm(src, s, p, o, otype, where=None):
+        w = f" WHERE {where}" if where else ""
+        return (f"SELECT {s} AS s, '{p}' AS p, {o} AS o, "
+                f"'{otype}' AS otype FROM {src}{w}")
+
+    _emit_arms = [
+        # GraphRAG scalar chain (triples.py:372-634)
+        _arm("gr", "q", _rt, f"'{_pe}'", "u"),
+        _arm("gr", "q", _rt, f"'{_ns}Question'", "u"),
+        _arm("gr", "q", _rt, f"'{_ns}GraphRagQuestion'", "u"),
+        _arm("gr", "q", RDF_LABEL, "'GraphRAG Question'", "l"),
+        _arm("gr", "q", _sat, "ts", "l"),
+        _arm("gr", "q", _ns + "query", "query", "l"),
+        _arm("gr", "g", _rt, f"'{_pe}'", "u"),
+        _arm("gr", "g", _rt, f"'{_ns}Grounding'", "u"),
+        _arm("gr", "g", RDF_LABEL, "'Grounding'", "l"),
+        _arm("gr", "g", _wdf, "q", "u"),
+        _arm("gr", "g", _ns + "concept", "concept", "l"),
+        _arm("gr", "e", _rt, f"'{_pe}'", "u"),
+        _arm("gr", "e", _rt, f"'{_ns}Exploration'", "u"),
+        _arm("gr", "e", RDF_LABEL, "'Exploration'", "l"),
+        _arm("gr", "e", _wdf, "g", "u"),
+        _arm("gr", "e", _ns + "edgeCount", "ec", "l"),
+        _arm("gr", "e", _ns + "entity", "ent", "u"),
+        _arm("gr", "f", _rt, f"'{_pe}'", "u"),
+        _arm("gr", "f", _rt, f"'{_ns}Focus'", "u"),
+        _arm("gr", "f", RDF_LABEL, "'Focus'", "l"),
+        _arm("gr", "f", _wdf, "e", "u"),
+        _arm("gr", "syn", _rt, f"'{_pe}'", "u"),
+        _arm("gr", "syn", _rt, f"'{_ns}Synthesis'", "u"),
+        _arm("gr", "syn", _rt, f"'{_ns}Answer'", "u"),
+        _arm("gr", "syn", RDF_LABEL, "'Synthesis'", "l"),
+        _arm("gr", "syn", _wdf, "f", "u"),
+        _arm("gr", "syn", _ns + "document", "'urn:doc:' || d", "u",
+             "d % 2 = 0"),
+        _arm("gr", "syn", _ns + "inToken", "d::VARCHAR", "l", "d % 3 = 0"),
+        _arm("gr", "syn", _ns + "outToken", "(d + 1)::VARCHAR", "l",
+             "d % 3 = 0"),
+        _arm("gr", "syn", _ns + "llmModel", "'test-model'", "l",
+             "d % 6 = 0"),
+        # GraphRAG edge selection (triples.py:547-592)
+        _arm("gr", "f", _ns + "selectedEdge", "sel", "u"),
+        _arm("gr", "sel", _rt, f"'{_ns}EdgeSelection'", "u"),
+        _arm("gr", "sel", _ns + "edge", _ejson, "t"),
+        _arm("gr", "sel", _ns + "concept", "concept", "l", "d % 2 = 0"),
+        _arm("gr", "sel", _ns + "score", "score", "l", "d % 3 <> 0"),
+        _arm("gr", "sel", _ns + "reasoning", "'because ' || d", "l",
+             "d % 4 = 0"),
+        # DocumentRAG scalar chain (triples.py:644-833)
+        _arm("dr", "q", _rt, f"'{_pe}'", "u"),
+        _arm("dr", "q", _rt, f"'{_ns}Question'", "u"),
+        _arm("dr", "q", _rt, f"'{_ns}DocRagQuestion'", "u"),
+        _arm("dr", "q", RDF_LABEL, "'DocumentRAG Question'", "l"),
+        _arm("dr", "q", _sat, "ts", "l"),
+        _arm("dr", "q", _ns + "query", "query", "l"),
+        _arm("dr", "g", _rt, f"'{_pe}'", "u"),
+        _arm("dr", "g", _rt, f"'{_ns}Grounding'", "u"),
+        _arm("dr", "g", RDF_LABEL, "'Grounding'", "l"),
+        _arm("dr", "g", _wdf, "q", "u"),
+        _arm("dr", "g", _ns + "concept", "concept", "l"),
+        _arm("dr", "e", _rt, f"'{_pe}'", "u"),
+        _arm("dr", "e", _rt, f"'{_ns}Exploration'", "u"),
+        _arm("dr", "e", RDF_LABEL, "'Exploration'", "l"),
+        _arm("dr", "e", _wdf, "g", "u"),
+        _arm("dr", "e", _ns + "chunkCount", "cc", "l"),
+        _arm("dr", "e", _ns + "selectedChunk", "chunk", "u"),
+        _arm("dr", "syn", _rt, f"'{_pe}'", "u"),
+        _arm("dr", "syn", _rt, f"'{_ns}Synthesis'", "u"),
+        _arm("dr", "syn", _rt, f"'{_ns}Answer'", "u"),
+        _arm("dr", "syn", RDF_LABEL, "'Synthesis'", "l"),
+        _arm("dr", "syn", _wdf, "e", "u"),
+        _arm("dr", "syn", _ns + "document", "'urn:doc:' || d", "u",
+             "d % 3 = 0"),
+        _arm("dr", "syn", _ns + "inToken", "d::VARCHAR", "l", "d % 4 = 0"),
+        _arm("dr", "syn", _ns + "outToken", "(d * 2)::VARCHAR", "l",
+             "d % 4 = 0"),
+        # Focus envelope only when reranked is non-empty
+        _arm("dr", "f", _rt, f"'{_pe}'", "u", "d % 7 <> 0"),
+        _arm("dr", "f", _rt, f"'{_ns}Focus'", "u", "d % 7 <> 0"),
+        _arm("dr", "f", RDF_LABEL, "'Chunk Selection'", "l", "d % 7 <> 0"),
+        _arm("dr", "f", _wdf, "e", "u", "d % 7 <> 0"),
+        # Chunk selection rows skip empty chunk_id (d % 3 = 0)
+        _arm("dr", "f", _ns + "selectedChunk", "sel", "u",
+             "d % 7 <> 0 AND d % 3 <> 0"),
+        _arm("dr", "sel", _rt, f"'{_ns}ChunkSelection'", "u",
+             "d % 7 <> 0 AND d % 3 <> 0"),
+        _arm("dr", "sel", _ns + "document", "chunk", "u",
+             "d % 7 <> 0 AND d % 3 <> 0"),
+        _arm("dr", "sel", _ns + "score", "score", "l",
+             "d % 7 <> 0 AND d % 3 <> 0 AND d % 2 = 0"),
+    ]
+    sql["explain_rag_emit"] = _EXPLAIN_CTE + "\nUNION ALL\n".join(_emit_arms)
+
+    def _ent_row(src, uri, etype, qtype="''", query="''", ts="''",
+                 n_con="0", con_key="md5('')", ec="0", cc="0", n_ent="0",
+                 edge_key="md5('')", doc="''", where=None):
+        w = f" WHERE {where}" if where else ""
+        return (
+            f"SELECT {uri} AS uri, '{etype}' AS entity_type, "
+            f"{qtype} AS question_type, {query} AS query, "
+            f'{ts} AS "timestamp", {n_con}::INT AS n_concepts, '
+            f"{con_key} AS concepts_key, {ec}::INT AS edge_count, "
+            f"{cc}::INT AS chunk_count, {n_ent}::INT AS n_entities, "
+            f"{edge_key} AS edges_key, {doc} AS document FROM {src}{w}"
+        )
+
+    sql["explain_entities"] = _EXPLAIN_CTE + "\nUNION ALL\n".join([
+        _ent_row("gr", "q", "question", "'graph-rag'", "query", "ts"),
+        _ent_row("gr", "g", "grounding", n_con="1", con_key="md5(concept)"),
+        _ent_row("gr", "e", "exploration", ec="(d % 13)", n_ent="1"),
+        _ent_row("gr", "f", "focus", edge_key="md5(sel)"),
+        _ent_row("gr", "syn", "synthesis",
+                 doc="CASE WHEN d % 2 = 0 THEN 'urn:doc:' || d "
+                     "ELSE '' END"),
+        _ent_row("gr", "sel", "unknown"),
+        _ent_row("dr", "q", "question", "'document-rag'", "query", "ts"),
+        _ent_row("dr", "g", "grounding", n_con="1", con_key="md5(concept)"),
+        _ent_row("dr", "e", "exploration", cc="(d % 6)"),
+        _ent_row("dr", "f", "focus", where="d % 7 <> 0"),
+        _ent_row("dr", "syn", "synthesis",
+                 doc="CASE WHEN d % 3 = 0 THEN 'urn:doc:' || d "
+                     "ELSE '' END"),
+        _ent_row("dr", "sel", "unknown",
+                 where="d % 7 <> 0 AND d % 3 <> 0"),
+    ])
+
+    sql["explain_trace"] = _EXPLAIN_CTE + f"""
+SELECT q AS question_uri, 'graph-rag' AS question_type, query,
+       ts AS "timestamp", g AS grounding_uri, md5(concept) AS concepts_key,
+       e AS exploration_uri, (d % 13)::INT AS edge_count, 0::INT AS chunk_count,
+       1::INT AS n_entities, f AS focus_uri, 1::INT AS n_selected,
+       syn AS synthesis_uri,
+       CASE WHEN d % 2 = 0 THEN 'urn:doc:' || d ELSE '' END
+         AS synthesis_document
+FROM gr
+UNION ALL
+SELECT q, 'document-rag', query, ts, g, md5(concept),
+       e, 0::INT, (d % 6)::INT, 0::INT,
+       CASE WHEN d % 7 <> 0 THEN f END,
+       CASE WHEN d % 7 <> 0 THEN 0 END::INT,
+       syn, CASE WHEN d % 3 = 0 THEN 'urn:doc:' || d ELSE '' END
+FROM dr
+"""
+
+    _DOCPROV_CTE = """
+WITH dp AS (
+  SELECT doc_id AS d, n_chars,
+    'urn:doc:' || doc_id AS doc,
+    'urn:chunk:c' || doc_id AS ent,
+    'https://trustgraph.ai/activity/'
+      || sha256('urn:chunk:c' || doc_id || ':chunker') AS act
+  FROM documents
+)
+"""
+    _agt = "https://trustgraph.ai/agent/chunker"
+    _dc = "http://purl.org/dc/elements/1.1/"
+    sql["doc_prov_triples"] = _DOCPROV_CTE + "\nUNION ALL\n".join([
+        _arm("dp", "doc", _rt, f"'{_pe}'", "u"),
+        _arm("dp", "doc", _rt, f"'{_ns}Document'", "u"),
+        _arm("dp", "doc", _dc + "title", "'Doc ' || d", "l", "d % 2 = 0"),
+        _arm("dp", "doc", RDF_LABEL, "'Doc ' || d", "l", "d % 2 = 0"),
+        _arm("dp", "doc", _dc + "source", "'http://src/' || d", "u",
+             "d % 3 = 0"),
+        _arm("dp", "doc", _dc + "date",
+             "'2026-0' || (d % 9 + 1) || '-01'", "l", "d % 4 = 0"),
+        _arm("dp", "doc", _dc + "creator", "'author ' || (d % 13)", "l",
+             "d % 5 = 0"),
+        _arm("dp", "doc", _ns + "pageCount", "(d % 9)::VARCHAR", "l",
+             "d % 6 = 0"),
+        _arm("dp", "doc", _ns + "mimeType", "'text/plain'", "l",
+             "d % 2 = 1"),
+        _arm("dp", "ent", _rt, f"'{_pe}'", "u"),
+        _arm("dp", "ent", _rt,
+             f"CASE WHEN d % 11 = 0 THEN '{_ns}Image' "
+             f"ELSE '{_ns}Chunk' END", "u"),
+        _arm("dp", "ent", _wdf, "doc", "u"),
+        _arm("dp", "ent", _pv + "wasGeneratedBy", "act", "u"),
+        _arm("dp", "act", _rt, f"'{_pv}Activity'", "u"),
+        _arm("dp", "act", RDF_LABEL, "'chunker extraction'", "l"),
+        _arm("dp", "act", _pv + "used", "doc", "u"),
+        _arm("dp", "act", _pv + "wasAssociatedWith", f"'{_agt}'", "u"),
+        _arm("dp", "act", _sat, "'2026-01-01T00:00:00Z'", "l"),
+        _arm("dp", "act", _ns + "componentVersion", "'0.1.0'", "l"),
+        _arm("dp", f"'{_agt}'", _rt, f"'{_pv}Agent'", "u"),
+        _arm("dp", f"'{_agt}'", RDF_LABEL, "'chunker'", "l"),
+        _arm("dp", "ent", RDF_LABEL, "'chunk of ' || d", "l", "d % 3 = 0"),
+        _arm("dp", "ent", _ns + "chunkIndex", "(d % 5)::VARCHAR", "l"),
+        _arm("dp", "ent", _ns + "charOffset", "(d % 7)::VARCHAR", "l"),
+        _arm("dp", "ent", _ns + "charLength", "n_chars::VARCHAR", "l"),
+    ])
 
     sql["kg_mentions"] = _MENTIONS_CTE + "SELECT doc_id, entity FROM mentions"
 

@@ -1,0 +1,391 @@
+"""Explainability provenance: emit chains + set-oriented reconstruction.
+
+Mirrors trustgraph-base/trustgraph/api/explainability.py (from_triples
+dispatch :85-118, per-type parsers :121-416, parse_edge_selection_triples
+:419-443, fetch_graphrag_trace :735-864, fetch_docrag_trace :866-972,
+list_sessions :1097-1150) and provenance/triples.py:97-833 emitters.
+
+Parity strategy: a minimal independent Python replay of the reference's
+from_triples dispatch runs over the collected triples and must agree with
+the Spark groupBy parser for every subject (modulo the documented
+sort_array ordering).
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from trustgraph_spark.operators.explain import (
+    DC_TITLE,
+    PROV_STARTED_AT_TIME,
+    PROV_WAS_DERIVED_FROM,
+    RDF_TYPE,
+    TG,
+    chunk_selections,
+    derived_entity_prov_triples,
+    docrag_session_triples,
+    document_prov_triples,
+    edge_selections,
+    explain_entities,
+    graphrag_session_triples,
+    list_sessions,
+    rag_traces,
+)
+
+GRAPHRAG_SESSIONS = [
+    # (session_id, query, ts, concepts, entities, edge_count,
+    #  selected_edges, document_id, in_token, out_token, model)
+    ("s1", "who founded acme?", "2026-01-01T00:00:01Z",
+     ["acme", "founder"], ["http://t/e/acme"], 7,
+     [("http://t/e/acme", TG + "founder", "http://t/e/jane",
+       "acme", "0.97", ""),
+      ("http://t/e/jane", TG + "role", "http://t/e/ceo",
+       "", "", "seed-adjacent")],
+     "urn:doc:ans1", 11, 22, "test-model"),
+    ("s2", "empty tail", "2026-01-01T00:00:02Z",
+     [], [], 0, [], None, None, None, None),
+]
+
+DOCRAG_SESSIONS = [
+    # (session_id, query, ts, concepts, chunk_count, chunk_ids,
+    #  reranked, document_id, in_token, out_token, model)
+    ("d1", "what is in chunk 9?", "2026-01-01T00:00:03Z",
+     ["chunk"], 3, ["urn:chunk:9", "urn:chunk:4"],
+     [("urn:chunk:9", "0.88"), ("", "0.5"), ("urn:chunk:4", "")],
+     "urn:doc:ans2", None, None, None),
+    ("d2", "no rerank", "2026-01-01T00:00:04Z",
+     [], 0, [], [], None, 1, 2, None),
+]
+
+_GR_SCHEMA = (
+    "session_id string, query string, ts string, "
+    "concepts array<string>, entities array<string>, edge_count int, "
+    "selected_edges array<struct<s:string,p:string,o:string,"
+    "concept:string,score:string,reasoning:string>>, "
+    "document_id string, in_token long, out_token long, model string"
+)
+_DR_SCHEMA = (
+    "session_id string, query string, ts string, "
+    "concepts array<string>, chunk_count int, chunk_ids array<string>, "
+    "reranked array<struct<chunk_id:string,score:string>>, "
+    "document_id string, in_token long, out_token long, model string"
+)
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    """Emitted provenance store: 2 GraphRAG + 2 DocRAG sessions, plus a
+    sub-trace question (s1 gains a parent link) for list_sessions."""
+    gr = spark.createDataFrame(GRAPHRAG_SESSIONS, _GR_SCHEMA)
+    dr = spark.createDataFrame(DOCRAG_SESSIONS, _DR_SCHEMA)
+    triples = graphrag_session_triples(gr).unionByName(
+        docrag_session_triples(dr))
+    # s2 is a sub-trace hanging off an agent iteration
+    extra = triples.sparkSession.createDataFrame(
+        [("default", "urn:graph:retrieval", "urn:trustgraph:question:s2",
+          PROV_WAS_DERIVED_FROM, "urn:trustgraph:agent:a1/i1", "u",
+          "", "")],
+        "collection string, g string, s string, p string, o string, "
+        "otype string, dtype string, lang string")
+    return triples.unionByName(extra).cache()
+
+
+# ---------------------------------------------------------------------------
+# Independent replay of the reference parsers (explainability.py:85-443)
+# ---------------------------------------------------------------------------
+
+def _replay_entity(uri, triples):
+    """Literal re-implementation of ExplainEntity.from_triples and the
+    per-type parsers, over (p, o, otype) tuples."""
+    types = [o for p, o, _ in triples if p == RDF_TYPE]
+
+    def has(t):
+        return TG + t in types
+
+    out = {"uri": uri, "question_type": "", "query": "", "timestamp": "",
+           "concepts": [], "edge_count": 0, "chunk_count": 0,
+           "entities": [], "selected_edge_uris": [], "document": "",
+           "reflection_type": "", "action": "", "arguments": "",
+           "thought": "", "goals": [], "goal": "", "steps": [], "step": ""}
+
+    def val(pred, default=""):
+        for p, o, _ in triples:
+            if p == pred:
+                return o
+        return default
+
+    if has("GraphRagQuestion") or has("DocRagQuestion") \
+            or has("AgentQuestion"):
+        out["entity_type"] = "question"
+        out["question_type"] = ("graph-rag" if has("GraphRagQuestion")
+                                else "document-rag" if has("DocRagQuestion")
+                                else "agent")
+        out["query"] = val(TG + "query")
+        out["timestamp"] = val(PROV_STARTED_AT_TIME)
+    elif has("Grounding"):
+        out["entity_type"] = "grounding"
+        out["concepts"] = sorted(
+            o for p, o, _ in triples if p == TG + "concept")
+    elif has("Exploration"):
+        out["entity_type"] = "exploration"
+        for key, pred in (("edge_count", TG + "edgeCount"),
+                          ("chunk_count", TG + "chunkCount")):
+            try:
+                out[key] = int(val(pred, "0") or "0")
+            except ValueError:
+                pass
+        out["entities"] = sorted(
+            o for p, o, _ in triples if p == TG + "entity")
+    elif has("Focus"):
+        out["entity_type"] = "focus"
+        out["selected_edge_uris"] = sorted(
+            o for p, o, ot in triples
+            if p == TG + "selectedEdge" and ot == "u")
+    elif has("Decomposition"):
+        out["entity_type"] = "decomposition"
+        out["goals"] = sorted(
+            o for p, o, _ in triples if p == TG + "subagentGoal")
+    elif has("Finding"):
+        out["entity_type"] = "finding"
+        out["goal"] = val(TG + "subagentGoal")
+        out["document"] = val(TG + "document")
+    elif has("Plan"):
+        out["entity_type"] = "plan"
+        out["steps"] = sorted(
+            o for p, o, _ in triples if p == TG + "planStep")
+    elif has("StepResult"):
+        out["entity_type"] = "step-result"
+        out["step"] = val(TG + "planStep")
+        out["document"] = val(TG + "document")
+    elif has("Synthesis"):
+        out["entity_type"] = "synthesis"
+        out["document"] = val(TG + "document")
+    elif has("Observation") and not has("Reflection"):
+        out["entity_type"] = "observation"
+        out["document"] = val(TG + "document")
+    elif has("Reflection"):
+        out["entity_type"] = "reflection"
+        out["reflection_type"] = ("thought" if has("Thought")
+                                  else "observation" if has("Observation")
+                                  else "")
+        out["document"] = val(TG + "document")
+    elif has("Analysis"):
+        out["entity_type"] = "analysis"
+        out["action"] = val(TG + "action")
+        out["arguments"] = val(TG + "arguments")
+        out["thought"] = val(TG + "thought")
+    elif has("Conclusion"):
+        out["entity_type"] = "conclusion"
+        out["document"] = val(TG + "document")
+    else:
+        out["entity_type"] = "unknown"
+    return out
+
+
+def test_entity_parse_matches_reference_replay(store):
+    by_subject = {}
+    for r in store.collect():
+        by_subject.setdefault(r["s"], []).append(
+            (r["p"], r["o"], r["otype"]))
+    expected = {u: _replay_entity(u, ts) for u, ts in by_subject.items()}
+
+    got = {r["uri"]: r.asDict() for r in explain_entities(store).collect()}
+    assert set(got) == set(expected)
+    for uri, exp in expected.items():
+        assert got[uri] == exp, uri
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/testdata/sf0.001"),
+    reason="sf0.001 testdata not present")
+def test_entity_parse_agent_prov_integration(spark):
+    """The parser consumes the agent provenance emitter's output: every
+    subject classifies to a non-unknown type with the reference
+    dispatch (incl. the Observation-vs-Reflection priority)."""
+    from trustgraph_spark.agent import agent_prov_triples, react_tool_trace
+
+    sf_dir = "/root/testdata/sf0.001"
+    trace = react_tool_trace(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    prov = agent_prov_triples(trace, timestamp="2026-01-01T00:00:00Z")
+    ents = explain_entities(prov, graph=None)
+    kinds = {r["entity_type"] for r in ents.collect()}
+    assert kinds == {"question", "analysis", "reflection", "observation",
+                     "conclusion"}
+    refl = ents.where("entity_type = 'reflection'").collect()
+    assert refl and all(r["reflection_type"] == "thought" for r in refl)
+    ana = ents.where("entity_type = 'analysis'").limit(1).collect()[0]
+    assert ana["action"] and ana["thought"].endswith("/thought")
+
+
+def test_edge_selections_roundtrip(store):
+    sels = {r["uri"]: r for r in edge_selections(store).collect()}
+    assert set(sels) == {"urn:trustgraph:prov:edge:s1:0",
+                         "urn:trustgraph:prov:edge:s1:1"}
+    e0 = sels["urn:trustgraph:prov:edge:s1:0"]
+    assert e0["edge"].asDict() == {
+        "s": "http://t/e/acme", "p": TG + "founder", "o": "http://t/e/jane"}
+    assert e0["concept"] == "acme" and e0["score"] == 0.97
+    assert e0["reasoning"] == ""
+    e1 = sels["urn:trustgraph:prov:edge:s1:1"]
+    assert e1["score"] is None and e1["reasoning"] == "seed-adjacent"
+    assert e1["concept"] == ""
+
+
+def test_chunk_selections_skip_empty_chunk_id(store):
+    sels = {r["uri"]: r for r in chunk_selections(store).collect()}
+    # reranked index 1 had an empty chunk_id -> skipped by the emitter
+    # (reference :763-766), so only indices 0 and 2 exist
+    assert set(sels) == {"urn:trustgraph:prov:chunk:d1:0",
+                         "urn:trustgraph:prov:chunk:d1:2"}
+    assert sels["urn:trustgraph:prov:chunk:d1:0"]["score"] == 0.88
+    assert sels["urn:trustgraph:prov:chunk:d1:2"]["score"] is None
+    assert sels["urn:trustgraph:prov:chunk:d1:2"]["chunk_id"] == "urn:chunk:4"
+
+
+def test_graphrag_trace_chain(store):
+    traces = {r["question_uri"]: r
+              for r in rag_traces(store, question_type="graph-rag").collect()}
+    t1 = traces["urn:trustgraph:question:s1"]
+    assert t1["query"] == "who founded acme?"
+    assert t1["grounding_uri"] == "urn:trustgraph:prov:grounding:s1"
+    assert t1["grounding_concepts"] == ["acme", "founder"]
+    assert t1["exploration_uri"] == "urn:trustgraph:prov:exploration:s1"
+    assert t1["exploration_edge_count"] == 7
+    assert t1["focus_uri"] == "urn:trustgraph:prov:focus:s1"
+    assert t1["focus_selected_edge_uris"] == [
+        "urn:trustgraph:prov:edge:s1:0", "urn:trustgraph:prov:edge:s1:1"]
+    assert t1["synthesis_uri"] == "urn:trustgraph:prov:synthesis:s1"
+    assert t1["synthesis_document"] == "urn:doc:ans1"
+    # s2 has the full chain too (emitter always writes the envelope)
+    assert traces["urn:trustgraph:question:s2"]["synthesis_uri"] \
+        == "urn:trustgraph:prov:synthesis:s2"
+
+
+def test_docrag_trace_synthesis_skips_focus(store):
+    traces = {r["question_uri"]: r
+              for r in rag_traces(store,
+                                  question_type="document-rag").collect()}
+    t = traces["urn:trustgraph:docrag:d1"]
+    assert t["exploration_uri"] == "urn:trustgraph:docrag:d1/exploration"
+    assert t["exploration_chunk_count"] == 3
+    # focus exists for d1 (reranked non-empty) but synthesis still
+    # derives from exploration (reference :795-833)
+    assert t["focus_uri"] == "urn:trustgraph:docrag:d1/focus"
+    assert t["synthesis_uri"] == "urn:trustgraph:docrag:d1/synthesis"
+    assert t["synthesis_document"] == "urn:doc:ans2"
+    # d2: no reranked entries -> no focus entity at all, chain intact
+    t2 = traces["urn:trustgraph:docrag:d2"]
+    assert t2["focus_uri"] is None
+    assert t2["synthesis_uri"] == "urn:trustgraph:docrag:d2/synthesis"
+
+
+def test_partial_trace_left_preserved(spark):
+    """A question with no further chain still surfaces (the reference
+    returns a partial trace dict on early exit, :795-796)."""
+    gr = spark.createDataFrame(
+        [("lone", "q?", "2026-01-01T00:00:00Z", [], [], 0, [],
+          None, None, None, None)], _GR_SCHEMA)
+    only_q = graphrag_session_triples(gr).where(
+        F.col("s") == "urn:trustgraph:question:lone")
+    t = rag_traces(only_q).collect()
+    assert len(t) == 1 and t[0]["grounding_uri"] is None \
+        and t[0]["synthesis_uri"] is None
+
+
+def test_list_sessions_excludes_subtraces(store):
+    rows = list_sessions(store).collect()
+    uris = [r["uri"] for r in rows]
+    # s2 gained a wasDerivedFrom parent -> excluded as a sub-trace
+    assert "urn:trustgraph:question:s2" not in uris
+    assert set(uris) == {"urn:trustgraph:question:s1",
+                         "urn:trustgraph:docrag:d1",
+                         "urn:trustgraph:docrag:d2"}
+    # newest-first ordering on the timestamp literal
+    stamps = [r["timestamp"] for r in rows]
+    assert stamps == sorted(stamps, reverse=True)
+
+
+def test_token_triples_optional_arms(store):
+    """in/out token + model literals appear only where provided
+    (triples.py:86-94)."""
+    syn1 = store.where(
+        (F.col("s") == "urn:trustgraph:prov:synthesis:s1")
+        & F.col("p").isin(TG + "inToken", TG + "outToken", TG + "llmModel"))
+    got = {(r["p"], r["o"]) for r in syn1.collect()}
+    assert got == {(TG + "inToken", "11"), (TG + "outToken", "22"),
+                   (TG + "llmModel", "test-model")}
+    syn2 = store.where(
+        (F.col("s") == "urn:trustgraph:docrag:d2/synthesis")
+        & F.col("p").isin(TG + "inToken", TG + "outToken", TG + "llmModel"))
+    got2 = {(r["p"], r["o"]) for r in syn2.collect()}
+    assert got2 == {(TG + "inToken", "1"), (TG + "outToken", "2")}
+
+
+def test_quoted_edge_is_byte_exact_rdf_star_json(store):
+    row = store.where(
+        (F.col("s") == "urn:trustgraph:prov:edge:s1:0")
+        & (F.col("p") == TG + "edge")).collect()[0]
+    assert row["otype"] == "t"
+    assert json.loads(row["o"]) == {
+        "s": {"type": "i", "iri": "http://t/e/acme"},
+        "p": {"type": "i", "iri": TG + "founder"},
+        "o": {"type": "i", "iri": "http://t/e/jane"},
+    }
+
+
+def test_document_prov_optional_fields(spark):
+    docs = spark.createDataFrame(
+        [("urn:doc:a", "Title A", "http://src/a", "2026-01-01", "Ann",
+          4, "application/pdf"),
+         ("urn:doc:b", "", None, None, None, None, None)],
+        "doc_uri string, title string, source string, date string, "
+        "creator string, page_count int, mime_type string")
+    out = document_prov_triples(docs)
+    a = {(r["p"], r["o"], r["otype"]) for r in
+         out.where(F.col("s") == "urn:doc:a").collect()}
+    assert (DC_TITLE, "Title A", "l") in a
+    assert ("http://www.w3.org/2000/01/rdf-schema#label",
+            "Title A", "l") in a
+    assert ("http://purl.org/dc/elements/1.1/source",
+            "http://src/a", "u") in a
+    assert (TG + "pageCount", "4", "l") in a
+    assert len(a) == 9
+    # empty/missing metadata -> just the two type rows
+    b = out.where(F.col("s") == "urn:doc:b").collect()
+    assert len(b) == 2 and all(r["p"] == RDF_TYPE for r in b)
+
+
+def test_derived_entity_specific_type_priority(spark):
+    ents = spark.createDataFrame(
+        [("urn:image:1", "urn:page:1", None, 3, None, None, None,
+          False, True, None),
+         ("urn:chunk:1", "urn:doc:a", "c1", None, 5, 100, 2000,
+          False, False, "text/plain"),
+         ("urn:misc:1", "urn:doc:a", None, None, None, None, None,
+          False, False, None)],
+        "entity_uri string, parent_uri string, label string, "
+        "page_number int, chunk_index int, char_offset int, "
+        "char_length int, section boolean, image boolean, "
+        "mime_type string")
+    out = derived_entity_prov_triples(
+        ents, "chunker", "0.1.0", "2026-01-01T00:00:00Z")
+    types = {r["s"]: r["o"] for r in out.where(
+        (F.col("p") == RDF_TYPE) & (F.col("o") != "http://www.w3.org/ns/prov#Entity")
+        & (F.col("o").startswith(TG))).collect()}
+    # image wins over page_number (reference :207-217)
+    assert types["urn:image:1"] == TG + "Image"
+    assert types["urn:chunk:1"] == TG + "Chunk"
+    assert "urn:misc:1" not in types
+    chunk = {(r["p"], r["o"]) for r in
+             out.where(F.col("s") == "urn:chunk:1").collect()}
+    assert (TG + "chunkIndex", "5") in chunk
+    assert (TG + "charOffset", "100") in chunk
+    assert (TG + "charLength", "2000") in chunk
+    assert (TG + "mimeType", "text/plain") in chunk
+    # activity envelope: deterministic URI, used/associated/started
+    acts = out.where((F.col("p") == "http://www.w3.org/ns/prov#used")
+                     & (F.col("o") == "urn:doc:a"))
+    assert acts.count() == 2  # chunk + misc activities, distinct per entity
