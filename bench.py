@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "span_dedup",
     "semdedup_keep",
     "dsir_sample",
+    "explain_trace",
+    "doc_prov_triples",
 ]
 
 

@@ -299,3 +299,44 @@ def test_agent_prov_triples_no_shuffle_no_udf(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_explain_read_path_is_native(spark):
+    # the read side (entity parse + trace joins) must stay pure codegen:
+    # the groupBy parse is one partial/final HashAggregate pair and the
+    # trace walk is broadcast-join-only — no Python eval, no cartesian.
+    # (The emit-side RDF-star JSON seam is upstream and sanctioned; this
+    # store is built from literal rows so the read plan is seam-free.)
+    from trustgraph_spark.operators.explain import (
+        PROV_WAS_DERIVED_FROM,
+        RDF_TYPE,
+        TG,
+        explain_entities,
+        rag_traces,
+    )
+
+    rows = [
+        ("g0", "urn:q:1", RDF_TYPE, TG + "GraphRagQuestion", "u"),
+        ("g0", "urn:q:1", TG + "query", "who?", "l"),
+        ("g0", "urn:g:1", RDF_TYPE, TG + "Grounding", "u"),
+        ("g0", "urn:g:1", PROV_WAS_DERIVED_FROM, "urn:q:1", "u"),
+    ]
+    t = spark.createDataFrame(
+        rows, "g string, s string, p string, o string, otype string"
+    ).withColumnRenamed("g", "gname").withColumn(
+        "g", __import__("pyspark.sql.functions", fromlist=["lit"])
+        .lit("urn:graph:retrieval")).drop("gname")
+
+    ents_plan = _plan(explain_entities(t))
+    assert "HashAggregate" in ents_plan
+    assert "BatchEvalPython" not in ents_plan
+    assert "ArrowEvalPython" not in ents_plan
+
+    trace_plan = _plan(rag_traces(t))
+    assert "CartesianProduct" not in trace_plan
+    assert "BatchEvalPython" not in trace_plan
+    assert "ArrowEvalPython" not in trace_plan
+    # every trace step is an equi-join on URIs (AQE decides broadcast vs
+    # sort-merge at runtime; EXPLAIN.md shows the executed plan chooses
+    # BroadcastHashJoin at bench scale)
+    assert "Join" in trace_plan
