@@ -2318,7 +2318,10 @@ def q_explain_trace(spark, sf_dir):
     Exploration; sessions without a Focus surface null tails."""
     from trustgraph_spark.operators.explain import rag_traces
 
-    t = rag_traces(_explain_store(spark, sf_dir))
+    # rag_traces derives two frames (entities + derivation edges) from
+    # the store; a parquet-backed store re-scans cheaply, but this one
+    # is a computed emit pipeline with a Python seam — materialize once.
+    t = rag_traces(_explain_store(spark, sf_dir).localCheckpoint())
     return t.select(
         "question_uri", "question_type", "query", "timestamp",
         "grounding_uri",
@@ -2383,6 +2386,71 @@ def q_doc_prov_triples(spark, sf_dir):
     return out.select("s", "p", "o", "otype")
 
 
+def _universal_elements(spark, sf_dir):
+    """Planted decoder-element table: 6 elements per document; doc_id
+    residues toggle page-based mime, Titles, table HTML, images, empty
+    texts, and a missing page number — each arm of the universal
+    decoder exercised and exactly replayable in SQL."""
+    d = F.col("doc_id").cast("string")
+    di = F.col("doc_id")
+    i = F.col("i")
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("i")
+    ).select(
+        d.alias("doc_id"),
+        F.when(di % 4 == 0, "application/pdf")
+        .otherwise("text/plain").alias("mime_type"),
+        i.cast("int").alias("element_idx"),
+        F.when((i == 5) & (di % 5 == 0), "Image")
+        .when(i == 3, "Table")
+        .when(((i == 2) | (i == 4)) & (di % 3 != 0), "Title")
+        .otherwise("NarrativeText").alias("category"),
+        F.when((i == 1) & (di % 7 == 0), "").otherwise(
+            F.concat(F.lit("el "), d, F.lit(" "), i.cast("string")))
+        .alias("text"),
+        F.when((i == 3) & (di % 2 == 0),
+               F.concat(F.lit("<table>"), d, F.lit("</table>")))
+        .alias("text_as_html"),
+        F.when((di % 4 == 0) & ~((i == 0) & (di % 8 == 0)),
+               (F.floor(i / 3) + 1).cast("int")).alias("page_number"),
+    )
+
+
+def q_universal_sections(spark, sf_dir):
+    """Universal decoder section flow (decoding/universal/processor.py
+    :374-517 + strategies.py heading): page-based docs group by page
+    (missing page -> 1), text docs run the heading strategy (Title
+    boundaries except in leading position, whole-document fallback);
+    assembly joins text with blank lines, tables prefer HTML, empty
+    sections drop; element_types sorted csv; deterministic sha256
+    page/section URIs."""
+    from trustgraph_spark.operators.unstructured import decode_universal
+
+    out = decode_universal(
+        _universal_elements(spark, sf_dir), strategy="heading")
+    return out["sections"].select(
+        "entity_uri", "parent_uri", "label", "page_number",
+        "section_index", "section", "element_types", "table_count",
+        "image_count", "char_length", F.md5("text").alias("text_key"),
+    )
+
+
+def q_universal_images(spark, sf_dir):
+    """Universal decoder image flow (processor.py:316-373, 460-478):
+    images store separately with provenance parented to their page's
+    emitted section on page-based docs (falling back to the document
+    when the page produced no text) and to the document on section-path
+    docs, with the reference's label shapes."""
+    from trustgraph_spark.operators.unstructured import decode_universal
+
+    out = decode_universal(
+        _universal_elements(spark, sf_dir), strategy="heading")
+    return out["images"].select(
+        "entity_uri", "parent_uri", "label", "page_number", "doc_id",
+        "mime_type",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's CORRECTNESS snapshot covers the FIRST 50
     # registry entries (observed in r02 and r03).  Entries that have never had
@@ -2395,6 +2463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_entities": q_explain_entities,
         "explain_trace": q_explain_trace,
         "doc_prov_triples": q_doc_prov_triples,
+        "universal_sections": q_universal_sections,
+        "universal_images": q_universal_images,
         "semdedup_keep": q_semdedup_keep,
         "dsir_sample": q_dsir_sample,
         "react_tool_trace": q_react_tool_trace,
@@ -2871,6 +2941,93 @@ WITH dp AS (
         _arm("dp", "ent", _ns + "charOffset", "(d % 7)::VARCHAR", "l"),
         _arm("dp", "ent", _ns + "charLength", "n_chars::VARCHAR", "l"),
     ])
+
+    # -- universal decoder (decoding/universal/processor.py + strategies) --
+    _UNIV_CTE = """
+WITH els AS (
+  SELECT d.doc_id AS d, t.i AS i,
+    CASE WHEN d.doc_id % 4 = 0 THEN 'application/pdf'
+         ELSE 'text/plain' END AS mime,
+    CASE WHEN t.i = 5 AND d.doc_id % 5 = 0 THEN 'Image'
+         WHEN t.i = 3 THEN 'Table'
+         WHEN (t.i = 2 OR t.i = 4) AND d.doc_id % 3 <> 0 THEN 'Title'
+         ELSE 'NarrativeText' END AS cat,
+    CASE WHEN t.i = 1 AND d.doc_id % 7 = 0 THEN ''
+         ELSE 'el ' || d.doc_id || ' ' || t.i END AS txt,
+    CASE WHEN t.i = 3 AND d.doc_id % 2 = 0
+         THEN '<table>' || d.doc_id || '</table>' END AS html,
+    CASE WHEN d.doc_id % 4 = 0 AND NOT (t.i = 0 AND d.doc_id % 8 = 0)
+         THEN t.i // 3 + 1 END AS pg
+  FROM documents d CROSS JOIN range(0, 6) t(i)
+), nonimg AS (
+  SELECT *, coalesce(pg, 1) AS page,
+    CASE WHEN cat = 'Table' THEN coalesce(nullif(html, ''), txt)
+         ELSE txt END AS part
+  FROM els WHERE cat <> 'Image'
+), psec AS (
+  SELECT d, mime, page,
+    string_agg(part, chr(10) || chr(10) ORDER BY i)
+      FILTER (WHERE part <> '') AS text,
+    array_to_string(list_sort(list(DISTINCT cat)), ',') AS element_types,
+    (count(*) FILTER (WHERE cat = 'Table'))::INT AS table_count
+  FROM nonimg WHERE mime = 'application/pdf'
+  GROUP BY d, mime, page
+), sein AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY d ORDER BY i) AS pos,
+    max(CASE WHEN cat = 'Title' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY d) AS ht
+  FROM nonimg WHERE mime = 'text/plain'
+), seg AS (
+  SELECT *, CASE WHEN ht = 0 THEN 1 ELSE
+    sum(CASE WHEN cat = 'Title' AND pos > 1 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY d ORDER BY i ROWS UNBOUNDED PRECEDING) + 1
+    END AS sid
+  FROM sein
+), ssec AS (
+  SELECT d, mime, sid,
+    string_agg(part, chr(10) || chr(10) ORDER BY i)
+      FILTER (WHERE part <> '') AS text,
+    array_to_string(list_sort(list(DISTINCT cat)), ',') AS element_types,
+    (count(*) FILTER (WHERE cat = 'Table'))::INT AS table_count
+  FROM seg GROUP BY d, mime, sid
+)
+"""
+    sql["universal_sections"] = _UNIV_CTE + """
+SELECT 'urn:page:' || sha256(d || ':' || page) AS entity_uri,
+       'urn:doc:' || d AS parent_uri,
+       'Page ' || page AS label,
+       page::INT AS page_number, NULL::INT AS section_index,
+       FALSE AS section, element_types, table_count,
+       0::INT AS image_count, length(text)::INT AS char_length,
+       md5(text) AS text_key
+FROM psec WHERE trim(coalesce(text, '')) <> ''
+UNION ALL
+SELECT 'urn:section:' || sha256(d || ':' || sid),
+       'urn:doc:' || d, 'Section ' || sid,
+       NULL::INT, sid::INT, TRUE, element_types, table_count,
+       0::INT, length(text)::INT, md5(text)
+FROM ssec WHERE trim(coalesce(text, '')) <> ''
+"""
+
+    sql["universal_images"] = _UNIV_CTE + """
+, imgs AS (SELECT *, coalesce(pg, 1) AS page FROM els WHERE cat = 'Image')
+SELECT 'urn:image:' || sha256(i2.d || ':' || i2.i) AS entity_uri,
+       CASE WHEN i2.mime = 'application/pdf'
+            THEN coalesce('urn:page:' || sha256(p.d || ':' || p.page),
+                          'urn:doc:' || i2.d)
+            ELSE 'urn:doc:' || i2.d END AS parent_uri,
+       CASE WHEN i2.mime = 'application/pdf'
+            THEN 'Image from page ' || i2.page
+            ELSE 'Image' END AS label,
+       CASE WHEN i2.mime = 'application/pdf' THEN i2.page END::INT
+         AS page_number,
+       i2.d::VARCHAR AS doc_id, i2.mime AS mime_type
+FROM imgs i2
+LEFT JOIN (SELECT d, page FROM psec
+           WHERE trim(coalesce(text, '')) <> '') p
+  ON i2.d = p.d AND i2.page = p.page
+"""
 
     sql["kg_mentions"] = _MENTIONS_CTE + "SELECT doc_id, entity FROM mentions"
 

@@ -111,6 +111,9 @@ TG_PAGE_TYPE = TG + "Page"
 TG_SECTION_TYPE = TG + "Section"
 TG_CHUNK_TYPE = TG + "Chunk"
 TG_IMAGE_TYPE = TG + "Image"
+TG_ELEMENT_TYPES = TG + "elementTypes"
+TG_TABLE_COUNT = TG + "tableCount"
+TG_IMAGE_COUNT = TG + "imageCount"
 
 _ROW_T = "array<struct<s:string,p:string,o:string,otype:string>>"
 
@@ -428,7 +431,10 @@ def derived_entity_prov_triples(
 
     Input columns: entity_uri, parent_uri, label (nullable), page_number
     / chunk_index / char_offset / char_length (nullable int), section /
-    image (boolean), mime_type (nullable)."""
+    image (boolean), mime_type (nullable). Optional extra columns (the
+    universal decoder's metadata, triples.py:271-278, emitted when the
+    column is present AND non-null): element_types (string),
+    table_count / image_count (int)."""
     from ..constants import (
         PROV_ACTIVITY,
         PROV_AGENT,
@@ -482,6 +488,15 @@ def derived_entity_prov_triples(
             num("char_length", TG_CHAR_LENGTH),
             _opt(F.col("mime_type").isNotNull() & (F.col("mime_type") != ""),
                  _t(e, TG_MIME_TYPE, F.col("mime_type"), OTYPE_LITERAL)),
+            *([_opt(F.col("element_types").isNotNull()
+                    & (F.col("element_types") != ""),
+                    _t(e, TG_ELEMENT_TYPES, F.col("element_types"),
+                       OTYPE_LITERAL))]
+              if "element_types" in entities.columns else []),
+            *([num("table_count", TG_TABLE_COUNT)]
+              if "table_count" in entities.columns else []),
+            *([num("image_count", TG_IMAGE_COUNT)]
+              if "image_count" in entities.columns else []),
         ).alias("tr")
     )
     return _emit(rows, collection)
@@ -695,7 +710,7 @@ def chunk_selections(
     )
 
 
-def _first_child(derived: DataFrame, parents: DataFrame,
+def _first_child(typed_children: DataFrame, parents: DataFrame,
                  parent_col: str, ents: DataFrame, ent_type: str,
                  out_prefix: str, fields: list[str]) -> DataFrame:
     """One step of the trace walk: for each parent URI, the min-URI child
@@ -703,16 +718,16 @@ def _first_child(derived: DataFrame, parents: DataFrame,
     type-matching child in storage order and breaks,
     explainability.py:784-793 — storage order is nondeterministic, so we
     take the min URI). Left-preserving: parents without a child keep
-    null step columns, matching the reference's early-return traces."""
-    typed = ents.where(F.col("entity_type") == ent_type)
-    child = (
-        derived.join(typed, derived["child"] == typed["uri"])
-        .groupBy(F.col("parent").alias(parent_col))
-        .agg(F.min("uri").alias(f"{out_prefix}_uri"))
-    )
+    null step columns, matching the reference's early-return traces.
+    ``typed_children`` is the (parent, entity_type) -> min child frame
+    computed once for all steps."""
+    child = typed_children.where(
+        F.col("entity_type") == ent_type
+    ).select(F.col("parent").alias(parent_col),
+             F.col("child_uri").alias(f"{out_prefix}_uri"))
     step = child.join(
-        typed.select(F.col("uri").alias(f"{out_prefix}_uri"),
-                     *[F.col(f).alias(f"{out_prefix}_{f}") for f in fields]),
+        ents.select(F.col("uri").alias(f"{out_prefix}_uri"),
+                    *[F.col(f).alias(f"{out_prefix}_{f}") for f in fields]),
         f"{out_prefix}_uri",
     )
     return parents.join(step, parent_col, "left")
@@ -735,11 +750,25 @@ def rag_traces(
     GraphRAG traces additionally follow Focus -> Synthesis; DocumentRAG
     traces follow Exploration -> Synthesis. Both are computed from the
     same entity frame; ``question_type`` filters to 'graph-rag' or
-    'document-rag' (None = both)."""
+    'document-rag' (None = both).
+
+    Scale note: the entity frame and the (parent, type) -> min-child
+    frame are each referenced by every chain step, so both are
+    materialized once (localCheckpoint) — one pass over the store
+    builds two small frames (one row per entity / per typed
+    derivation), and each step is then two joins over those. Without
+    this the aggregate subtree — including whatever produced the
+    triples — re-executes per step (measured 27s at sf0.1 on the
+    emit-fed driver query; ~3s with the shared frames)."""
     t = _filtered(triples, graph)
-    ents = explain_entities(t, graph=None)
+    ents = explain_entities(t, graph=None).localCheckpoint()
     derived = t.where(F.col("p") == PROV_WAS_DERIVED_FROM).select(
         F.col("s").alias("child"), F.col("o").alias("parent"))
+    # one (parent, type) -> min-child aggregation feeds every step
+    typed_children = derived.join(
+        ents.select(F.col("uri").alias("child"), "entity_type"), "child"
+    ).groupBy("parent", "entity_type").agg(
+        F.min("child").alias("child_uri")).localCheckpoint()
 
     q = ents.where(F.col("entity_type") == "question")
     if question_type is not None:
@@ -751,20 +780,20 @@ def rag_traces(
         "question_type", "query", "timestamp",
     )
 
-    trace = _first_child(derived, trace, "question_uri", ents,
+    trace = _first_child(typed_children, trace, "question_uri", ents,
                          "grounding", "grounding", ["concepts"])
-    trace = _first_child(derived, trace, "grounding_uri", ents,
+    trace = _first_child(typed_children, trace, "grounding_uri", ents,
                          "exploration", "exploration",
                          ["edge_count", "chunk_count", "entities"])
-    trace = _first_child(derived, trace, "exploration_uri", ents,
+    trace = _first_child(typed_children, trace, "exploration_uri", ents,
                          "focus", "focus", ["selected_edge_uris"])
     # GraphRAG synthesis hangs off focus; DocumentRAG off exploration.
     graph_syn = _first_child(
-        derived, trace.select("question_uri", "focus_uri"),
+        typed_children, trace.select("question_uri", "focus_uri"),
         "focus_uri", ents, "synthesis", "synthesis", ["document"],
     ).select("question_uri", "synthesis_uri", "synthesis_document")
     doc_syn = _first_child(
-        derived, trace.select("question_uri", "exploration_uri"),
+        typed_children, trace.select("question_uri", "exploration_uri"),
         "exploration_uri", ents, "synthesis", "synthesis", ["document"],
     ).select("question_uri", "synthesis_uri", "synthesis_document")
 
