@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "dsir_sample",
     "explain_trace",
     "doc_prov_triples",
+    "universal_sections",
 ]
 
 
