@@ -453,12 +453,15 @@ def main() -> None:
     add(
         "Whole-store trace reconstruction (rag_traces)",
         "Question -> Grounding -> Exploration -> Focus -> Synthesis "
-        "assembled for every session with fixed-depth joins on the "
-        "wasDerivedFrom edge frame; the entity frame's aggregate subtree "
-        "repeats per step but each repeat is the same exchange, so AQE "
-        "reuses the shuffle (ReusedExchange). All joins key on URIs "
-        "(high-cardinality, skew-free by construction); left-preserving "
-        "so partial traces surface with null tails.",
+        "assembled for every session at once. One pass over the store "
+        "materializes two small shared frames — the parsed entity frame "
+        "and the (parent, type) -> min-child derivation frame (the "
+        "ExistingRDD scans below) — and each chain step is then two "
+        "equi-joins over them, so the store and its aggregate subtree "
+        "execute exactly once regardless of chain depth (27s -> 5s at "
+        "sf0.1 before/after). All joins key on URIs (high-cardinality, "
+        "skew-free by construction); left-preserving so partial traces "
+        "surface with null tails.",
         rag_traces(_store),
     )
 

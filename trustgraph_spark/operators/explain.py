@@ -788,32 +788,33 @@ def rag_traces(
     trace = _first_child(typed_children, trace, "exploration_uri", ents,
                          "focus", "focus", ["selected_edge_uris"])
     # GraphRAG synthesis hangs off focus; DocumentRAG off exploration.
-    graph_syn = _first_child(
-        typed_children, trace.select("question_uri", "focus_uri"),
-        "focus_uri", ents, "synthesis", "synthesis", ["document"],
-    ).select("question_uri", "synthesis_uri", "synthesis_document")
-    doc_syn = _first_child(
-        typed_children, trace.select("question_uri", "exploration_uri"),
-        "exploration_uri", ents, "synthesis", "synthesis", ["document"],
-    ).select("question_uri", "synthesis_uri", "synthesis_document")
-
-    syn = (
-        trace.select("question_uri", "question_type")
-        .join(graph_syn.withColumnRenamed("synthesis_uri", "_g_uri")
-              .withColumnRenamed("synthesis_document", "_g_doc"),
-              "question_uri", "left")
-        .join(doc_syn.withColumnRenamed("synthesis_uri", "_d_uri")
-              .withColumnRenamed("synthesis_document", "_d_doc"),
-              "question_uri", "left")
+    # Both resolve from the shared typed-children frame so the chain
+    # subplan above appears exactly once in the final plan.
+    syn = typed_children.where(
+        F.col("entity_type") == "synthesis"
+    ).select("parent", F.col("child_uri").alias("_syn_uri")).join(
+        ents.select(F.col("uri").alias("_syn_uri"),
+                    F.col("document").alias("_syn_doc")),
+        "_syn_uri",
+    )
+    return (
+        trace
+        .join(syn.select(F.col("parent").alias("focus_uri"),
+                         F.col("_syn_uri").alias("_g_uri"),
+                         F.col("_syn_doc").alias("_g_doc")),
+              "focus_uri", "left")
+        .join(syn.select(F.col("parent").alias("exploration_uri"),
+                         F.col("_syn_uri").alias("_d_uri"),
+                         F.col("_syn_doc").alias("_d_doc")),
+              "exploration_uri", "left")
         .select(
-            "question_uri",
+            *[c for c in trace.columns],
             F.when(F.col("question_type") == "graph-rag", F.col("_g_uri"))
              .otherwise(F.col("_d_uri")).alias("synthesis_uri"),
             F.when(F.col("question_type") == "graph-rag", F.col("_g_doc"))
              .otherwise(F.col("_d_doc")).alias("synthesis_document"),
         )
     )
-    return trace.join(syn, "question_uri", "left")
 
 
 def list_sessions(
