@@ -2386,6 +2386,82 @@ def q_doc_prov_triples(spark, sf_dir):
     return out.select("s", "p", "o", "otype")
 
 
+def _edge_prov_source(spark, sf_dir):
+    """Planted urn:graph:source store: one extraction subgraph per
+    GraphRAG session containing its selected edge (RDF-star JSON via
+    the sanctioned seam), a subgraph -> chunk -> page -> doc
+    wasDerivedFrom chain, and rdfs:labels on the docs only (the other
+    chain nodes exercise the URI fallback). Page/doc collapse on
+    doc_id % 10, so label/derivation rows repeat — the operator's
+    min-aggregations must dedupe them."""
+    from trustgraph_spark.operators.provenance import quoted_triple_json
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    base = _docs(spark, sf_dir).where(d % 5 == 1).select(
+        F.concat(F.lit("https://trustgraph.ai/subgraph/x"), s(d))
+        .alias("sg"),
+        F.concat(F.lit("urn:chunk:c"), s(d)).alias("chunk"),
+        F.concat(F.lit("urn:page:p"), s(d % 10)).alias("page"),
+        F.concat(F.lit("urn:doc:"), s(d % 10)).alias("doc"),
+        F.concat(F.lit("http://trustgraph.ai/e/e"), s(d % 11)).alias("es"),
+        F.concat(F.lit("http://trustgraph.ai/e/e"), s(d % 9)).alias("eo"),
+        F.concat(F.lit("Doc "), s(d % 10)).alias("doclabel"),
+    )
+    wdf = "http://www.w3.org/ns/prov#wasDerivedFrom"
+    rdfs_label = "http://www.w3.org/2000/01/rdf-schema#label"
+
+    def t(sc, p, oc, otype="u"):
+        return F.struct(sc.alias("s"), F.lit(p).alias("p"),
+                        oc.alias("o"), F.lit(otype).alias("otype"))
+
+    def emit(rows):
+        return rows.select(F.explode("tr").alias("tr")).select(
+            F.lit("default").alias("collection"),
+            F.lit("urn:graph:source").alias("g"),
+            F.col("tr.s").alias("s"), F.col("tr.p").alias("p"),
+            F.col("tr.o").alias("o"), F.col("tr.otype").alias("otype"),
+            F.lit("").alias("dtype"), F.lit("").alias("lang"))
+
+    contains = emit(base.select(F.array(t(
+        F.col("sg"), _EXPLAIN_TG + "contains",
+        quoted_triple_json(F.col("es"), F.lit(_EXPLAIN_TG + "rel"),
+                           F.col("eo"), F.lit("u")), "t")).alias("tr")))
+    rest = emit(base.select(F.array(
+        t(F.col("sg"), wdf, F.col("chunk")),
+        t(F.col("chunk"), wdf, F.col("page")),
+        t(F.col("page"), wdf, F.col("doc")),
+        t(F.col("doc"), rdfs_label, F.col("doclabel"), "l"),
+    ).alias("tr")))
+    return contains.unionByName(rest)
+
+
+def q_edge_prov_trace(spark, sf_dir):
+    """Edge -> source provenance (cli/show_explain_trace.py:53-164):
+    every GraphRAG edge selection traced through the urn:graph:source
+    RDF-star containment to its extraction subgraph, then down the
+    wasDerivedFrom chain to the root document with label resolution
+    (URI fallback for unlabeled nodes) — ONE value-equality join of
+    parsed quoted-triple terms plus a bounded frontier walk, where the
+    reference runs ~2 store queries per hop per edge. Sessions whose
+    edges collide mod (11, 9) match each other's subgraphs, so the
+    containment join fans out exactly as the reference's store query
+    would."""
+    from trustgraph_spark.operators.explain import (
+        edge_selections,
+        edge_source_provenance,
+        graphrag_session_triples,
+    )
+
+    store = graphrag_session_triples(_explain_gr_sessions(spark, sf_dir))
+    out = edge_source_provenance(
+        edge_selections(store), _edge_prov_source(spark, sf_dir))
+    return out.select(
+        "selection_uri", "stmt_uri", "source_chain", "content_chunk",
+        F.size("chain").alias("chain_len"),
+    )
+
+
 def _universal_elements(spark, sf_dir):
     """Planted decoder-element table: 6 elements per document; doc_id
     residues toggle page-based mime, Titles, table HTML, images, empty
@@ -2465,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_prov_triples": q_doc_prov_triples,
         "universal_sections": q_universal_sections,
         "universal_images": q_universal_images,
+        "edge_prov_trace": q_edge_prov_trace,
         "semdedup_keep": q_semdedup_keep,
         "dsir_sample": q_dsir_sample,
         "react_tool_trace": q_react_tool_trace,
@@ -3027,6 +3104,19 @@ FROM imgs i2
 LEFT JOIN (SELECT d, page FROM psec
            WHERE trim(coalesce(text, '')) <> '') p
   ON i2.d = p.d AND i2.page = p.page
+"""
+
+    sql["edge_prov_trace"] = """
+WITH gr AS (SELECT doc_id AS d FROM documents WHERE doc_id % 5 = 1)
+SELECT 'urn:trustgraph:prov:edge:s' || a.d || ':0' AS selection_uri,
+       'https://trustgraph.ai/subgraph/x' || b.d AS stmt_uri,
+       'https://trustgraph.ai/subgraph/x' || b.d
+         || ' -> urn:chunk:c' || b.d
+         || ' -> urn:page:p' || (b.d % 10)
+         || ' -> Doc ' || (b.d % 10) AS source_chain,
+       'urn:chunk:c' || b.d AS content_chunk,
+       4::INT AS chain_len
+FROM gr a JOIN gr b ON a.d % 11 = b.d % 11 AND a.d % 9 = b.d % 9
 """
 
     sql["kg_mentions"] = _MENTIONS_CTE + "SELECT doc_id, entity FROM mentions"

@@ -389,3 +389,252 @@ def test_derived_entity_specific_type_priority(spark):
     acts = out.where((F.col("p") == "http://www.w3.org/ns/prov#used")
                      & (F.col("o") == "urn:doc:a"))
     assert acts.count() == 2  # chunk + misc activities, distinct per entity
+
+
+# ---------------------------------------------------------------------------
+# Edge -> source provenance (show_explain_trace.py:53-164)
+# ---------------------------------------------------------------------------
+
+def _src_row(s, p, o, otype="u"):
+    return ("default", "urn:graph:source", s, p, o, otype, "", "")
+
+
+_SRC_SCHEMA = ("collection string, g string, s string, p string, "
+               "o string, otype string, dtype string, lang string")
+
+
+def _qt_json(s, p, o, o_iri=True):
+    o_term = {"type": "i", "iri": o} if o_iri else {"type": "l", "value": o}
+    return json.dumps({"s": {"type": "i", "iri": s},
+                       "p": {"type": "i", "iri": p}, "o": o_term})
+
+
+def test_edge_source_provenance_chain_and_labels(spark):
+    from trustgraph_spark.operators.explain import edge_source_provenance
+
+    src = spark.createDataFrame([
+        _src_row("urn:sg:1", TG + "contains",
+                 _qt_json("http://t/e/acme", TG + "founder",
+                          "http://t/e/jane"), "t"),
+        # a second subgraph contains the same edge -> two chains
+        _src_row("urn:sg:2", TG + "contains",
+                 _qt_json("http://t/e/acme", TG + "founder",
+                          "http://t/e/jane"), "t"),
+        # literal-object containment (build_term types must match)
+        _src_row("urn:sg:3", TG + "contains",
+                 _qt_json("http://t/e/jane", TG + "age", "41",
+                          o_iri=False), "t"),
+        _src_row("urn:sg:1", PROV_WAS_DERIVED_FROM, "urn:chunk:c1"),
+        _src_row("urn:chunk:c1", PROV_WAS_DERIVED_FROM, "urn:page:p1"),
+        _src_row("urn:page:p1", PROV_WAS_DERIVED_FROM, "urn:doc:1"),
+        # sg2 chain stops at a self-parent node
+        _src_row("urn:sg:2", PROV_WAS_DERIVED_FROM, "urn:loop:x"),
+        _src_row("urn:loop:x", PROV_WAS_DERIVED_FROM, "urn:loop:x"),
+        _src_row("urn:doc:1", RDF_TYPE + "-not-label", "noise", "l"),
+        _src_row("urn:doc:1",
+                 "http://www.w3.org/2000/01/rdf-schema#label",
+                 "Doc One", "l"),
+    ], _SRC_SCHEMA)
+
+    sels = spark.createDataFrame(
+        [("sel:a", ("http://t/e/acme", TG + "founder", "http://t/e/jane")),
+         ("sel:b", ("http://t/e/jane", TG + "age", "41")),
+         ("sel:c", ("http://t/e/none", TG + "x", "http://t/e/y"))],
+        "uri string, edge struct<s:string,p:string,o:string>")
+
+    out = {(r["selection_uri"], r["stmt_uri"]): r
+           for r in edge_source_provenance(sels, src).collect()}
+    # sel:a matches both subgraphs
+    a1 = out[("sel:a", "urn:sg:1")]
+    assert a1["source_chain"] == \
+        "urn:sg:1 -> urn:chunk:c1 -> urn:page:p1 -> Doc One"
+    assert a1["content_chunk"] == "urn:chunk:c1"
+    a2 = out[("sel:a", "urn:sg:2")]
+    # self-parent loop stops after one hop (reference :152-154)
+    assert a2["source_chain"] == "urn:sg:2 -> urn:loop:x"
+    assert a2["content_chunk"] is None
+    # literal-typed object matches only the literal containment
+    b = out[("sel:b", "urn:sg:3")]
+    assert b["source_chain"] == "urn:sg:3"
+    # no containment -> no row at all
+    assert not any(k[0] == "sel:c" for k in out)
+
+
+def test_edge_source_provenance_max_depth(spark):
+    from trustgraph_spark.operators.explain import edge_source_provenance
+
+    rows = [_src_row("urn:sg:d", TG + "contains",
+                     _qt_json("http://a", "http://p", "http://b"), "t")]
+    prev = "urn:sg:d"
+    for i in range(20):
+        rows.append(_src_row(prev, PROV_WAS_DERIVED_FROM, f"urn:n:{i}"))
+        prev = f"urn:n:{i}"
+    src = spark.createDataFrame(rows, _SRC_SCHEMA)
+    sels = spark.createDataFrame(
+        [("sel:d", ("http://a", "http://p", "http://b"))],
+        "uri string, edge struct<s:string,p:string,o:string>")
+    out = edge_source_provenance(sels, src, max_depth=10).collect()
+    assert len(out) == 1 and len(out[0]["chain"]) == 10
+
+
+# ---------------------------------------------------------------------------
+# Rendering kernels (show_explain_trace.py:159-532)
+# ---------------------------------------------------------------------------
+
+def test_render_graphrag_trace_exact():
+    from trustgraph_spark.explain_render import render_graphrag_trace
+
+    trace = {
+        "question": {"uri": "urn:q:1", "query": "who founded acme?",
+                     "timestamp": "2026-01-01T00:00:01Z"},
+        "exploration": {"uri": "urn:e:1", "edge_count": 7},
+        "focus": {"uri": "urn:f:1", "edge_selections": [
+            {"edge": {"s": "http://t/e/acme", "p": "http://t/p/founder",
+                      "o": "http://t/e/jane"},
+             "concept": "acme", "score": 0.97,
+             "provenance": [[{"uri": "urn:sg:1", "label": "urn:sg:1"},
+                             {"uri": "urn:chunk:c1",
+                              "label": "urn:chunk:c1"},
+                             {"uri": "urn:doc:1", "label": "Doc One"}]]},
+            {"edge": {"s": "http://t/e/jane", "p": "http://t/p/role",
+                      "o": "http://t/e/ceo"},
+             "concept": "", "score": None, "provenance": []},
+        ]},
+        "synthesis": {"uri": "urn:s:1", "document": "urn:doc:ans"},
+    }
+    labels = {"http://t/e/acme": "Acme", "http://t/p/founder": "founder",
+              "http://t/e/jane": "Jane"}
+    got = render_graphrag_trace(trace, labels=labels,
+                                show_provenance=True)
+    assert got == "\n".join([
+        "=== GraphRAG Session: urn:q:1 ===",
+        "",
+        "Question: who founded acme?",
+        "Time: 2026-01-01T00:00:01Z",
+        "",
+        "--- Exploration ---",
+        "Retrieved 7 edges from knowledge graph",
+        "",
+        "--- Focus (Edge Selection) ---",
+        "Selected 2 edges:",
+        "",
+        "  1. (Acme, founder, Jane)",
+        "     Concept: acme  Score: 0.9700",
+        "     Source: urn:sg:1 -> urn:chunk:c1 -> Doc One",
+        "     Content: urn:chunk:c1",
+        "",
+        "  2. (Jane, http://t/p/role, http://t/e/ceo)",
+        "",
+        "--- Synthesis ---",
+        "Document: urn:doc:ans",
+    ])
+    # with answer content, lines are two-space indented
+    got2 = render_graphrag_trace(trace, labels=labels,
+                                 content="line a\nline b")
+    assert got2.endswith(
+        "--- Synthesis ---\nAnswer:\n  line a\n  line b")
+
+
+def test_render_graphrag_missing_tails():
+    from trustgraph_spark.explain_render import render_graphrag_trace
+
+    got = render_graphrag_trace({"question": None})
+    assert got == "\n".join([
+        "=== GraphRAG Session: Unknown ===",
+        "", "",
+        "--- Exploration ---",
+        "No exploration data found",
+        "",
+        "--- Focus (Edge Selection) ---",
+        "No focus data found",
+        "",
+        "--- Synthesis ---",
+        "No synthesis data found",
+    ])
+    # score missing but concept present -> '?' marker
+    got2 = render_graphrag_trace({
+        "question": {"uri": "u", "query": "q", "timestamp": ""},
+        "focus": {"uri": "f", "edge_selections": [
+            {"edge": {"s": "a", "p": "b", "o": "c"},
+             "concept": "k", "score": None}]},
+    })
+    assert "     Concept: k  Score: ?" in got2
+
+
+def test_render_docrag_trace_exact():
+    from trustgraph_spark.explain_render import render_docrag_trace
+
+    got = render_docrag_trace({
+        "question": {"uri": "urn:d:1", "query": "what?",
+                     "timestamp": "2026-01-02T00:00:03Z"},
+        "grounding": {"uri": "urn:g:1", "concepts": ["a", "b"]},
+        "exploration": {"uri": "urn:e:1", "chunk_count": 3},
+        "synthesis": {"uri": "urn:s:1", "document": ""},
+    })
+    assert got == "\n".join([
+        "=== DocRAG Session: urn:d:1 ===",
+        "",
+        "Question: what?",
+        "Time: 2026-01-02T00:00:03Z",
+        "",
+        "--- Grounding ---",
+        "Concepts: a, b",
+        "",
+        "--- Exploration ---",
+        "Retrieved 3 chunks from document store",
+        "",
+        "--- Synthesis ---",
+        "No answer content found",
+    ])
+
+
+def test_trace_to_dict_shapes(store):
+    from trustgraph_spark.explain_render import (
+        trace_row_to_dict,
+        trace_to_dict,
+    )
+    from trustgraph_spark.operators.explain import (
+        edge_selections,
+        rag_traces,
+    )
+
+    rows = {r["question_uri"]: r for r in rag_traces(store).collect()}
+    sels = [s for s in edge_selections(store).collect()
+            if s["uri"].startswith("urn:trustgraph:prov:edge:s1:")]
+    t1 = trace_row_to_dict(rows["urn:trustgraph:question:s1"],
+                           sorted(sels, key=lambda s: s["uri"]))
+    d = trace_to_dict(t1, "graphrag")
+    assert d["type"] == "graphrag"
+    assert d["question"] == "who founded acme?"
+    assert d["exploration"] == {
+        "id": "urn:trustgraph:prov:exploration:s1", "edge_count": 7}
+    assert d["focus"]["id"] == "urn:trustgraph:prov:focus:s1"
+    assert d["focus"]["selected_edges"][0] == {
+        "edge": {"s": "http://t/e/acme", "p": TG + "founder",
+                 "o": "http://t/e/jane"},
+        "concept": "acme", "score": 0.97}
+    assert d["synthesis"] == {"id": "urn:trustgraph:prov:synthesis:s1",
+                              "document": "urn:doc:ans1"}
+
+    td = trace_row_to_dict(rows["urn:trustgraph:docrag:d1"])
+    dd = trace_to_dict(td, "docrag")
+    assert dd["grounding"] == {"id": "urn:trustgraph:docrag:d1/grounding",
+                               "concepts": ["chunk"]}
+    assert dd["exploration"]["chunk_count"] == 3
+
+    agent = {"question": {"uri": "urn:a", "query": "q", "timestamp": "t"},
+             "steps": [
+                 {"entity_type": "analysis", "uri": "urn:a/i1",
+                  "action": "tool", "arguments": "{}", "thought": "th"},
+                 {"entity_type": "observation", "uri": "urn:a/i1/o",
+                  "document": "urn:doc:o"},
+                 {"entity_type": "conclusion", "uri": "urn:a/final",
+                  "document": "urn:doc:f"},
+                 {"entity_type": "question", "uri": "urn:sub"}]}
+    da = trace_to_dict(agent, "agent")
+    assert [s["type"] for s in da["steps"]] == [
+        "analysis", "observation", "conclusion", "question"]
+    assert da["steps"][0] == {"type": "analysis", "id": "urn:a/i1",
+                              "action": "tool", "arguments": "{}",
+                              "thought": "th"}
+    assert da["steps"][3] == {"type": "question", "id": "urn:sub"}

@@ -114,6 +114,7 @@ TG_IMAGE_TYPE = TG + "Image"
 TG_ELEMENT_TYPES = TG + "elementTypes"
 TG_TABLE_COUNT = TG + "tableCount"
 TG_IMAGE_COUNT = TG + "imageCount"
+TG_CONTAINS = TG + "contains"
 
 _ROW_T = "array<struct<s:string,p:string,o:string,otype:string>>"
 
@@ -814,6 +815,108 @@ def rag_traces(
             F.when(F.col("question_type") == "graph-rag", F.col("_g_doc"))
              .otherwise(F.col("_d_doc")).alias("synthesis_document"),
         )
+    )
+
+
+def edge_source_provenance(
+    selections: DataFrame,
+    source_triples: DataFrame,
+    graph: str | None = "urn:graph:source",
+    max_depth: int = 10,
+) -> DataFrame:
+    """Trace every selected edge back to its source document — the
+    set-oriented twin of tg-show-explain-trace's per-edge walk
+    (cli/show_explain_trace.py:53-156): find the extraction subgraphs
+    whose ``tg:contains <<s p o>>`` row matches the edge (term-typed
+    per ``build_term``: http/urn strings are IRIs, else literals,
+    :72-84), then follow the prov:wasDerivedFrom chain to the root
+    (bounded ``max_depth``, stopping on missing or self parent),
+    resolving each node's rdfs:label with URI fallback (:116-164).
+
+    The reference runs ~2 store queries per chain hop per edge; here
+    the containment match is ONE value-equality join of the parsed
+    RDF-star terms (no byte-matching of JSON layouts), and the chain
+    walk is ``max_depth`` joins of a shrinking frontier against the
+    derivation edge frame (materialized once, as in rag_traces).
+
+    ``selections`` is edge_selections() output (uri + edge struct).
+    Returns one row per (selection, subgraph chain): selection_uri,
+    stmt_uri, chain (array<struct<uri,label>> root-last),
+    source_chain (' -> '-joined labels, format_provenance_chain
+    :159-164), content_chunk (first urn:chunk: node, :219-224)."""
+    t = _filtered(source_triples, graph)
+
+    qt = F.from_json("o", _QT_SCHEMA)
+    contains = t.where(
+        (F.col("p") == TG_CONTAINS) & (F.col("otype") == OTYPE_TRIPLE)
+    ).select(
+        F.col("s").alias("stmt_uri"),
+        _term_value(qt.getField("s")).alias("_cs"),
+        _term_value(qt.getField("p")).alias("_cp"),
+        _term_value(qt.getField("o")).alias("_co"),
+        qt.getField("o").getField("type").alias("_cot"),
+    )
+    is_ref = lambda c: (  # noqa: E731  build_term (:72-75)
+        c.startswith("http") | c.startswith("urn:"))
+    sel = selections.select(
+        F.col("uri").alias("selection_uri"),
+        F.col("edge.s").alias("_cs"),
+        F.col("edge.p").alias("_cp"),
+        F.col("edge.o").alias("_co"),
+        F.when(is_ref(F.col("edge.o")), "i").otherwise("l").alias("_cot"),
+    ).where(F.col("_cs").isNotNull())
+    hits = sel.join(contains, ["_cs", "_cp", "_co", "_cot"]).select(
+        "selection_uri", "stmt_uri")
+
+    # one parent per node: the reference queries with limit=1 and takes
+    # the first row (:136-150) — storage order again, so min(parent)
+    derived = t.where(F.col("p") == PROV_WAS_DERIVED_FROM).groupBy(
+        F.col("s").alias("child")).agg(
+        F.min("o").alias("parent")).localCheckpoint()
+    labels = t.where(F.col("p") == RDF_LABEL).groupBy(
+        F.col("s").alias("uri")).agg(F.min("o").alias("label"))
+
+    frontier = hits.select(
+        "selection_uri", "stmt_uri", F.lit(0).alias("depth"),
+        F.col("stmt_uri").alias("uri"))
+    chain = frontier
+    for _ in range(max_depth - 1):
+        nxt = frontier.join(
+            derived, frontier["uri"] == derived["child"]
+        ).where(
+            F.col("parent").isNotNull() & (F.col("parent") != F.col("uri"))
+        ).select(
+            "selection_uri", "stmt_uri",
+            (F.col("depth") + 1).alias("depth"),
+            F.col("parent").alias("uri"),
+        ).localCheckpoint()
+        if nxt.isEmpty():
+            break
+        chain = chain.unionByName(nxt)
+        frontier = nxt
+
+    nodes = chain.join(labels, "uri", "left").select(
+        "selection_uri", "stmt_uri", "depth", "uri",
+        F.coalesce("label", "uri").alias("label"))
+    agg = nodes.groupBy("selection_uri", "stmt_uri").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("depth").alias("d"),
+                F.col("uri").alias("uri"),
+                F.col("label").alias("label"),
+            ))),
+            lambda x: F.struct(x.getField("uri").alias("uri"),
+                               x.getField("label").alias("label")),
+        ).alias("chain"))
+    return agg.select(
+        "selection_uri", "stmt_uri", "chain",
+        F.array_join(F.transform(
+            "chain", lambda x: x.getField("label")), " -> ")
+        .alias("source_chain"),
+        F.try_element_at(F.filter(F.transform(
+            "chain", lambda x: x.getField("uri")),
+            lambda u: u.startswith("urn:chunk:")), F.lit(1))
+        .alias("content_chunk"),
     )
 
 
