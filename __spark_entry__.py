@@ -2462,6 +2462,35 @@ def q_edge_prov_trace(spark, sf_dir):
     )
 
 
+def q_cli_graph_query(spark, sf_dir):
+    """tg-query-graph round trip (cli/query_graph.py:91-337): a
+    CLI-style graph pattern (angle/urn term strings through build_term)
+    feeds the Q1 pattern dispatch, and every matched triple renders
+    with the native display formatter — IRIs bare, literals quoted
+    with the language-beats-datatype tag precedence, RDF-star objects
+    decoded from their byte-exact JSON to ``<<s p o>>``. Runs over the
+    emitted explainability store plus planted @lang / ^^datatype
+    literal rows so all three term shapes and both tag arms format."""
+    from trustgraph_spark.cliquery import cli_query_graph
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    q_uri = F.concat(F.lit("urn:trustgraph:question:s"), s(d))
+
+    def lit_rows(pred, val, dtype, lang):
+        return _docs(spark, sf_dir).where(d % 5 == 1).select(
+            F.lit("default").alias("collection"),
+            F.lit("urn:graph:retrieval").alias("g"),
+            q_uri.alias("s"), F.lit(_EXPLAIN_TG + pred).alias("p"),
+            val.alias("o"), F.lit("l").alias("otype"),
+            F.lit(dtype).alias("dtype"), F.lit(lang).alias("lang"))
+
+    edges = _explain_store(spark, sf_dir).unionByName(
+        lit_rows("note", F.concat(F.lit("note "), s(d)), "", "en")
+    ).unionByName(lit_rows("rank", s(d % 9), "xsd:integer", ""))
+    return cli_query_graph(edges, g="urn:graph:retrieval")
+
+
 def _universal_elements(spark, sf_dir):
     """Planted decoder-element table: 6 elements per document; doc_id
     residues toggle page-based mime, Titles, table HTML, images, empty
@@ -2542,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "universal_sections": q_universal_sections,
         "universal_images": q_universal_images,
         "edge_prov_trace": q_edge_prov_trace,
+        "cli_graph_query": q_cli_graph_query,
         "semdedup_keep": q_semdedup_keep,
         "dsir_sample": q_dsir_sample,
         "react_tool_trace": q_react_tool_trace,
@@ -3117,6 +3147,42 @@ SELECT 'urn:trustgraph:prov:edge:s' || a.d || ':0' AS selection_uri,
        'urn:chunk:c' || b.d AS content_chunk,
        4::INT AS chain_len
 FROM gr a JOIN gr b ON a.d % 11 = b.d % 11 AND a.d % 9 = b.d % 9
+"""
+
+    def _jt(path):
+        return (f"CASE WHEN json_extract_string(o, '$.{path}.type') = 'i' "
+                f"THEN json_extract_string(o, '$.{path}.iri') "
+                f"ELSE '\"' || json_extract_string(o, '$.{path}.value') "
+                f"|| '\"' END")
+
+    sql["cli_graph_query"] = f"""
+WITH base AS (
+  SELECT s, p, o, otype, '' AS dtype, '' AS lang
+  FROM ({sql["explain_rag_emit"]})
+  UNION ALL
+  SELECT 'urn:trustgraph:question:s' || doc_id, '{_ns}note',
+         'note ' || doc_id, 'l', '', 'en'
+  FROM documents WHERE doc_id % 5 = 1
+  UNION ALL
+  SELECT 'urn:trustgraph:question:s' || doc_id, '{_ns}rank',
+         (doc_id % 9)::VARCHAR, 'l', 'xsd:integer', ''
+  FROM documents WHERE doc_id % 5 = 1
+), fmt AS (
+  SELECT s, p,
+    CASE WHEN otype = 'u' THEN o
+         WHEN otype = 't' THEN
+           '<<' || {_jt('s')} || ' ' || {_jt('p')} || ' '
+                || {_jt('o')} || '>>'
+         ELSE '"' || o || '"'
+              || CASE WHEN lang <> '' THEN '@' || lang
+                      WHEN dtype <> '' THEN '^^' || dtype
+                      ELSE '' END
+    END AS o_fmt
+  FROM base
+)
+SELECT s AS s_fmt, p AS p_fmt, o_fmt,
+       s || ' ' || p || ' ' || o_fmt AS line
+FROM fmt
 """
 
     sql["kg_mentions"] = _MENTIONS_CTE + "SELECT doc_id, entity FROM mentions"
