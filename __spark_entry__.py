@@ -2462,6 +2462,40 @@ def q_edge_prov_trace(spark, sf_dir):
     )
 
 
+def q_kg_core_de_msgpack(spark, sf_dir):
+    """Document-embeddings leg of the core exchange
+    (save_doc_embeds.py:44-60 / put_de_core.py:18-58 ``("de", ...)``
+    records: per-chunk vector LISTS under root metadata): planted
+    dyadic-rational vectors roundtrip bit-exactly through
+    pack -> unpack; both nesting levels re-exploded to scalar rows for
+    the value-hash compare."""
+    from trustgraph_spark.operators.kgcore import (
+        decode_core_doc_embeddings,
+        encode_core_doc_embeddings,
+    )
+
+    did = F.col("doc_id").cast("long")
+    chunks = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc-"), (did % 5).cast("string")).alias("id"),
+        F.lit("default").alias("collection"),
+        F.concat(F.lit("chunk-"), did.cast("string")).alias("chunk_id"),
+        F.array(
+            F.array(did / F.lit(4.0), -did / F.lit(8.0)),
+            F.array((did % 16) / F.lit(2.0)),
+        ).alias("vectors"),
+    )
+    back = decode_core_doc_embeddings(
+        encode_core_doc_embeddings(chunks, batch_size=32))
+    return back.select(
+        "id", "collection", "chunk_id",
+        F.posexplode("vectors").alias("vec_idx", "vec"),
+    ).select(
+        "id", "collection", "chunk_id", "vec_idx",
+        F.posexplode("vec").alias("pos", "value"),
+    ).select("id", "collection", "chunk_id", "vec_idx", "pos",
+             F.col("value").cast("double").alias("value"))
+
+
 def q_cli_graph_query(spark, sf_dir):
     """tg-query-graph round trip (cli/query_graph.py:91-337): a
     CLI-style graph pattern (angle/urn term strings through build_term)
@@ -2572,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "universal_images": q_universal_images,
         "edge_prov_trace": q_edge_prov_trace,
         "cli_graph_query": q_cli_graph_query,
+        "kg_core_de_msgpack": q_kg_core_de_msgpack,
         "semdedup_keep": q_semdedup_keep,
         "dsir_sample": q_dsir_sample,
         "react_tool_trace": q_react_tool_trace,
@@ -3147,6 +3182,19 @@ SELECT 'urn:trustgraph:prov:edge:s' || a.d || ':0' AS selection_uri,
        'urn:chunk:c' || b.d AS content_chunk,
        4::INT AS chain_len
 FROM gr a JOIN gr b ON a.d % 11 = b.d % 11 AND a.d % 9 = b.d % 9
+"""
+
+    sql["kg_core_de_msgpack"] = """
+SELECT 'doc-' || (doc_id % 5) AS id,
+       'default' AS collection,
+       'chunk-' || doc_id AS chunk_id,
+       u.vec_idx, u.pos, u.value
+FROM documents,
+  LATERAL (
+    SELECT 0 AS vec_idx, 0 AS pos, doc_id / 4.0 AS value
+    UNION ALL SELECT 0, 1, -doc_id / 8.0
+    UNION ALL SELECT 1, 0, (doc_id % 16) / 2.0
+  ) u
 """
 
     def _jt(path):

@@ -209,3 +209,37 @@ def test_file_roundtrip_and_record_order(spark, planted, tmp_path):
         sorted(map(tuple, decode_core_triples(recs).collect()))
     assert decode_core_entities(rf).count() == 1
     assert decode_core_library(rf).count() == 1
+
+
+def test_doc_embeddings_roundtrip_and_wire_shape(spark):
+    from trustgraph_spark.mpack import packb as mp_packb
+    from trustgraph_spark.operators.kgcore import (
+        decode_core_doc_embeddings,
+        encode_core_doc_embeddings,
+    )
+
+    de = spark.createDataFrame(
+        [("d1", "default", "chunk-b", [[0.5, -0.25], [1.0, 2.0]]),
+         ("d1", "default", "chunk-a", [[3e-7]]),
+         ("d2", "other", "chunk-z", [])],
+        "id string, collection string, chunk_id string, "
+        "vectors array<array<double>>")
+    recs = encode_core_doc_embeddings(de, batch_size=10)
+    back = decode_core_doc_embeddings(recs)
+    a = sorted((r[0], r[1], r[2], tuple(map(tuple, r[3])))
+               for r in de.collect())
+    b = sorted((r[0], r[1], r[2], tuple(map(tuple, r[3])))
+               for r in back.collect())
+    assert a == b  # float64 wire: bit-exact
+
+    # byte parity with the reference writer's record shape
+    # (save_doc_embeds.py:44-60): chunks sorted by chunk_id in-batch
+    rec = {r["id"]: bytes(r["record"]) for r in recs.collect()}
+    expected = mp_packb(("de", {
+        "m": {"i": "d1", "m": [], "c": "default"},
+        "c": [{"c": "chunk-a", "v": [[3e-7]]},
+              {"c": "chunk-b", "v": [[0.5, -0.25], [1.0, 2.0]]}],
+    }))
+    assert rec["d1"] == expected
+    got = {r["kind"] for r in recs.collect()}
+    assert got == {"de"}

@@ -264,6 +264,52 @@ def encode_core_entities(
     )
 
 
+def encode_core_doc_embeddings(
+    chunks: DataFrame,
+    root_metadata: DataFrame | None = None,
+    batch_size: int = 500,
+) -> DataFrame:
+    """(id, collection, chunk_id, vectors array<array<double>>) ->
+    ``("de", ...)`` records — the document-embeddings core
+    tg-save-doc-embeds writes (save_doc_embeds.py:44-60: ``{"m": {"i",
+    "m", "c"}, "c": [{"c": chunk_id, "v": [vectors...]}]}``, one
+    vector LIST per chunk). One record per (id, collection, batch),
+    chunks sorted by chunk_id. The reference keeps de cores in their
+    own files (load_doc_embeds.py:101 routes on the "de" tag), so
+    these records don't interleave with t/ge/lm/lb."""
+    order = ["chunk_id"]
+    df = _join_root(_with_batch(chunks, order, batch_size), root_metadata)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        head = pdf.iloc[0]
+        record = packb((
+            "de",
+            {
+                "m": {
+                    "i": head["id"],
+                    "m": _root_triples(head["root"]),
+                    "c": head["collection"],
+                },
+                "c": [
+                    {"c": r["chunk_id"],
+                     "v": [list(v) for v in r["vectors"]]}
+                    for _, r in pdf.iterrows()
+                ],
+            },
+        ))
+        return pd.DataFrame([{
+            "kind": "de", "id": head["id"],
+            "collection": head["collection"],
+            "batch": int(head["batch"]), "n_items": len(pdf),
+            "record": record,
+        }])
+
+    return df.groupBy("id", "collection", "batch").applyInPandas(
+        pack, RECORDS_SCHEMA
+    )
+
+
 def encode_core_library(metadata: DataFrame | None = None,
                         blobs: DataFrame | None = None) -> DataFrame:
     """Library rows -> ``("lm", ...)`` / ``("lb", ...)`` records, one per
@@ -317,6 +363,8 @@ TRIPLES_SCHEMA = (
     "otype string, dtype string, lang string"
 )
 ENTITIES_SCHEMA = "id string, collection string, entity string, vector array<double>"
+DOC_EMB_SCHEMA = ("id string, collection string, chunk_id string, "
+                  "vectors array<array<double>>")
 LIBRARY_SCHEMA = ("id string, kind string, title string, parent_id string, "
                   "document_type string, comments string, tags array<string>")
 BLOBS_SCHEMA = "id string, data binary"
@@ -393,6 +441,23 @@ def decode_core_entities(records: DataFrame,
             "vector": [float(x) for x in e.get("v", [])],
         } for e in body.get("e") or []]
     return _decode(records, record_col, ENTITIES_SCHEMA, rows)
+
+
+def decode_core_doc_embeddings(records: DataFrame,
+                               record_col: str = "record") -> DataFrame:
+    """``("de", ...)`` records back to (id, collection, chunk_id,
+    vectors) rows (put_de_core.py:18-58 reader shape)."""
+    def rows(kind: str, body: dict) -> list[dict]:
+        if kind != "de":
+            return []
+        meta = body.get("m", {})
+        return [{
+            "id": meta.get("i", ""),
+            "collection": meta.get("c", "default"),
+            "chunk_id": c.get("c", ""),
+            "vectors": [[float(x) for x in v] for v in (c.get("v") or [])],
+        } for c in body.get("c") or []]
+    return _decode(records, record_col, DOC_EMB_SCHEMA, rows)
 
 
 def decode_core_library(records: DataFrame,
