@@ -465,6 +465,34 @@ def main() -> None:
         rag_traces(_store),
     )
 
+    from trustgraph_spark.operators.unstructured import (
+        assign_sections,
+        decode_universal,
+    )
+
+    _els = entrymod._universal_elements(spark, "/root/testdata/sf0.001")
+    add(
+        "Universal decoder: heading sections + assembly "
+        "(universal_sections)",
+        "Section assignment is window arithmetic over (doc_id ORDER BY "
+        "element_idx) — no shuffle beyond the one partitioning — and "
+        "assembly is a single subject-keyed ObjectHashAggregate whose "
+        "transform/filter/array_join all stay codegen. No Python "
+        "anywhere downstream of the partition seam.",
+        decode_universal(_els, strategy="heading")["sections"],
+    )
+    add(
+        "Universal decoder: size-strategy fold (assign_sections)",
+        "The accumulate-until-char-limit strategy is genuinely "
+        "sequential per document, so it lowers to ONE Catalyst "
+        "`aggregate` fold over the per-document length array "
+        "(collect_list -> aggregate -> explode -> join back by "
+        "position) — per-document state without a UDF and without a "
+        "corpus-wide window.",
+        assign_sections(
+            _els.where("category <> 'Image'"), "size", max_size=40),
+    )
+
     with open("/root/repo/EXPLAIN.md", "w") as f:
         f.write(
             "# EXPLAIN — physical plans of the core operators\n\n"
