@@ -2590,6 +2590,56 @@ def q_universal_images(spark, sf_dir):
     )
 
 
+def q_metering_costs(spark, sf_dir):
+    """Token metering (metering/counter.py:26-140): per-workspace
+    price tables resolved from the config store (type token-cost, one
+    JSON value per model, :66-90), then the two Prometheus counters
+    (tg_metering_tokens_total / tg_metering_cost_usd_total, model x
+    direction) computed over a completions table in ONE broadcast join
+    + grouped aggregate.  Planted: the config log exercises
+    last-write-wins, the malformed-JSON skip, and the type filter
+    (which unprices ws0/gpt-b entirely); completions exercise the
+    "unknown"-model fallback (:101, empty AND null), null token counts
+    (:102-103), and the not-found unpriced arm (:104-105 — tokens
+    counted, no cost).  Costs gated as exact integer micro-USD."""
+    from trustgraph_spark.operators.metering import (
+        meter_costs, price_table_from_config, token_counters)
+
+    n = F.col("doc_id")
+    docs = _docs(spark, sf_dir)
+    cfg_log = docs.where(n < 12).select(
+        F.concat(F.lit("ws"), (n % 2).cast("string")).alias("workspace"),
+        F.when(n % 6 == 4, F.lit("prompt"))
+        .otherwise(F.lit("token-cost")).alias("type"),
+        F.when(n % 3 == 0, F.lit("gpt-a"))
+        .when(n % 3 == 1, F.lit("gpt-b"))
+        .otherwise(F.lit("gpt-c")).alias("key"),
+        F.when(n % 3 == 2, F.lit("not json")).otherwise(F.concat(
+            F.lit('{"input_price": 0.00000'),
+            (n % 4 + 1).cast("string"),
+            F.lit(', "output_price": 0.00000'),
+            (n % 4 + 2).cast("string"), F.lit("}"))).alias("value"),
+        n.cast("long").alias("seq"),
+        F.lit(False).alias("deleted"),
+    )
+    completions = docs.select(
+        F.concat(F.lit("ws"), (n % 2).cast("string")).alias("workspace"),
+        F.when(n % 5 == 0, F.lit("gpt-a"))
+        .when(n % 5 == 1, F.lit("gpt-b"))
+        .when(n % 5 == 2, F.lit("unpriced"))
+        .when(n % 5 == 3, F.lit(""))
+        .otherwise(F.lit(None).cast("string")).alias("model"),
+        F.when(n % 11 == 0, F.lit(None).cast("long"))
+        .otherwise((n % 1000).cast("long")).alias("in_token"),
+        F.when(n % 13 == 0, F.lit(None).cast("long"))
+        .otherwise((n * 3 % 800).cast("long")).alias("out_token"),
+    )
+    metered = meter_costs(completions, price_table_from_config(cfg_log))
+    return token_counters(metered).select(
+        "workspace", "model", "direction", "tokens",
+        F.round(F.col("cost_usd") * 1e6).cast("long").alias("cost_micro"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's CORRECTNESS snapshot covers the FIRST 50
     # registry entries (observed in r02 and r03).  Entries that have never had
@@ -2598,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds of green driver history rotate to the back.
     return {
         # -- round-5 additions (driver window: first 50) --
+        "metering_costs": q_metering_costs,
         "explain_rag_emit": q_explain_rag_emit,
         "explain_entities": q_explain_entities,
         "explain_trace": q_explain_trace,
@@ -4953,6 +5004,49 @@ FROM resolved GROUP BY topic
 
     # Config store: the same append log + window argmax in SQL —
     # last write per (workspace, type, key), tombstones dropped
+    # Token metering: price tables re-resolved analytically (the JSON
+    # values are planted from doc_id, so the winning write's prices are
+    # pure doc_id arithmetic); costs exact in integer micro-USD
+    sql["metering_costs"] = """
+WITH cfg AS (
+  SELECT doc_id,
+    'ws' || (doc_id % 2) AS workspace,
+    CASE doc_id % 3 WHEN 0 THEN 'gpt-a' WHEN 1 THEN 'gpt-b'
+         ELSE 'gpt-c' END AS model,
+    doc_id % 4 + 1 AS in_micro,
+    doc_id % 4 + 2 AS out_micro
+  FROM documents
+  WHERE doc_id < 12 AND doc_id % 6 <> 4 AND doc_id % 3 <> 2
+), price AS (
+  SELECT workspace, model, in_micro, out_micro FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY workspace, model ORDER BY doc_id DESC) AS rn
+    FROM cfg) WHERE rn = 1
+), comp AS (
+  SELECT
+    'ws' || (doc_id % 2) AS workspace,
+    CASE doc_id % 5 WHEN 0 THEN 'gpt-a' WHEN 1 THEN 'gpt-b'
+         WHEN 2 THEN 'unpriced' ELSE 'unknown' END AS model,
+    CASE WHEN doc_id % 11 = 0 THEN 0 ELSE doc_id % 1000 END AS num_in,
+    CASE WHEN doc_id % 13 = 0 THEN 0 ELSE doc_id * 3 % 800 END AS num_out
+  FROM documents
+), joined AS (
+  SELECT c.workspace, c.model, c.num_in, c.num_out,
+         p.in_micro, p.out_micro
+  FROM comp c LEFT JOIN price p USING (workspace, model)
+), unpivoted AS (
+  SELECT workspace, model, 'input' AS direction, num_in AS tokens,
+         COALESCE(num_in * in_micro, 0) AS cost_micro FROM joined
+  UNION ALL
+  SELECT workspace, model, 'output', num_out,
+         COALESCE(num_out * out_micro, 0) FROM joined
+)
+SELECT workspace, model, direction,
+       SUM(tokens)::BIGINT AS tokens,
+       SUM(cost_micro)::BIGINT AS cost_micro
+FROM unpivoted GROUP BY workspace, model, direction
+"""
+
     sql["config_resolve_state"] = """
 WITH log AS (
   SELECT

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "explain_trace",
     "doc_prov_triples",
     "universal_sections",
+    "metering_costs",
 ]
 
 

@@ -47,6 +47,13 @@ def main() -> None:
                     help="(doc_id, text) parquet: enables DSIR selection")
     ap.add_argument("--dsir-keep", type=int, default=0)
     args = ap.parse_args()
+    # DSIR needs both halves: the target corpus defines the
+    # distribution, the keep count sizes the selection.  Half a pair
+    # would silently skip the stage (or crash later) — fail fast.
+    if bool(args.dsir_target) != (args.dsir_keep > 0):
+        ap.error("--dsir-target and --dsir-keep > 0 must be given "
+                 "together (got target=%r keep=%d)"
+                 % (args.dsir_target, args.dsir_keep))
 
     from pyspark.sql import SparkSession
 

@@ -295,6 +295,32 @@ def test_partial_trace_left_preserved(spark):
         and t[0]["synthesis_uri"] is None
 
 
+def test_null_arrays_do_not_drop_session(spark):
+    """NULL list columns (an upstream left join's no-match rows) must
+    contribute zero entries — not null-poison the concat and silently
+    drop the session's entire trace."""
+    # NULL lists must emit exactly what [] lists emit
+    nul = spark.createDataFrame(
+        [("x", "q?", "2026-01-01T00:00:00Z", None, None, 0, None,
+          None, None, None, None)], _GR_SCHEMA)
+    emp = spark.createDataFrame(
+        [("x", "q?", "2026-01-01T00:00:00Z", [], [], 0, [],
+          None, None, None, None)], _GR_SCHEMA)
+    got = sorted(map(tuple, graphrag_session_triples(nul).collect()))
+    want = sorted(map(tuple, graphrag_session_triples(emp).collect()))
+    assert got == want and len(got) > 0
+
+    dnul = spark.createDataFrame(
+        [("y", "q?", "2026-01-01T00:00:00Z", None, 0, None, None,
+          None, None, None, None)], _DR_SCHEMA)
+    demp = spark.createDataFrame(
+        [("y", "q?", "2026-01-01T00:00:00Z", [], 0, [], [],
+          None, None, None, None)], _DR_SCHEMA)
+    dgot = sorted(map(tuple, docrag_session_triples(dnul).collect()))
+    dwant = sorted(map(tuple, docrag_session_triples(demp).collect()))
+    assert dgot == dwant and len(dgot) > 0
+
+
 def test_list_sessions_excludes_subtraces(store):
     rows = list_sessions(store).collect()
     uris = [r["uri"] for r in rows]

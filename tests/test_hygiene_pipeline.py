@@ -98,6 +98,17 @@ def test_mix_targets_path(spark):
         mix_targets={"src0": 0.7, "src1": 0.3}))
     rows = out["cleaned"].collect()
     assert rows and all(r["epoch"] >= 1 and r["rate"] > 0 for r in rows)
+    # packing reflects the REALIZED corpus: one block row per
+    # (doc_id, epoch) copy the mixture stage emitted, offsets tiling
+    # the concatenated stream
+    packed = out["packed"].collect()
+    assert {(p["doc_id"], p["epoch"]) for p in packed} \
+        == {(r["doc_id"], r["epoch"]) for r in rows}
+    spans = sorted((p["start_tok"], p["start_tok"] + p["n_tokens"])
+                   for p in packed)
+    assert spans[0][0] == 0
+    assert all(spans[i][1] == spans[i + 1][0]
+               for i in range(len(spans) - 1))
 
 
 def test_semdedup_and_dsir_stages(spark):
@@ -141,6 +152,28 @@ def test_docs_without_embeddings_are_kept(spark):
                       embeddings=emb)
     rep = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
     assert rep["after_semdedup"] == 9       # nothing semantic to drop
+
+
+def test_no_overlapping_embeddings_skips_semdedup(spark):
+    """An embeddings table whose doc_ids never match a survivor (stale
+    or mismatched file) must skip the stage cleanly — not crash inside
+    k-means on an empty training frame."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in DOCS], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(999, [1.0] * 16)], "doc_id long, embedding array<double>")
+    out = run_hygiene(docs, HygieneConfig(span_n=5, seq_len=32),
+                      embeddings=emb)
+    rep = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert rep["after_semdedup"] == rep["after_dedup"]
+
+
+def test_dsir_target_without_keep_errors(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in DOCS], "doc_id long, text string")
+    with pytest.raises(ValueError, match="dsir_keep"):
+        run_hygiene(docs, HygieneConfig(span_n=5, seq_len=32),
+                    dsir_target=docs.select("doc_id", "text"))
 
 
 def test_no_gopher_filter_keeps_everything(spark):

@@ -81,18 +81,20 @@ def main():
 
         def run(df=df, cents=cents):
             out = semdedup(df, cents, eps=0.95)
-            # pair-join input: sum over clusters of size^2 (the quantity
-            # that must grow ~10x, not 100x)
-            from trustgraph_spark.operators.embeddings import ivf_assign
-            sizes = (ivf_assign(df.select("vec_id",
-                                          F.col("embedding").alias("v")),
-                                cents, vec_col="v")
-                     .groupBy("list_id").count()
-                     .agg(F.sum(F.col("count") * F.col("count")))
-                     .collect()[0][0])
-            return out.where(~F.col("kept")).count(), sizes
+            return out.where(~F.col("kept")).count()
 
-        wall, (n_drop, pairs) = _wall(run)
+        wall, n_drop = _wall(run)
+        # pair-join input: sum over clusters of size^2 (the quantity
+        # that must grow ~10x, not 100x).  Diagnostic only — computed
+        # OUTSIDE the timed closure so the wall column measures
+        # semdedup itself, not an extra assignment pass.
+        from trustgraph_spark.operators.embeddings import ivf_assign
+        pairs = (ivf_assign(df.select("vec_id",
+                                      F.col("embedding").alias("v")),
+                            cents, vec_col="v")
+                 .groupBy("list_id").count()
+                 .agg(F.sum(F.col("count") * F.col("count")))
+                 .collect()[0][0])
         sem_rows[tag] = (wall, n_drop, pairs)
         print(f"semdedup {tag}: dropped={n_drop} pair_input={pairs} "
               f"wall={wall}s", flush=True)

@@ -31,6 +31,10 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from trustgraph_spark.operators.provenance import (
+    QT_SCHEMA as _QT_SCHEMA,  # the one shared RDF-star wire schema
+)
+
 
 def parse_inline_quoted_triple(value: str) -> dict:
     """Parse ``<<subject predicate object>>`` (query_graph.py:31-88)."""
@@ -180,11 +184,6 @@ def format_triples(triples: list[dict], output_format: str = "space",
 # ---------------------------------------------------------------------------
 # Native display path
 # ---------------------------------------------------------------------------
-
-_TERM_SCHEMA = "struct<type:string,iri:string,value:string>"
-_QT_SCHEMA = (f"struct<s:{_TERM_SCHEMA},p:{_TERM_SCHEMA},"
-              f"o:{_TERM_SCHEMA}>")
-
 
 def _fmt_inner(term):
     return F.when(term.getField("type") == "i",

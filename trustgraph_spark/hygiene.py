@@ -25,7 +25,9 @@ composed in the order the stages are actually sound:
    downstream thresholding.
 7. **mixture sampling** (optional, targets given) — realize per-source
    token shares with deterministic hash sampling.
-8. **sequence packing** — block assignment for the surviving docs.
+8. **sequence packing** — block assignment for the REALIZED training
+   corpus: post-mix when mixing ran (each epoch copy packs
+   separately), else the scrub survivors.
 
 Each stage is the already-oracled operator; this module only wires
 them.  The composition is integration-tested
@@ -101,9 +103,13 @@ def run_hygiene(documents: DataFrame,
                  .select(F.col("doc_id").alias("a"),
                          F.col("first_doc").alias("b")))
     resolved = resolve_duplicates(documents, dup_pairs)
+    # localCheckpoint each stage boundary the report forces an action on
+    # anyway: canon feeds 3+ downstream subtrees (SemDedup join, line
+    # dedup, the cluster-size join) and would otherwise re-run the
+    # hash+CC dedup once per consumer.
     canon = (documents.join(
         resolved.where("is_canonical").select("doc_id", "cluster_size"),
-        "doc_id"))
+        "doc_id")).localCheckpoint()
     n_dedup = canon.count()
     stages = [("input", n0), ("after_dedup", n_dedup)]
 
@@ -113,17 +119,22 @@ def run_hygiene(documents: DataFrame,
 
         emb = embeddings.join(canon.select("doc_id"), "doc_id") \
             .localCheckpoint()
-        # k proportional to N (expected cluster size ~ cluster_size);
-        # never more lists than needed — a tiny corpus is ONE cluster
-        n_lists = max(1, -(-emb.count() // cfg.semdedup_cluster_size))
-        cents = ivf_kmeans(emb, n_lists=n_lists, id_col="doc_id",
-                           vec_col="embedding")
-        sem_drop = (semdedup(emb, cents, eps=cfg.semdedup_eps,
-                             id_col="doc_id", vec_col="embedding")
-                    .where(~F.col("kept")).select("doc_id"))
-        canon = canon.join(sem_drop, "doc_id", "left_anti")
-        n_sem = canon.count()
-        stages.append(("after_semdedup", n_sem))
+        n_emb = emb.count()
+        if n_emb > 0:
+            # k proportional to N (expected cluster size ~
+            # cluster_size); never more lists than needed — a tiny
+            # corpus is ONE cluster
+            n_lists = max(1, -(-n_emb // cfg.semdedup_cluster_size))
+            cents = ivf_kmeans(emb, n_lists=n_lists, id_col="doc_id",
+                               vec_col="embedding")
+            sem_drop = (semdedup(emb, cents, eps=cfg.semdedup_eps,
+                                 id_col="doc_id", vec_col="embedding")
+                        .where(~F.col("kept")).select("doc_id"))
+            canon = canon.join(sem_drop, "doc_id", "left_anti") \
+                .localCheckpoint()
+        # n_emb == 0: no survivor has an embedding row — nothing to
+        # compare, everything kept (the documented no-embedding rule)
+        stages.append(("after_semdedup", canon.count()))
 
     # 2-4. line dedup (needs intact newlines), span dedup, redaction
     lined = (corpus_line_dedup(canon.select("doc_id", "text"),
@@ -139,14 +150,24 @@ def run_hygiene(documents: DataFrame,
         filtered = redacted.where(gopher_pass_col(F.col("text")))
     else:
         filtered = redacted
+    # filtered feeds the LM-score fit, the score join, DSIR, and the
+    # report count — checkpoint so the scrub chain runs once, not 4x.
+    filtered = filtered.localCheckpoint()
     n_filtered = filtered.count()
     stages.append(("after_scrub_filter", n_filtered))
 
     # 5b. DSIR selection over the scrubbed, quality-passed survivors
-    if dsir_target is not None and cfg.dsir_keep > 0:
+    if dsir_target is not None:
+        if cfg.dsir_keep <= 0:
+            raise ValueError(
+                "dsir_target given but dsir_keep is 0 — set "
+                "HygieneConfig.dsir_keep to the number of documents "
+                "to select (the target corpus enables DSIR; the keep "
+                "count sizes it)")
         sel = dsir_sample(filtered, dsir_target, k=cfg.dsir_keep,
                           n_buckets=cfg.dsir_buckets)
-        filtered = filtered.join(sel.select("doc_id"), "doc_id")
+        filtered = filtered.join(sel.select("doc_id"), "doc_id") \
+            .localCheckpoint()
         stages.append(("after_dsir", filtered.count()))
 
     # 6. LM quality score (model fitted on the surviving corpus)
@@ -165,8 +186,24 @@ def run_hygiene(documents: DataFrame,
         cleaned = scored.join(
             sampled.select("doc_id", "epoch", "rate"), "doc_id")
 
-    # 8. packing over the survivors
-    packed = pack_blocks(filtered, seq_len=cfg.seq_len)
+    # 8. packing over the REALIZED training corpus: post-mix when
+    # mixing ran (each epoch copy packs separately, doc-major
+    # (doc_id, epoch) concatenation order via a synthetic unique key
+    # — pack_blocks requires unique integer ids), else the scrub
+    # survivors directly.
+    if cfg.mix_targets:
+        # epochs are 1..n_ep; key = doc_id * n_ep + (epoch - 1) is
+        # unique and (doc_id, epoch)-lexicographic for doc_id >= 0
+        n_ep = cleaned.agg(F.max("epoch")).first()[0] or 1
+        pack_in = cleaned.select(
+            F.expr(f"doc_id * {n_ep} + epoch - 1").alias("doc_id"),
+            "text")
+        packed = (pack_blocks(pack_in, seq_len=cfg.seq_len)
+                  .withColumn("epoch",
+                              F.expr(f"doc_id % {n_ep} + 1").cast("int"))
+                  .withColumn("doc_id", F.expr(f"doc_id div {n_ep}")))
+    else:
+        packed = pack_blocks(cleaned, seq_len=cfg.seq_len)
 
     report_df = documents.sparkSession.createDataFrame(
         stages, "stage string, n_docs long")

@@ -48,6 +48,7 @@ from ..constants import (
     RDF_LABEL,
     RDF_TYPE,
 )
+from .provenance import QT_SCHEMA as _QT_SCHEMA  # shared wire schema
 
 TG = "https://trustgraph.ai/ns/"
 
@@ -133,6 +134,16 @@ def _opt(cond, *entries):
     """Entries included only when ``cond`` holds (the reference's
     ``if value is not None: triples.append(...)`` arms)."""
     return F.when(cond, F.array(*entries)).otherwise(F.array().cast(_ROW_T))
+
+
+def _each(col_name: str, fn):
+    """``transform`` with a NULL-array guard: a null list contributes
+    ZERO entries rather than null-poisoning the enclosing ``concat``
+    (which would silently drop the session's whole triple set at the
+    explode).  The reference iterates ``for x in lst`` over lists that
+    are always present; a Spark upstream left join can make them NULL."""
+    return F.transform(
+        F.coalesce(F.col(col_name), F.array().cast("array<string>")), fn)
 
 
 def _tokens(uri):
@@ -231,11 +242,9 @@ def graphrag_session_triples(
                 _t(syn_uri, RDF_LABEL, "Synthesis", OTYPE_LITERAL),
                 _t(syn_uri, PROV_WAS_DERIVED_FROM, f_uri),
             ),
-            F.transform(
-                F.col("concepts"),
-                lambda c: _t(g_uri, TG_CONCEPT, c, OTYPE_LITERAL),
-            ),
-            F.transform(F.col("entities"), lambda e: _t(e_uri, TG_ENTITY, e)),
+            _each("concepts",
+                  lambda c: _t(g_uri, TG_CONCEPT, c, OTYPE_LITERAL)),
+            _each("entities", lambda e: _t(e_uri, TG_ENTITY, e)),
             _opt(F.col("document_id").isNotNull(),
                  _t(syn_uri, TG_DOCUMENT, F.col("document_id"))),
             _tokens(syn_uri),
@@ -327,14 +336,9 @@ def docrag_session_triples(
                 _t(syn_uri, RDF_LABEL, "Synthesis", OTYPE_LITERAL),
                 _t(syn_uri, PROV_WAS_DERIVED_FROM, e_uri),
             ),
-            F.transform(
-                F.col("concepts"),
-                lambda c: _t(g_uri, TG_CONCEPT, c, OTYPE_LITERAL),
-            ),
-            F.transform(
-                F.col("chunk_ids"),
-                lambda c: _t(e_uri, TG_SELECTED_CHUNK, c),
-            ),
+            _each("concepts",
+                  lambda c: _t(g_uri, TG_CONCEPT, c, OTYPE_LITERAL)),
+            _each("chunk_ids", lambda c: _t(e_uri, TG_SELECTED_CHUNK, c)),
             # docrag_chunk_selection_triples envelope (:756-761), only
             # when the reranker ran
             _opt(F.size("reranked") > 0,
@@ -647,12 +651,6 @@ def explain_entities(
     )
 
 
-_TERM_SCHEMA = (
-    "struct<type:string,iri:string,value:string>"
-)
-_QT_SCHEMA = (
-    f"struct<s:{_TERM_SCHEMA},p:{_TERM_SCHEMA},o:{_TERM_SCHEMA}>"
-)
 
 
 def _term_value(term):
