@@ -2462,6 +2462,86 @@ def q_edge_prov_trace(spark, sf_dir):
     )
 
 
+def q_extraction_hierarchy(spark, sf_dir):
+    """Document -> Pages -> Chunks -> Edges extraction-hierarchy reader
+    (cli/show_extraction_provenance.py:175-230 build_hierarchy): one BFS
+    over the planted urn:graph:source store — a typed
+    doc/page/chunk/subgraph wasDerivedFrom chain where page rows repeat
+    per document (the reader's min-aggs dedupe), chunk labels exist only
+    on d%4==0 (URI-fallback arm), subgraph children inline their
+    RDF-star tg:contains edges (LITERAL objects, exercising the
+    extract_value literal arm) instead of becoming nodes, an untyped
+    urn:misc leaf classifies 'unknown', and retrieval-graph noise labels
+    must be dropped by the named-graph filter."""
+    from trustgraph_spark.operators.explain import extraction_hierarchy
+    from trustgraph_spark.operators.provenance import quoted_triple_json
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rdfs_label = "http://www.w3.org/2000/01/rdf-schema#label"
+    wdf = "http://www.w3.org/ns/prov#wasDerivedFrom"
+    page = F.concat(F.lit("urn:page:"), s(d % 10))
+    chunk = F.concat(F.lit("urn:chunk:"), s(d))
+
+    def t(sc, p, oc, otype="u"):
+        return F.struct(sc.alias("s"), F.lit(p).alias("p"),
+                        oc.alias("o"), F.lit(otype).alias("otype"))
+
+    def emit(rows, g="urn:graph:source"):
+        return rows.select(F.explode("tr").alias("tr")).select(
+            F.lit("default").alias("collection"),
+            F.lit(g).alias("g"),
+            F.col("tr.s").alias("s"), F.col("tr.p").alias("p"),
+            F.col("tr.o").alias("o"), F.col("tr.otype").alias("otype"),
+            F.lit("").alias("dtype"), F.lit("").alias("lang"))
+
+    base = _docs(spark, sf_dir)
+    root = emit(spark.range(1).select(F.array(
+        t(F.lit("urn:doc:root"), rdf_type,
+          F.lit(_EXPLAIN_TG + "Document")),
+        t(F.lit("urn:doc:root"), "http://purl.org/dc/terms/title",
+          F.lit("Root Document"), "l"),
+        t(F.lit("urn:doc:root"), _EXPLAIN_TG + "mimeType",
+          F.lit("text/plain"), "l"),
+    ).alias("tr")))
+    per_doc = emit(base.select(F.concat(
+        F.array(
+            t(page, wdf, F.lit("urn:doc:root")),
+            t(page, rdf_type, F.lit(_EXPLAIN_TG + "Page")),
+            t(page, rdfs_label, F.concat(F.lit("Page "), s(d % 10)), "l"),
+            t(chunk, wdf, page),
+            t(chunk, rdf_type, F.lit(_EXPLAIN_TG + "Chunk")),
+        ),
+        F.when(d % 4 == 0, F.array(
+            t(chunk, rdfs_label, F.concat(F.lit("Chunk "), s(d)), "l"),
+        )).otherwise(F.array().cast(
+            "array<struct<s:string,p:string,o:string,otype:string>>")),
+        F.when(d % 3 == 0, F.array(
+            t(F.concat(F.lit("urn:sg:"), s(d)), wdf, chunk),
+            t(F.concat(F.lit("urn:sg:"), s(d)), rdf_type,
+              F.lit(_EXPLAIN_TG + "Subgraph")),
+            t(F.concat(F.lit("urn:sg:"), s(d)), _EXPLAIN_TG + "contains",
+              quoted_triple_json(
+                  F.concat(F.lit("http://trustgraph.ai/e/e"), s(d % 7)),
+                  F.lit(_EXPLAIN_TG + "rel"),
+                  F.concat(F.lit("val "), s(d % 5)),
+                  F.lit("l")), "t"),
+        )).otherwise(F.array().cast(
+            "array<struct<s:string,p:string,o:string,otype:string>>")),
+        F.when(d % 7 == 3, F.array(
+            t(F.concat(F.lit("urn:misc:"), s(d)), wdf, chunk),
+        )).otherwise(F.array().cast(
+            "array<struct<s:string,p:string,o:string,otype:string>>")),
+    ).alias("tr")))
+    noise = emit(base.select(F.array(
+        t(page, rdfs_label, F.lit("WRONG"), "l"),
+    ).alias("tr")), g="urn:graph:retrieval")
+
+    store = root.unionByName(per_doc).unionByName(noise)
+    return extraction_hierarchy(store, "urn:doc:root")
+
+
 def q_kg_core_de_msgpack(spark, sf_dir):
     """Document-embeddings leg of the core exchange
     (save_doc_embeds.py:44-60 / put_de_core.py:18-58 ``("de", ...)``
@@ -2648,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds of green driver history rotate to the back.
     return {
         # -- round-5 additions (driver window: first 50) --
+        "extraction_hierarchy": q_extraction_hierarchy,
         "metering_costs": q_metering_costs,
         "explain_rag_emit": q_explain_rag_emit,
         "explain_entities": q_explain_entities,
@@ -3233,6 +3314,29 @@ SELECT 'urn:trustgraph:prov:edge:s' || a.d || ':0' AS selection_uri,
        'urn:chunk:c' || b.d AS content_chunk,
        4::INT AS chain_len
 FROM gr a JOIN gr b ON a.d % 11 = b.d % 11 AND a.d % 9 = b.d % 9
+"""
+
+    sql["extraction_hierarchy"] = """
+WITH docs AS (SELECT doc_id AS d FROM documents),
+pages AS (SELECT DISTINCT d % 10 AS pg FROM docs)
+SELECT 0::INT AS depth, 'urn:doc:root' AS node_uri,
+       NULL::VARCHAR AS parent_uri, 'document' AS node_type,
+       NULL::VARCHAR AS label, 'Root Document' AS title,
+       'text/plain' AS fmt
+UNION ALL
+SELECT 1::INT, 'urn:page:' || pg, 'urn:doc:root', 'page',
+       'Page ' || pg, NULL, NULL FROM pages
+UNION ALL
+SELECT 2::INT, 'urn:chunk:' || d, 'urn:page:' || (d % 10), 'chunk',
+       CASE WHEN d % 4 = 0 THEN 'Chunk ' || d END, NULL, NULL FROM docs
+UNION ALL
+SELECT 3::INT, '<<http://trustgraph.ai/e/e' || (d % 7)
+         || ' https://trustgraph.ai/ns/rel val ' || (d % 5) || '>>',
+       'urn:chunk:' || d, 'edge', NULL, NULL, NULL
+FROM docs WHERE d % 3 = 0
+UNION ALL
+SELECT 3::INT, 'urn:misc:' || d, 'urn:chunk:' || d, 'unknown',
+       NULL, NULL, NULL FROM docs WHERE d % 7 = 3
 """
 
     sql["kg_core_de_msgpack"] = """

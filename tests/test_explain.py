@@ -664,3 +664,126 @@ def test_trace_to_dict_shapes(store):
                               "action": "tool", "arguments": "{}",
                               "thought": "th"}
     assert da["steps"][3] == {"type": "question", "id": "urn:sub"}
+
+
+# ---------------------------------------------------------------------------
+# Extraction hierarchy (show_extraction_provenance.py:175-305)
+# ---------------------------------------------------------------------------
+
+_H_TG = "https://trustgraph.ai/ns/"
+_H_WDF = "http://www.w3.org/ns/prov#wasDerivedFrom"
+_H_LBL = "http://www.w3.org/2000/01/rdf-schema#label"
+_H_RDFT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _hier_store(spark, extra=(), noise=()):
+    rows = [
+        ("urn:doc:1", _H_RDFT, _H_TG + "Document", "u"),
+        ("urn:doc:1", "http://purl.org/dc/terms/title", "My Doc", "l"),
+        ("urn:doc:1", _H_TG + "mimeType", "text/plain", "l"),
+        ("urn:page:1", _H_WDF, "urn:doc:1", "u"),
+        ("urn:page:1", _H_RDFT, _H_TG + "Page", "u"),
+        ("urn:page:1", _H_LBL, "Page 1", "l"),
+        ("urn:chunk:1", _H_WDF, "urn:page:1", "u"),
+        ("urn:chunk:1", _H_RDFT, _H_TG + "Chunk", "u"),
+        # diamond: chunk:2 derived from BOTH page:1 and doc:1
+        ("urn:chunk:2", _H_WDF, "urn:page:1", "u"),
+        ("urn:chunk:2", _H_WDF, "urn:doc:1", "u"),
+        ("urn:chunk:2", _H_RDFT, _H_TG + "Chunk", "u"),
+        # cycle back-edge: page:1 "derived from" its own chunk
+        ("urn:page:1", _H_WDF, "urn:chunk:1", "u"),
+        # subgraph on chunk:1 with a literal-object RDF-star edge
+        ("urn:sg:1", _H_WDF, "urn:chunk:1", "u"),
+        ("urn:sg:1", _H_RDFT, _H_TG + "Subgraph", "u"),
+        ("urn:sg:1", _H_TG + "contains",
+         _qt_json("http://t/e/a", _H_TG + "rel", "lit val", o_iri=False),
+         "t"),
+        # untyped child -> 'unknown'
+        ("urn:misc:1", _H_WDF, "urn:chunk:1", "u"),
+    ] + list(extra)
+    data = [("default", "urn:graph:source", s, p, o, ot, "", "")
+            for s, p, o, ot in rows] + list(noise)
+    return spark.createDataFrame(data, _SRC_SCHEMA)
+
+
+def test_extraction_hierarchy_walk(spark):
+    from trustgraph_spark.operators.explain import extraction_hierarchy
+
+    store = _hier_store(
+        spark,
+        noise=[("default", "urn:graph:retrieval",
+                "urn:page:1", _H_LBL, "WRONG", "l", "", "")])
+    rows = {r["node_uri"]: r for r in
+            extraction_hierarchy(store, "urn:doc:1").collect()}
+    root = rows["urn:doc:1"]
+    assert (root["depth"], root["parent_uri"], root["node_type"],
+            root["title"], root["fmt"]) == (0, None, "document",
+                                            "My Doc", "text/plain")
+    # named-graph filter: the retrieval-graph label never leaks
+    assert rows["urn:page:1"]["label"] == "Page 1"
+    # diamond -> min parent at min depth (documented divergence)
+    assert (rows["urn:chunk:2"]["depth"],
+            rows["urn:chunk:2"]["parent_uri"]) == (1, "urn:doc:1")
+    # cycle guard: page:1 appears exactly once, at depth 1
+    assert rows["urn:page:1"]["depth"] == 1
+    # subgraph never becomes a node; its edge inlines onto the parent
+    assert "urn:sg:1" not in rows
+    edge = rows["<<http://t/e/a https://trustgraph.ai/ns/rel lit val>>"]
+    assert (edge["node_type"], edge["parent_uri"], edge["depth"]) == (
+        "edge", "urn:chunk:1", 3)
+    # untyped child classifies 'unknown' and still recurses as a node
+    assert rows["urn:misc:1"]["node_type"] == "unknown"
+    assert len(rows) == 6
+
+
+def test_extraction_hierarchy_depth_and_dc11(spark):
+    from trustgraph_spark.operators.explain import extraction_hierarchy
+
+    # dc/elements/1.1 title (the EMITTER vocabulary) read when no
+    # dcterms title exists; max_depth cuts the walk
+    store = _hier_store(
+        spark,
+        extra=[("urn:doc:1",
+                "http://purl.org/dc/elements/1.1/title", "DC11", "l")])
+    out = extraction_hierarchy(store, "urn:doc:1", max_depth=1)
+    rows = {r["node_uri"]: r for r in out.collect()}
+    assert set(rows) == {"urn:doc:1", "urn:page:1", "urn:chunk:2"}
+    assert rows["urn:doc:1"]["title"] == "My Doc"  # dcterms wins
+    solo = spark.createDataFrame(
+        [("default", "urn:graph:source", "urn:doc:9",
+          "http://purl.org/dc/elements/1.1/title", "DC11", "l", "", "")],
+        _SRC_SCHEMA)
+    r9 = extraction_hierarchy(solo, "urn:doc:9").collect()
+    assert len(r9) == 1 and r9[0]["title"] == "DC11"
+    assert r9[0]["node_type"] == "unknown"
+
+
+def test_extraction_hierarchy_render(spark):
+    from trustgraph_spark.explain_render import (
+        hierarchy_to_tree,
+        render_extraction_tree,
+    )
+    from trustgraph_spark.operators.explain import extraction_hierarchy
+
+    rows = [r.asDict() for r in
+            extraction_hierarchy(_hier_store(spark), "urn:doc:1").collect()]
+    tree = hierarchy_to_tree(rows)
+    assert tree["uri"] == "urn:doc:1" and tree["type"] == "document"
+    assert tree["metadata"] == {"uri": "urn:doc:1", "title": "My Doc",
+                                "format": "text/plain"}
+    # children sorted by uri (show_extraction_provenance.py:228)
+    assert [c["uri"] for c in tree["children"]] == [
+        "urn:chunk:2", "urn:page:1"]
+    text = render_extraction_tree(tree)
+    assert text == "\n".join([
+        'Document: urn:doc:1',
+        '  Title: "My Doc"',
+        '  Type: text/plain',
+        '  ├── Chunk: urn:chunk:2',
+        '  └── Page: Page 1',
+        '      └── Chunk: urn:chunk:1',
+        '          ├── Edge: '
+        '<<http://t/e/a https://trustgraph.ai/ns/rel lit val>>',
+        '          └── Unknown: urn:misc:1',
+    ])
+    assert render_extraction_tree(None) == "No data found"

@@ -278,3 +278,92 @@ def trace_row_to_dict(row, edge_selections: list | None = None) -> dict:
         "synthesis": ent("synthesis_uri",
                          document=r.get("synthesis_document") or ""),
     }
+
+
+# ---------------------------------------------------------------------------
+# Extraction hierarchy display (cli/show_extraction_provenance.py:233-305)
+# ---------------------------------------------------------------------------
+
+def hierarchy_to_tree(rows: list[dict]) -> dict | None:
+    """Reassemble ``extraction_hierarchy`` flat rows into the nested
+    build_hierarchy node shape (show_extraction_provenance.py:187-230):
+    {"uri", "type", "metadata": {"uri" [, "label"/"title"/"format"]},
+    "children": [...], "edges": [...]}, children sorted by uri (:228).
+    Edges keep the decoded ``<<s p o>>`` statement string the operator
+    emits. Returns None when rows is empty (the CLI's no-data arm,
+    :387-389). Bounded display pool — driver-side by design, like every
+    renderer in this module."""
+    nodes: dict[str, dict] = {}
+    root = None
+    for r in rows:
+        if r["node_type"] == "edge":
+            continue
+        meta = {"uri": r["node_uri"]}
+        for src_key, dst_key in (("label", "label"), ("title", "title"),
+                                 ("fmt", "format")):
+            if r.get(src_key) is not None:
+                meta[dst_key] = r[src_key]
+        node = {"uri": r["node_uri"], "type": r["node_type"],
+                "metadata": meta, "children": [], "edges": []}
+        nodes[r["node_uri"]] = node
+        if r.get("parent_uri") is None:
+            root = node
+    for r in rows:
+        parent = nodes.get(r.get("parent_uri") or "")
+        if parent is None:
+            continue
+        if r["node_type"] == "edge":
+            parent["edges"].append(r["node_uri"])
+        else:
+            parent["children"].append(nodes[r["node_uri"]])
+    for node in nodes.values():
+        node["children"].sort(key=lambda x: x["uri"])
+        node["edges"].sort()
+    return root
+
+
+def render_extraction_tree(node: dict | None) -> str:
+    """print_tree (show_extraction_provenance.py:249-300): the root
+    prints ``{Type}: {uri}`` plus indented ``Title:`` / ``Type:``
+    metadata lines; every descendant prints
+    ``{prefix}{connector}{Type}: {label}`` with the
+    label-title-then-URI-tail fallback (:259), box-drawing connectors
+    and continuations, and each node's edges listed before its child
+    subtrees sharing one last-item budget (:284-300). Divergence: edges
+    display as the repo's standard decoded ``<<s p o>>`` statement
+    rather than format_edge's lossy paren-short form (:233-246) — the
+    flat contract carries the whole statement as one string."""
+    if node is None:
+        return "No data found"
+    out: list[str] = []
+
+    def label_of(n: dict) -> str:
+        md = n["metadata"]
+        return md.get("label") or md.get("title") or \
+            n["uri"].split("/")[-1]
+
+    def walk(n: dict, prefix: str, is_last: bool) -> None:
+        if prefix:
+            connector = "└── " if is_last \
+                else "├── "
+            out.append(f"{prefix}{connector}{n['type'].capitalize()}: "
+                       f"{label_of(n)}")
+            new_prefix = prefix + ("    " if is_last else "│   ")
+        else:
+            out.append(f"{n['type'].capitalize()}: {n['uri']}")
+            md = n["metadata"]
+            if md.get("title"):
+                out.append(f"  Title: \"{md['title']}\"")
+            if md.get("format"):
+                out.append(f"  Type: {md['format']}")
+            new_prefix = "  "
+        total = len(n["edges"]) + len(n["children"])
+        for i, edge in enumerate(n["edges"]):
+            conn = "└── " if i + 1 == total \
+                else "├── "
+            out.append(f"{new_prefix}{conn}Edge: {edge}")
+        for i, child in enumerate(n["children"]):
+            walk(child, new_prefix, i == len(n["children"]) - 1)
+
+    walk(node, "", True)
+    return "\n".join(out)

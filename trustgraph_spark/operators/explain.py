@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from ..constants import (
     GRAPH_RETRIEVAL,
+    GRAPH_SOURCE,
     OTYPE_LITERAL,
     OTYPE_TRIPLE,
     OTYPE_URI,
@@ -161,11 +162,11 @@ def _tokens(uri):
     )
 
 
-def _emit(rows_df, collection: str) -> DataFrame:
+def _emit(rows_df, collection: str, graph: str = GRAPH_RETRIEVAL) -> DataFrame:
     """Explode an array<struct> column ``tr`` into the triples contract."""
     return rows_df.select(F.explode("tr").alias("tr")).select(
         F.lit(collection).alias("collection"),
-        F.lit(GRAPH_RETRIEVAL).alias("g"),
+        F.lit(graph).alias("g"),
         F.col("tr.s").alias("s"),
         F.col("tr.p").alias("p"),
         F.col("tr.o").alias("o"),
@@ -389,7 +390,13 @@ def document_prov_triples(
 
     Input columns: doc_uri, title, source, date, creator (nullable
     strings; empty string = absent, matching the reference's truthiness
-    checks), page_count (nullable int), mime_type (nullable string)."""
+    checks), page_count (nullable int), mime_type (nullable string).
+
+    Tagged g=urn:graph:source: the reference librarian emits these
+    UNTAGGED (librarian/service.py:349-377 never calls set_graph) while
+    the extraction-hierarchy CLI reads document metadata from
+    urn:graph:source (show_extraction_provenance.py:45,124) — a latent
+    read/write drift; we tag the graph the reader queries."""
     d = F.col("doc_uri")
     nonempty = lambda c: F.col(c).isNotNull() & (F.col(c) != "")  # noqa: E731
     rows = docs.select(
@@ -413,7 +420,7 @@ def document_prov_triples(
                  _t(d, TG_MIME_TYPE, F.col("mime_type"), OTYPE_LITERAL)),
         ).alias("tr")
     )
-    return _emit(rows, collection)
+    return _emit(rows, collection, graph=GRAPH_SOURCE)
 
 
 def derived_entity_prov_triples(
@@ -504,7 +511,7 @@ def derived_entity_prov_triples(
               if "image_count" in entities.columns else []),
         ).alias("tr")
     )
-    return _emit(rows, collection)
+    return _emit(rows, collection, graph=GRAPH_SOURCE)
 
 
 # ---------------------------------------------------------------------------
@@ -935,3 +942,176 @@ def list_sessions(
         .select(F.col("s").alias("uri")).distinct()
     return q.join(parented, "uri", "left_anti") \
         .orderBy(F.col("timestamp").desc(), F.col("uri"))
+
+
+# ---------------------------------------------------------------------------
+# Extraction hierarchy: Document -> Pages -> Chunks -> Edges
+# (cli/show_extraction_provenance.py)
+# ---------------------------------------------------------------------------
+
+# dcterms: the CLI reader's title/format vocabulary
+# (show_extraction_provenance.py:33-34). The reference EMITS document
+# metadata under dc/elements/1.1 (provenance/namespaces.py:19) and
+# tg:mimeType — so the reference tree's Title:/Type: header lines never
+# actually fire against extraction-emitted data. We read BOTH vocabularies
+# (dcterms first, the emitter's second) so the reader works against the
+# repo's own emitters; documented read/write-drift fix.
+DCTERMS = "http://purl.org/dc/terms/"
+DCTERMS_TITLE = DCTERMS + "title"
+DCTERMS_FORMAT = DCTERMS + "format"
+
+# TYPE_MAP (show_extraction_provenance.py:37-42). The reference classifies
+# by the first rdf:type in store-arrival order; we use this fixed priority
+# (declaration order of the reference's TYPE_MAP) — deterministic, and
+# identical whenever a node carries a single tg: type, which every
+# reference emitter guarantees.
+_HIER_TYPES = [
+    (TG_DOCUMENT_TYPE, "document"),
+    (TG_PAGE_TYPE, "page"),
+    (TG_CHUNK_TYPE, "chunk"),
+    (TG + "Subgraph", "subgraph"),
+]
+
+
+def _hier_classify(types_col):
+    expr = F.lit("unknown")
+    for uri, name in reversed(_HIER_TYPES):
+        expr = F.when(F.array_contains(types_col, uri), name).otherwise(expr)
+    return expr
+
+
+def extraction_hierarchy(
+    triples: DataFrame,
+    root_uri: str,
+    graph: str | None = GRAPH_SOURCE,
+    max_depth: int = 8,
+) -> DataFrame:
+    """Traverse Document -> Pages -> Chunks -> extracted Edges from one
+    root document — build_hierarchy (show_extraction_provenance.py:175-230):
+    children via ``child prov:wasDerivedFrom parent`` in urn:graph:source
+    (:148-154), per-node rdf:type classification against TYPE_MAP
+    (:140-145), subgraph-typed children never become nodes — their
+    ``tg:contains <<s p o>>`` RDF-star edges inline onto the parent
+    (:208-216) — and a visited-set guard (:180-182).
+
+    Returns flat rows (depth int, node_uri, parent_uri, node_type,
+    label, title, fmt): one row per hierarchy node, plus one
+    node_type='edge' row per inlined edge whose node_uri is the decoded
+    ``<<s p o>>`` form (extract_value semantics, :93-119: IRIs bare,
+    literal values bare). The nested tree / rendered display are
+    explain_render.hierarchy_to_tree / render_extraction_tree.
+
+    Determinism (documented divergences): a node reachable from two
+    parents attaches to its MIN parent URI at its MIN depth — the
+    reference's visited-set attaches to whichever parent the store
+    happened to return first (:202-225, unordered store iteration).
+
+    Scale: the walk touches only two projections of the store — the
+    wasDerivedFrom edge frame and the rdf:type frame (both
+    predicate-pushdown scans, joined once up front) — with the
+    per-level frontier broadcast and localCheckpointed
+    (admin.trace_provenance discipline); label/title/format metadata is
+    resolved in ONE semi-join-reduced pass at the end over just the
+    discovered nodes, never per node like the reference's 2-queries-
+    per-node loop."""
+    t = _filtered(triples, graph)
+    spark = triples.sparkSession
+
+    derived = t.where(
+        (F.col("p") == PROV_WAS_DERIVED_FROM) & (F.col("otype") == OTYPE_URI)
+    ).select(F.col("s").alias("child"), F.col("o").alias("parent")).distinct()
+    types = t.where(F.col("p") == RDF_TYPE).groupBy(
+        F.col("s").alias("child")
+    ).agg(F.collect_set("o").alias("_types"))
+    typed_children = derived.join(types, "child", "left").select(
+        "child", "parent", _hier_classify(F.col("_types")).alias("ctype"))
+
+    root = spark.createDataFrame([(root_uri, 0)], "node_uri string, depth int")
+    node_frames = [
+        root.join(
+            types.select(F.col("child").alias("node_uri"), "_types"),
+            "node_uri", "left"
+        ).select(
+            "depth", "node_uri",
+            F.lit(None).cast("string").alias("parent_uri"),
+            _hier_classify(F.col("_types")).alias("node_type"),
+        )
+    ]
+    sub_frames = []
+    frontier = root.localCheckpoint(eager=True)
+    seen = frontier.select("node_uri")
+    for depth in range(1, max_depth + 1):
+        step = typed_children.join(
+            F.broadcast(frontier.select(F.col("node_uri").alias("parent"))),
+            "parent",
+        ).join(
+            F.broadcast(seen.withColumnRenamed("node_uri", "child")),
+            "child", "left_anti",
+        ).localCheckpoint(eager=True)
+        if step.isEmpty():
+            break
+        subs = step.where(F.col("ctype") == "subgraph").select(
+            F.col("child").alias("sg_uri"),
+            F.col("parent").alias("parent_uri"),
+        ).distinct()
+        sub_frames.append(subs.withColumn("depth", F.lit(depth)))
+        reg = step.where(F.col("ctype") != "subgraph").groupBy("child").agg(
+            F.min("parent").alias("parent_uri"),
+            F.min("ctype").alias("node_type"),
+        ).withColumn("depth", F.lit(depth))
+        node_frames.append(reg.select(
+            "depth", F.col("child").alias("node_uri"),
+            "parent_uri", "node_type"))
+        frontier = reg.select(
+            F.col("child").alias("node_uri"), "depth"
+        ).localCheckpoint(eager=True)
+        seen = seen.unionByName(frontier.select("node_uri"))
+
+    from functools import reduce
+    nodes = reduce(DataFrame.unionByName, node_frames)
+
+    # one metadata pass over the store, semi-join-reduced to found nodes
+    meta_preds = [RDF_LABEL, DC_TITLE, DCTERMS_TITLE,
+                  DCTERMS_FORMAT, TG_MIME_TYPE]
+    meta = t.where(F.col("p").isin(meta_preds)).join(
+        F.broadcast(nodes.select(F.col("node_uri").alias("s"))), "s"
+    ).groupBy(F.col("s").alias("node_uri")).agg(
+        F.min(F.when(F.col("p") == RDF_LABEL, F.col("o"))).alias("label"),
+        F.coalesce(
+            F.min(F.when(F.col("p") == DCTERMS_TITLE, F.col("o"))),
+            F.min(F.when(F.col("p") == DC_TITLE, F.col("o"))),
+        ).alias("title"),
+        F.coalesce(
+            F.min(F.when(F.col("p") == DCTERMS_FORMAT, F.col("o"))),
+            F.min(F.when(F.col("p") == TG_MIME_TYPE, F.col("o"))),
+        ).alias("fmt"),
+    )
+    out_nodes = nodes.join(meta, "node_uri", "left").select(
+        "depth", "node_uri", "parent_uri", "node_type",
+        "label", "title", "fmt")
+
+    if not sub_frames:
+        return out_nodes
+
+    all_subs = reduce(DataFrame.unionByName, sub_frames)
+    qt = F.from_json(F.col("o"), _QT_SCHEMA)
+    val = lambda term: F.coalesce(term["iri"], term["value"])  # noqa: E731
+    contains = t.where(
+        (F.col("p") == TG_CONTAINS) & (F.col("otype") == OTYPE_TRIPLE)
+    ).select(
+        F.col("s").alias("sg_uri"),
+        F.concat(
+            F.lit("<<"), val(qt["s"]), F.lit(" "), val(qt["p"]),
+            F.lit(" "), val(qt["o"]), F.lit(">>"),
+        ).alias("edge"),
+    )
+    edges = contains.join(F.broadcast(all_subs), "sg_uri").select(
+        F.col("depth"),
+        F.col("edge").alias("node_uri"),
+        "parent_uri",
+        F.lit("edge").alias("node_type"),
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("fmt"),
+    )
+    return out_nodes.unionByName(edges)
