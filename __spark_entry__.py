@@ -2542,6 +2542,65 @@ def q_extraction_hierarchy(spark, sf_dir):
     return extraction_hierarchy(store, "urn:doc:root")
 
 
+def q_wire_triples_exec(spark, sf_dir):
+    """Batched wire-format triples-query execution
+    (messaging/translators/triples.py:13-28 decode +
+    query/triples/cassandra/service.py:203-314 dispatch): request JSON
+    batches built over doc_id cycle all 8 bound-term masks, the three
+    graph arms (absent = all graphs, "" = default only, named), and
+    small per-request limits; the store mixes IRI / literal(+lang)
+    objects and named-graph rows. The whole batch executes as
+    mask-grouped broadcast joins with windowed per-request limits —
+    never a per-request loop. Oracle replays decode+dispatch
+    analytically (the wire grammar itself is pytest-pinned)."""
+    from trustgraph_spark.operators.wire import (
+        decode_triples_requests,
+        execute_triples_requests,
+    )
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    base = _docs(spark, sf_dir)
+    store_a = base.select(
+        F.lit("default").alias("collection"),
+        F.when(d % 5 == 0, "urn:g:1").otherwise("").alias("g"),
+        F.concat(F.lit("http://t/e/"), s(d % 11)).alias("s"),
+        F.concat(F.lit("http://t/p/"), s(d % 3)).alias("p"),
+        F.concat(F.lit("http://t/e/"), s(d % 7)).alias("o"),
+        F.lit("u").alias("otype"),
+        F.lit("").alias("dtype"), F.lit("").alias("lang"))
+    store_b = base.where(d % 4 == 0).select(
+        F.lit("default").alias("collection"), F.lit("").alias("g"),
+        F.concat(F.lit("http://t/e/"), s(d % 11)).alias("s"),
+        F.concat(F.lit("http://t/p/"), s(d % 3)).alias("p"),
+        F.concat(F.lit("lit "), s(d % 13)).alias("o"),
+        F.lit("l").alias("otype"), F.lit("").alias("dtype"),
+        F.when((d % 13) % 2 == 0, "en").otherwise("").alias("lang"))
+    store = store_a.unionByName(store_b)
+
+    mask = F.floor((d % 160) / 20).cast("int")
+    garm = F.floor((d % 60) / 20).cast("int")
+    part = lambda cond, txt: F.when(cond, txt).otherwise("")  # noqa: E731
+    req_json = F.concat(
+        F.lit("{"),
+        part(mask >= 4, F.concat(
+            F.lit('"s":{"t":"i","i":"http://t/e/'), s(d % 11),
+            F.lit('"},'))),
+        part((mask % 4) >= 2, F.concat(
+            F.lit('"p":{"t":"i","i":"http://t/p/'), s(d % 3),
+            F.lit('"},'))),
+        part(mask % 2 == 1, F.concat(
+            F.lit('"o":{"t":"i","i":"http://t/e/'), s(d % 7),
+            F.lit('"},'))),
+        part(garm == 0, F.lit('"g":"",')),
+        part(garm == 1, F.lit('"g":"urn:g:1",')),
+        F.lit('"limit":'), s(1 + (d % 3) * 3), F.lit("}"))
+    reqs = base.where(d % 20 == 0).select(
+        F.concat(F.lit("r"), s(d)).alias("req_id"),
+        req_json.alias("request"))
+    return execute_triples_requests(decode_triples_requests(reqs), store)
+
+
 def q_kg_core_de_msgpack(spark, sf_dir):
     """Document-embeddings leg of the core exchange
     (save_doc_embeds.py:44-60 / put_de_core.py:18-58 ``("de", ...)``
@@ -2729,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-5 additions (driver window: first 50) --
         "extraction_hierarchy": q_extraction_hierarchy,
+        "wire_triples_exec": q_wire_triples_exec,
         "metering_costs": q_metering_costs,
         "explain_rag_emit": q_explain_rag_emit,
         "explain_entities": q_explain_entities,
@@ -3314,6 +3374,48 @@ SELECT 'urn:trustgraph:prov:edge:s' || a.d || ':0' AS selection_uri,
        'urn:chunk:c' || b.d AS content_chunk,
        4::INT AS chain_len
 FROM gr a JOIN gr b ON a.d % 11 = b.d % 11 AND a.d % 9 = b.d % 9
+"""
+
+    sql["wire_triples_exec"] = """
+WITH docs AS (SELECT doc_id AS d FROM documents),
+store AS (
+  SELECT 'default' AS collection,
+         CASE WHEN d % 5 = 0 THEN 'urn:g:1' ELSE '' END AS g,
+         'http://t/e/' || (d % 11) AS s, 'http://t/p/' || (d % 3) AS p,
+         'http://t/e/' || (d % 7) AS o, 'u' AS otype,
+         '' AS dtype, '' AS lang
+  FROM docs
+  UNION ALL
+  SELECT 'default', '', 'http://t/e/' || (d % 11),
+         'http://t/p/' || (d % 3), 'lit ' || (d % 13), 'l', '',
+         CASE WHEN (d % 13) % 2 = 0 THEN 'en' ELSE '' END
+  FROM docs WHERE d % 4 = 0
+), reqs AS (
+  SELECT 'r' || d AS req_id,
+         CASE WHEN ((d % 160) // 20) >= 4
+              THEN 'http://t/e/' || (d % 11) END AS s_val,
+         CASE WHEN (((d % 160) // 20) % 4) >= 2
+              THEN 'http://t/p/' || (d % 3) END AS p_val,
+         CASE WHEN ((d % 160) // 20) % 2 = 1
+              THEN 'http://t/e/' || (d % 7) END AS o_val,
+         CASE WHEN ((d % 60) // 20) = 0 THEN ''
+              WHEN ((d % 60) // 20) = 1 THEN 'urn:g:1' END AS g_val,
+         1 + (d % 3) * 3 AS lim
+  FROM docs WHERE d % 20 = 0
+), matched AS (
+  SELECT r.req_id, t.s, t.p, t.o, t.otype, t.dtype, t.lang, t.g, r.lim
+  FROM reqs r JOIN store t
+    ON (r.s_val IS NULL OR t.s = r.s_val)
+   AND (r.p_val IS NULL OR t.p = r.p_val)
+   AND (r.o_val IS NULL OR t.o = r.o_val)
+   AND (r.g_val IS NULL OR t.g = r.g_val)
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY req_id ORDER BY g, s, p, o, otype) AS rn
+  FROM matched
+)
+SELECT req_id, s, p, o, otype, dtype, lang, g
+FROM ranked WHERE rn <= lim
 """
 
     sql["extraction_hierarchy"] = """

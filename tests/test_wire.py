@@ -1,0 +1,166 @@
+"""Wire-format batched triples-query execution (operators/wire.py).
+
+Grammar parity targets: messaging/translators/primitives.py:6-100
+(term wire dicts), translators/triples.py:13-28 (request defaults)
+and :55-75 (response encode), query/triples/cassandra/service.py:57-71
+(get_term_value) and :203-314 (8-way dispatch),
+direct/cassandra_kg.py:1128-1141 (graph filter).
+"""
+
+import json
+
+from trustgraph_spark.operators.wire import (
+    decode_triples_requests,
+    encode_triples_responses,
+    execute_triples_requests,
+)
+
+_STORE_SCHEMA = ("collection string, g string, s string, p string, "
+                 "o string, otype string, dtype string, lang string")
+
+
+def _qt_store(s, p, o):
+    # the stored spaced-json.dumps dialect (write.py / quoted_triple_json)
+    return json.dumps({"s": {"type": "i", "iri": s},
+                       "p": {"type": "i", "iri": p},
+                       "o": {"type": "i", "iri": o}})
+
+
+def _store(spark):
+    return spark.createDataFrame([
+        ("default", "", "http://t/e/a", "http://t/p/x", "http://t/e/b",
+         "u", "", ""),
+        ("default", "", "http://t/e/a", "http://t/p/x", "lit one",
+         "l", "", "en"),
+        ("default", "urn:g:1", "http://t/e/a", "http://t/p/y",
+         "http://t/e/c", "u", "", ""),
+        ("default", "", "http://t/e/d", "http://t/p/x", "http://t/e/b",
+         "u", "", ""),
+        ("other", "", "http://t/e/a", "http://t/p/x", "http://t/e/b",
+         "u", "", ""),
+        ("default", "", "urn:sg:1", "https://tg/contains",
+         _qt_store("A", "P", "B"), "t", "", ""),
+    ], _STORE_SCHEMA)
+
+
+def _run(spark, req_dicts):
+    reqs = spark.createDataFrame(
+        [(f"r{i}", json.dumps(d)) for i, d in enumerate(req_dicts)],
+        "req_id string, request string")
+    out = execute_triples_requests(
+        decode_triples_requests(reqs), _store(spark))
+    res = {}
+    for r in out.collect():
+        res.setdefault(r["req_id"], []).append(r)
+    return res
+
+
+def test_wire_decode_defaults_and_term_arms(spark):
+    reqs = spark.createDataFrame([
+        ("a", json.dumps({"s": {"t": "i", "i": "http://x"}})),
+        ("b", json.dumps({"o": {"t": "l", "v": "v1"}, "g": "",
+                          "limit": 3, "collection": "c2"})),
+        ("c", json.dumps({"s": {"t": "b", "d": "bn1"},
+                          "p": {"t": "b"}})),  # blank: id / unbound
+        ("d", json.dumps({"o": {"t": "t", "tr": {
+            "s": {"t": "i", "i": "A"}, "p": {"t": "i", "i": "P"},
+            "o": {"t": "l", "v": "V"}}}})),
+    ], "req_id string, request string")
+    dec = {r["req_id"]: r for r in decode_triples_requests(reqs).collect()}
+    # defaults (translators/triples.py:24-27)
+    assert (dec["a"]["limit"], dec["a"]["collection"],
+            dec["a"]["g_val"]) == (10000, "default", None)
+    assert dec["a"]["s_val"] == "http://x" and dec["a"]["p_val"] is None
+    assert (dec["b"]["o_val"], dec["b"]["g_val"], dec["b"]["limit"],
+            dec["b"]["collection"]) == ("v1", "", 3, "c2")
+    # blank node: id-or-value; neither -> unbound (get_term_value :70)
+    assert dec["c"]["s_val"] == "bn1" and dec["c"]["p_val"] is None
+    # quoted triple canonicalizes to the compact storage-equivalent JSON
+    assert json.loads(dec["d"]["o_val"]) == {
+        "s": {"type": "i", "iri": "A"}, "p": {"type": "i", "iri": "P"},
+        "o": {"type": "l", "value": "V"}}
+
+
+def test_wire_execute_masks_graphs_limits(spark):
+    res = _run(spark, [
+        {"s": {"t": "i", "i": "http://t/e/a"},
+         "p": {"t": "i", "i": "http://t/p/x"}},           # r0: s+p
+        {"o": {"t": "l", "v": "lit one"}, "g": "", "limit": 1},  # r1
+        {"g": "urn:g:1"},                                  # r2: scan, named g
+        {"o": {"t": "t", "tr": {
+            "s": {"t": "i", "i": "A"}, "p": {"t": "i", "i": "P"},
+            "o": {"t": "i", "i": "B"}}}},                  # r3: RDF-star o
+        {"collection": "other"},                           # r4
+        {"s": {"t": "i", "i": "http://t/e/a"}, "limit": 2},  # r5: limit cut
+        {"s": {"t": "i", "i": "http://t/e/zzz"}},          # r6: no match
+    ])
+    assert {(r["o"], r["otype"]) for r in res["r0"]} == {
+        ("http://t/e/b", "u"), ("lit one", "l")}
+    assert len(res["r1"]) == 1 and res["r1"][0]["lang"] == "en"
+    assert [(r["p"], r["g"]) for r in res["r2"]] == [
+        ("http://t/p/y", "urn:g:1")]
+    # structural RDF-star match across byte dialects (spaced storage
+    # JSON vs compact canonical) — never a byte comparison
+    assert [r["s"] for r in res["r3"]] == ["urn:sg:1"]
+    assert [r["s"] for r in res["r4"]] == ["http://t/e/a"]
+    # deterministic (g, s, p, o, otype) order under the limit:
+    # http://t/e/a rows sort default-graph first, IRI-o before literal
+    assert [(r["g"], r["o"]) for r in res["r5"]] == [
+        ("", "http://t/e/b"), ("", "lit one")]
+    assert "r6" not in res
+
+
+def test_wire_unbound_scan_all_graphs(spark):
+    # absent g = all graphs (cassandra_kg.py g=None), default collection
+    res = _run(spark, [{}])
+    assert len(res["r0"]) == 5  # every default-collection row
+
+
+def test_wire_response_encode(spark):
+    res = _run(spark, [
+        {"s": {"t": "i", "i": "http://t/e/a"}},
+        {"o": {"t": "t", "tr": {
+            "s": {"t": "i", "i": "A"}, "p": {"t": "i", "i": "P"},
+            "o": {"t": "i", "i": "B"}}}},
+    ])
+    rows = [r for rs in res.values() for r in rs]
+    df = spark.createDataFrame(rows)
+    enc = {(r["req_id"], r["triple_json"])
+           for r in encode_triples_responses(df).collect()}
+    parsed = {(rid, json.dumps(json.loads(tj), sort_keys=True))
+              for rid, tj in enc}
+    # literal with language: ln present, dt omitted (encode :60-64)
+    assert (
+        "r0", json.dumps(json.loads(
+            '{"s":{"t":"i","i":"http://t/e/a"},'
+            '"p":{"t":"i","i":"http://t/p/x"},'
+            '"o":{"t":"l","v":"lit one","ln":"en"}}'), sort_keys=True)
+    ) in parsed
+    # named graph present only when non-default
+    assert (
+        "r0", json.dumps(json.loads(
+            '{"s":{"t":"i","i":"http://t/e/a"},'
+            '"p":{"t":"i","i":"http://t/p/y"},'
+            '"o":{"t":"i","i":"http://t/e/c"},"g":"urn:g:1"}'),
+            sort_keys=True)
+    ) in parsed
+    # RDF-star object re-nests as a tr wire term
+    assert (
+        "r1", json.dumps(json.loads(
+            '{"s":{"t":"i","i":"urn:sg:1"},'
+            '"p":{"t":"i","i":"https://tg/contains"},'
+            '"o":{"t":"t","tr":{"s":{"t":"i","i":"A"},'
+            '"p":{"t":"i","i":"P"},"o":{"t":"i","i":"B"}}}}'),
+            sort_keys=True)
+    ) in parsed
+
+
+def test_wire_plan_broadcast_no_cartesian(spark):
+    reqs = spark.createDataFrame(
+        [("r0", json.dumps({"s": {"t": "i", "i": "http://t/e/a"}}))],
+        "req_id string, request string")
+    out = execute_triples_requests(
+        decode_triples_requests(reqs), _store(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

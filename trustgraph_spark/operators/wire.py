@@ -1,0 +1,227 @@
+"""Wire-format batched triples-query execution — the gateway/messaging
+request surface over the Q1 pattern dispatch, Spark-first.
+
+Reference:
+- Term/Triple wire grammar (compact keys t/i/d/v/dt/ln/tr):
+  trustgraph-base/trustgraph/messaging/translators/primitives.py:6-100.
+- TriplesQueryRequest decode + defaults (limit 10000, collection
+  "default", optional s/p/o/g): translators/triples.py:13-28; response
+  encode :55-75 via SubgraphTranslator.
+- Execution semantics: query/triples/cassandra/service.py:203-314 (the
+  8-way bound-term dispatch), get_term_value :57-71 (IRI->iri,
+  LITERAL->value, TRIPLE->storage-JSON serialization for exact RDF-star
+  matching, BLANK->id-or-value), serialize_triple :27-54; the graph
+  filter d != g with default graph stored as "" —
+  direct/cassandra_kg.py:22,1128-1141 (g=None -> all graphs).
+
+The reference gateway decodes and dispatches ONE request per websocket
+round-trip, one CQL read per request. Here the whole request batch is a
+DataFrame: the wire JSON decodes natively (from_json — no UDF anywhere
+in this module), requests group by their bound-term mask, and each mask
+present in the batch becomes ONE broadcast equi-join against the store —
+at 100 TB that is at most 8 store passes per batch regardless of batch
+size, each a hash join on the bound columns with the bounded request
+side broadcast, never a per-request loop.
+
+Quoted-triple (RDF-star) o-terms match STRUCTURALLY: both the stored
+spaced-``json.dumps`` form and the request's nested wire term normalize
+through from_json/to_json to one compact canonical string, so matching
+never depends on byte formatting. Nested terms normalize to
+(type, iri, value) — stored RDF-star containment rows never carry
+datatype/language (provenance/triples.py writes plain terms).
+
+Documented divergences:
+- The reference applies the CQL limit BEFORE its client-side graph
+  filter (cassandra_kg.py:1129-1136), so a g-bound query can return
+  fewer than `limit` matching rows depending on storage order; we
+  filter then limit.
+- Per-request result order is deterministic (g, s, p, o, otype)
+  ascending; the reference returns Cassandra clustering order.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Wire term, one RDF-star nesting level deep (practical grammar: the
+# reference recurses, but requests only ever carry one level — the
+# storage rows are <<s p o>> with scalar terms).
+_WIRE_TERM0 = "struct<t:string,i:string,d:string,v:string,dt:string,ln:string>"
+_WIRE_TERM = (
+    f"struct<t:string,i:string,d:string,v:string,dt:string,ln:string,"
+    f"tr:struct<s:{_WIRE_TERM0},p:{_WIRE_TERM0},o:{_WIRE_TERM0}>>"
+)
+WIRE_REQUEST_SCHEMA = (
+    f"struct<s:{_WIRE_TERM},p:{_WIRE_TERM},o:{_WIRE_TERM},"
+    f"g:string,limit:bigint,collection:string,"
+    f"`batch-size`:bigint,streaming:boolean>"
+)
+
+# canonical compact form shared by both sides of the RDF-star match
+_CANON_TERM = "struct<type:string,iri:string,value:string>"
+_CANON_QT = (f"struct<s:{_CANON_TERM},p:{_CANON_TERM},o:{_CANON_TERM}>")
+
+
+def _canon_inner(t):
+    """Normalize one nested wire term to the canonical (type, iri, value)
+    struct (get_term_value / serialize_triple's term_to_dict arms)."""
+    return F.struct(
+        t["t"].alias("type"),
+        F.when(t["t"] == "i", F.coalesce(t["i"], F.lit(""))).alias("iri"),
+        F.when(t["t"] == "l", F.coalesce(t["v"], F.lit(""))).alias("value"),
+    )
+
+
+def _term_value(t):
+    """get_term_value (service.py:57-71) as one CASE chain: the scalar
+    match key for a bound wire term; quoted-triple terms canonicalize to
+    the compact JSON both match sides share."""
+    return (
+        F.when(t["t"] == "i", F.coalesce(t["i"], F.lit("")))
+        .when(t["t"] == "l", F.coalesce(t["v"], F.lit("")))
+        .when(t["t"] == "t",
+              F.to_json(F.struct(
+                  _canon_inner(t["tr"]["s"]).alias("s"),
+                  _canon_inner(t["tr"]["p"]).alias("p"),
+                  _canon_inner(t["tr"]["o"]).alias("o"),
+              )))
+        # blank/unknown: id-or-value; both absent -> None, which the
+        # reference's dispatch then treats as an UNBOUND position
+        .otherwise(F.coalesce(
+            F.nullif(t["d"], F.lit("")), F.nullif(t["v"], F.lit(""))))
+    )
+
+
+def decode_triples_requests(
+    requests: DataFrame, json_col: str = "request", id_col: str = "req_id"
+) -> DataFrame:
+    """Decode a batch of TriplesQueryRequest wire JSONs
+    (translators/triples.py:13-28) into match columns: s_val / p_val /
+    o_val (null = unbound position), g (null = all graphs, "" = default
+    graph only), limit (default 10000), collection (default "default").
+    Pure from_json + CASE — stays in codegen."""
+    r = F.from_json(F.col(json_col), WIRE_REQUEST_SCHEMA)
+    return requests.select(
+        F.col(id_col),
+        F.when(r["s"].isNotNull(), _term_value(r["s"])).alias("s_val"),
+        F.when(r["p"].isNotNull(), _term_value(r["p"])).alias("p_val"),
+        F.when(r["o"].isNotNull(), _term_value(r["o"])).alias("o_val"),
+        r["g"].alias("g_val"),
+        F.coalesce(r["limit"], F.lit(10000)).alias("limit"),
+        F.coalesce(r["collection"], F.lit("default")).alias("collection"),
+    )
+
+
+def execute_triples_requests(
+    decoded: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Execute a decoded request batch against the quad store — the
+    8-way dispatch of query_triples (service.py:221-305) as mask-grouped
+    broadcast joins.
+
+    Returns (req_id, s, p, o, otype, dtype, lang, g) rows, at most
+    `limit` per request in (g, s, p, o, otype) order. Bounded collect:
+    ONE distinct over the <=8 possible masks of the request batch, used
+    only to prune absent join branches (never the data)."""
+    dec = decoded.withColumn(
+        "_mask",
+        F.concat(
+            F.when(F.col("s_val").isNotNull(), F.lit("s")).otherwise(""),
+            F.when(F.col("p_val").isNotNull(), F.lit("p")).otherwise(""),
+            F.when(F.col("o_val").isNotNull(), F.lit("o")).otherwise(""),
+        ),
+    ).localCheckpoint()
+    masks = [r["_mask"] for r in dec.select("_mask").distinct().collect()]
+
+    # store-side o match key: RDF-star rows normalize through
+    # from_json -> to_json to the shared compact canonical form
+    store = edges.withColumn(
+        "_o_key",
+        F.when(
+            F.col("otype") == "t",
+            F.to_json(F.from_json(F.col("o"), _CANON_QT)),
+        ).otherwise(F.col("o")),
+    )
+
+    branches = []
+    for mask in masks:
+        req = dec.where(F.col("_mask") == mask).select(
+            "req_id", "s_val", "p_val", "o_val", "g_val", "limit",
+            F.col("collection").alias("_rc"),
+        )
+        cond = store["collection"] == req["_rc"]
+        if "s" in mask:
+            cond &= store["s"] == req["s_val"]
+        if "p" in mask:
+            cond &= store["p"] == req["p_val"]
+        if "o" in mask:
+            cond &= store["_o_key"] == req["o_val"]
+        # residual graph filter: null = all graphs (cassandra_kg g=None)
+        cond &= req["g_val"].isNull() | (store["g"] == req["g_val"])
+        branches.append(
+            store.join(F.broadcast(req), cond).select(
+                req["req_id"], store["s"], store["p"], store["o"],
+                store["otype"], store["dtype"], store["lang"], store["g"],
+                req["limit"],
+            )
+        )
+    if not branches:
+        empty = "req_id string, s string, p string, o string, " \
+                "otype string, dtype string, lang string, g string"
+        return decoded.sparkSession.createDataFrame([], empty)
+
+    hits = reduce(DataFrame.unionByName, branches)
+    w = Window.partitionBy("req_id").orderBy("g", "s", "p", "o", "otype")
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.col("limit"))
+        .drop("_rn", "limit")
+    )
+
+
+def encode_triples_responses(results: DataFrame) -> DataFrame:
+    """Encode executed rows back to the response wire form —
+    SubgraphTranslator row dicts (translators/triples.py:55-62 +
+    primitives.py TripleTranslator.encode): s/p as IRI terms, o typed
+    from its stored otype/dtype/lang (dt/ln only when present,
+    TermTranslator.encode :60-64), RDF-star objects re-nested from
+    their decoded parts, g omitted when default ("") — ONE to_json
+    over nested structs; absent fields are nulls the JSON generator
+    drops, so the conditional-key grammar costs no branching."""
+    qt = F.from_json(F.col("o"), _CANON_QT)
+
+    def nest(term):
+        return F.struct(
+            term["type"].alias("t"),
+            F.when(term["type"] == "i", term["iri"]).alias("i"),
+            F.when(term["type"] == "l", term["value"]).alias("v"),
+        )
+
+    t_tag = (F.when(F.col("otype") == "u", "i")
+             .when(F.col("otype") == "t", "t").otherwise("l"))
+    o_term = F.struct(
+        t_tag.alias("t"),
+        F.when(t_tag == "i", F.col("o")).alias("i"),
+        F.when(t_tag == "l", F.col("o")).alias("v"),
+        F.when(t_tag == "l", F.nullif(F.col("dtype"), F.lit("")))
+        .alias("dt"),
+        F.when(t_tag == "l", F.nullif(F.col("lang"), F.lit("")))
+        .alias("ln"),
+        F.when(t_tag == "t", F.struct(
+            nest(qt["s"]).alias("s"), nest(qt["p"]).alias("p"),
+            nest(qt["o"]).alias("o"))).alias("tr"),
+    )
+    iri_term = lambda c: F.struct(  # noqa: E731
+        F.lit("i").alias("t"), F.col(c).alias("i"))
+    return results.select(
+        "req_id",
+        F.to_json(F.struct(
+            iri_term("s").alias("s"),
+            iri_term("p").alias("p"),
+            o_term.alias("o"),
+            F.nullif(F.col("g"), F.lit("")).alias("g"),
+        )).alias("triple_json"),
+    )
