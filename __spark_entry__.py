@@ -2601,6 +2601,36 @@ def q_wire_triples_exec(spark, sf_dir):
     return execute_triples_requests(decode_triples_requests(reqs), store)
 
 
+def q_wire_embed_exec(spark, sf_dir):
+    """Batched wire-format graph-embeddings query
+    (translators/embeddings_query.py:57-70 grammar; the vector-search
+    service's cosine top-k): requests are real embedding vectors
+    round-tripped through the wire JSON (shortest-roundtrip float32
+    reprs parse back exactly), limits vary per request with the
+    default-10 arm exercised via an omitted key. One broadcast of the
+    request batch against one corpus scan, per-request window limits.
+    Oracle replays the vectors analytically (the JSON grammar is
+    pytest-pinned)."""
+    from trustgraph_spark.operators.wire import (
+        decode_embeddings_requests,
+        execute_embeddings_requests,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("vec_id")
+    reqs = emb.where(v < 8).select(
+        F.concat(F.lit("e"), v.cast("string")).alias("req_id"),
+        F.to_json(F.struct(
+            F.col("embedding").cast("array<double>").alias("vector"),
+            F.when(v % 5 != 0, (1 + v % 4) * 2).alias("limit"),
+        )).alias("request"))
+    store = emb.select(
+        F.concat(F.lit("http://t/e/"), v.cast("string")).alias("entity"),
+        F.col("embedding").alias("vector"))
+    return execute_embeddings_requests(
+        decode_embeddings_requests(reqs), store)
+
+
 def q_kg_core_de_msgpack(spark, sf_dir):
     """Document-embeddings leg of the core exchange
     (save_doc_embeds.py:44-60 / put_de_core.py:18-58 ``("de", ...)``
@@ -2789,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions (driver window: first 50) --
         "extraction_hierarchy": q_extraction_hierarchy,
         "wire_triples_exec": q_wire_triples_exec,
+        "wire_embed_exec": q_wire_embed_exec,
         "metering_costs": q_metering_costs,
         "explain_rag_emit": q_explain_rag_emit,
         "explain_entities": q_explain_entities,
@@ -3416,6 +3447,27 @@ store AS (
 )
 SELECT req_id, s, p, o, otype, dtype, lang, g
 FROM ranked WHERE rn <= lim
+"""
+
+    sql["wire_embed_exec"] = """
+WITH q AS (
+  SELECT 'e' || vec_id AS req_id, embedding AS qv,
+         CASE WHEN vec_id % 5 <> 0 THEN (1 + vec_id % 4) * 2
+              ELSE 10 END AS lim
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.req_id, 'http://t/e/' || v.vec_id AS entity,
+         list_cosine_similarity(v.embedding::DOUBLE[], q.qv::DOUBLE[])
+           AS raw,
+         q.lim
+  FROM embeddings v, q
+), ranked AS (
+  SELECT req_id, entity, raw, lim, row_number() OVER (
+    PARTITION BY req_id ORDER BY raw DESC, entity ASC) AS rank
+  FROM scored
+)
+SELECT req_id, entity, round(raw, 4) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= lim
 """
 
     sql["extraction_hierarchy"] = """

@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "doc_prov_triples",
     "universal_sections",
     "metering_costs",
+    "extraction_hierarchy",
+    "wire_triples_exec",
 ]
 
 

@@ -164,3 +164,82 @@ def test_wire_plan_broadcast_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+# ---------------------------------------------------------------------------
+# Embeddings-query wire leg (translators/embeddings_query.py)
+# ---------------------------------------------------------------------------
+
+def test_wire_embeddings_decode_execute_encode(spark):
+    from trustgraph_spark.operators.wire import (
+        decode_embeddings_requests,
+        encode_doc_embeddings_responses,
+        encode_graph_embeddings_responses,
+        execute_embeddings_requests,
+    )
+
+    store = spark.createDataFrame([
+        ("http://t/e/x", [1.0, 0.0], "default"),
+        ("http://t/e/y", [0.0, 1.0], "default"),
+        ("http://t/e/z", [1.0, 1.0], "default"),
+        ("http://t/e/w", [1.0, 0.0], "c2"),
+        # duplicate id: best score kept
+        ("http://t/e/x", [0.5, 0.5], "default"),
+    ], "entity string, vector array<double>, collection string")
+    reqs = spark.createDataFrame([
+        ("r0", json.dumps({"vector": [1.0, 0.0], "limit": 2})),
+        ("r1", json.dumps({"vector": [1.0, 0.0]})),          # default 10
+        ("r2", json.dumps({"vector": [1.0, 0.0],
+                           "collection": "c2"})),
+    ], "req_id string, request string")
+    dec = {r["req_id"]: r for r in
+           decode_embeddings_requests(reqs).collect()}
+    assert (dec["r1"]["limit"], dec["r1"]["collection"]) == (10, "default")
+    assert dec["r0"]["query_vector"] == [1.0, 0.0]
+
+    out = execute_embeddings_requests(
+        decode_embeddings_requests(reqs), store)
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r["req_id"], []).append(
+            (r["rank"], r["entity"], r["score"]))
+    for v in rows.values():
+        v.sort()
+    # limit 2; dup id x keeps its best (1.0 from [1,0], not 0.7071)
+    assert rows["r0"] == [(1, "http://t/e/x", 1.0),
+                          (2, "http://t/e/z", 0.7071)]
+    # default limit 10 returns all 3 default-collection entities
+    assert [e for _, e, _ in rows["r1"]] == [
+        "http://t/e/x", "http://t/e/z", "http://t/e/y"]
+    # collection routing
+    assert [e for _, e, _ in rows["r2"]] == ["http://t/e/w"]
+
+    enc = {r["req_id"]: json.loads(r["response_json"]) for r in
+           encode_graph_embeddings_responses(out).collect()}
+    assert enc["r0"]["entities"][0] == {
+        "entity": {"t": "i", "i": "http://t/e/x"}, "score": 1.0}
+    assert [e["entity"]["i"] for e in enc["r0"]["entities"]] == [
+        "http://t/e/x", "http://t/e/z"]
+
+    chunks = out.withColumnRenamed("entity", "chunk_id")
+    denc = {r["req_id"]: json.loads(r["response_json"]) for r in
+            encode_doc_embeddings_responses(chunks).collect()}
+    assert denc["r2"]["chunks"] == [
+        {"chunk_id": "http://t/e/w", "score": 1.0}]
+
+
+def test_wire_embeddings_store_without_collection(spark):
+    from trustgraph_spark.operators.wire import (
+        decode_embeddings_requests,
+        execute_embeddings_requests,
+    )
+
+    store = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "entity string, vector array<double>")
+    reqs = spark.createDataFrame(
+        [("r0", json.dumps({"vector": [0.0, 2.0], "limit": 1}))],
+        "req_id string, request string")
+    out = execute_embeddings_requests(
+        decode_embeddings_requests(reqs), store).collect()
+    assert [(r["entity"], r["score"], r["rank"]) for r in out] == [
+        ("b", 1.0, 1)]

@@ -225,3 +225,114 @@ def encode_triples_responses(results: DataFrame) -> DataFrame:
             F.nullif(F.col("g"), F.lit("")).alias("g"),
         )).alias("triple_json"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings-query wire leg (translators/embeddings_query.py)
+# ---------------------------------------------------------------------------
+
+EMBED_REQUEST_SCHEMA = (
+    "struct<vector:array<double>,limit:bigint,collection:string>"
+)
+
+
+def decode_embeddings_requests(
+    requests: DataFrame, json_col: str = "request", id_col: str = "req_id"
+) -> DataFrame:
+    """Decode Graph/Document/RowEmbeddingsRequest wire JSONs — one
+    shared grammar: {"vector": [...], "limit": 10, "collection":
+    "default"} (translators/embeddings_query.py:14-19, :57-63,
+    :103-110; limit default 10, collection default "default").
+    schema_name/index_name (row leg) pass through when present."""
+    r = F.from_json(F.col(json_col), EMBED_REQUEST_SCHEMA)
+    return requests.select(
+        F.col(id_col),
+        r["vector"].alias("query_vector"),
+        F.coalesce(r["limit"], F.lit(10)).alias("limit"),
+        F.coalesce(r["collection"], F.lit("default")).alias("collection"),
+    )
+
+
+def execute_embeddings_requests(
+    decoded: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "entity",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Per-request cosine top-k over the embeddings store with
+    PER-REQUEST limits — the graph/doc-embeddings query service's
+    vector search, batched: one broadcast of the bounded request batch
+    against one corpus scan (never a per-request search), duplicate ids
+    keep their best score (the reference dedupes overfetched hits,
+    query/graph_embeddings service), then one window ranks and cuts at
+    each request's own limit. Deterministic (score desc, id asc)
+    tie-break. If the store carries a `collection` column it joins on
+    it; otherwise all requests search the whole store."""
+    from .embeddings import _cosine_expr
+
+    q = F.broadcast(decoded.select(
+        "req_id", "query_vector", "limit",
+        F.col("collection").alias("_rc")))
+    if "collection" in vectors.columns:
+        joined = vectors.join(q, vectors["collection"] == q["_rc"])
+    else:
+        joined = vectors.join(q)
+    scored = joined.select(
+        "req_id",
+        F.col(id_col).alias(id_col),
+        _cosine_expr(F.col(vec_col), F.col("query_vector")).alias("_raw"),
+        "limit",
+    )
+    best = scored.groupBy("req_id", id_col).agg(
+        F.max("_raw").alias("_raw"), F.min("limit").alias("limit"))
+    w = Window.partitionBy("req_id").orderBy(F.desc("_raw"), F.asc(id_col))
+    return (
+        best.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("limit"))
+        .select("req_id", id_col,
+                F.round("_raw", 4).alias("score"), "rank")
+    )
+
+
+def encode_graph_embeddings_responses(
+    results: DataFrame, id_col: str = "entity"
+) -> DataFrame:
+    """GraphEmbeddingsResponse wire encode
+    (translators/embeddings_query.py:82-94): one
+    {"entities": [{"entity": {"t": "i", "i": ...}, "score": ...}, ...]}
+    JSON per request, rank-ordered."""
+    ordered = results.groupBy("req_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("rank").alias("r"),
+                F.col(id_col).alias("id"),
+                F.col("score").alias("score")))),
+            lambda x: F.struct(
+                F.struct(F.lit("i").alias("t"),
+                         x.getField("id").alias("i")).alias("entity"),
+                x.getField("score").alias("score")),
+        ).alias("entities"))
+    return ordered.select(
+        "req_id",
+        F.to_json(F.struct(F.col("entities"))).alias("response_json"))
+
+
+def encode_doc_embeddings_responses(
+    results: DataFrame, id_col: str = "chunk_id"
+) -> DataFrame:
+    """DocumentEmbeddingsResponse wire encode
+    (translators/embeddings_query.py:35-47): one
+    {"chunks": [{"chunk_id": ..., "score": ...}, ...]} per request."""
+    ordered = results.groupBy("req_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("rank").alias("r"),
+                F.col(id_col).alias("id"),
+                F.col("score").alias("score")))),
+            lambda x: F.struct(
+                x.getField("id").alias("chunk_id"),
+                x.getField("score").alias("score")),
+        ).alias("chunks"))
+    return ordered.select(
+        "req_id",
+        F.to_json(F.struct(F.col("chunks"))).alias("response_json"))
