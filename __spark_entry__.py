@@ -2631,6 +2631,52 @@ def q_wire_embed_exec(spark, sf_dir):
         decode_embeddings_requests(reqs), store)
 
 
+def q_librarian_uploads(spark, sf_dir):
+    """Librarian chunked-upload lifecycle (librarian.py:273-553):
+    planted upload sessions with ceil-div chunk plans and a skip rule
+    that leaves some sessions incomplete; `assemble_uploads` reports
+    per-session completeness + the sorted missing list and folds the
+    received chunks into the S3-multipart-ordered content for complete
+    sessions, decoding the stored DocumentMetadata JSON (absent
+    title/comments/tags take the service defaults). One grouped
+    aggregate over the chunk table — never per-session round-trips."""
+    from trustgraph_spark.operators.librarian import assemble_uploads
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    base = _docs(spark, sf_dir).where(d % 5 == 0)
+    sess = base.select(
+        F.concat(F.lit("u"), s(d)).alias("upload_id"),
+        F.concat(F.lit("w"), s(d % 3)).alias("workspace"),
+        F.concat(F.lit("doc"), s(d)).alias("document_id"),
+        F.concat(
+            F.lit('{"id":"doc'), s(d), F.lit('","time":'), s(d),
+            F.lit(',"kind":"text/plain","title":"T'), s(d % 7),
+            F.lit('"}')).alias("document_metadata"),
+        (7 + d % 9).cast("long").alias("total_size"),
+        (3 + d % 4).cast("long").alias("chunk_size"),
+        F.ceil((7 + d % 9) / (3 + d % 4)).cast("int")
+        .alias("total_chunks"),
+        d.alias("_d"))
+    chunks = sess.select(
+        "upload_id", "_d",
+        F.explode(F.sequence(F.lit(0), F.col("total_chunks") - 1))
+        .alias("chunk_index"),
+    ).where((F.col("_d") + F.col("chunk_index")) % 11 != 0).select(
+        "upload_id", "chunk_index",
+        F.concat(F.lit("c"), s(F.col("_d")), F.lit(":"),
+                 s(F.col("chunk_index")), F.lit(";"))
+        .cast("binary").alias("content"))
+    out = assemble_uploads(sess.drop("_d"), chunks)
+    return out.select(
+        "upload_id", "workspace", "document_id", "complete",
+        F.array_join(F.col("missing").cast("array<string>"), ",")
+        .alias("missing_csv"),
+        F.col("content").cast("string").alias("content_str"),
+        "time", "kind", "title", "comments",
+        F.array_join("tags", ",").alias("tags_csv"))
+
+
 def q_kg_core_de_msgpack(spark, sf_dir):
     """Document-embeddings leg of the core exchange
     (save_doc_embeds.py:44-60 / put_de_core.py:18-58 ``("de", ...)``
@@ -2820,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_hierarchy": q_extraction_hierarchy,
         "wire_triples_exec": q_wire_triples_exec,
         "wire_embed_exec": q_wire_embed_exec,
+        "librarian_uploads": q_librarian_uploads,
         "metering_costs": q_metering_costs,
         "explain_rag_emit": q_explain_rag_emit,
         "explain_entities": q_explain_entities,
@@ -3447,6 +3494,39 @@ store AS (
 )
 SELECT req_id, s, p, o, otype, dtype, lang, g
 FROM ranked WHERE rn <= lim
+"""
+
+    sql["librarian_uploads"] = """
+WITH ds AS (SELECT doc_id AS d FROM documents WHERE doc_id % 5 = 0),
+sess AS (
+  SELECT d, 'u' || d AS upload_id, 'w' || (d % 3) AS workspace,
+         'doc' || d AS document_id,
+         (7 + d % 9)::BIGINT AS total_size,
+         (3 + d % 4)::BIGINT AS chunk_size,
+         CAST(ceil((7 + d % 9)::DOUBLE / (3 + d % 4)) AS INT)
+           AS total_chunks
+  FROM ds
+), idx AS (
+  SELECT s.*, unnest(range(s.total_chunks))::INT AS i FROM sess s
+), rec AS (
+  SELECT upload_id, count(*)::INT AS n,
+         string_agg('c' || d || ':' || i || ';', '' ORDER BY i)
+           AS content
+  FROM idx WHERE (d + i) % 11 <> 0 GROUP BY upload_id
+), miss AS (
+  SELECT upload_id, string_agg(i, ',' ORDER BY i) AS missing_csv
+  FROM idx WHERE (d + i) % 11 = 0 GROUP BY upload_id
+)
+SELECT s.upload_id, s.workspace, s.document_id,
+       coalesce(r.n, 0) = s.total_chunks AS complete,
+       coalesce(m.missing_csv, '') AS missing_csv,
+       CASE WHEN coalesce(r.n, 0) = s.total_chunks THEN r.content END
+         AS content_str,
+       s.d AS time, 'text/plain' AS kind, 'T' || (s.d % 7) AS title,
+       '' AS comments, '' AS tags_csv
+FROM sess s
+LEFT JOIN rec r ON r.upload_id = s.upload_id
+LEFT JOIN miss m ON m.upload_id = s.upload_id
 """
 
     sql["wire_embed_exec"] = """
