@@ -2677,6 +2677,84 @@ def q_librarian_uploads(spark, sf_dir):
         F.array_join("tags", ",").alias("tags_csv"))
 
 
+def q_tgx_roundtrip(spark, sf_dir):
+    """Workspace .tgx bundle exchange (cli/export_workspace.py:47-206 /
+    import_workspace.py:37-106): planted config entries, two
+    collections of quads (RDF-star rows exercise the N-Quads
+    written/skipped contract — they must drop), and a parent/child
+    document library roundtrip through a real gzipped-tar bundle on
+    disk; the read-back flattens to one comparable frame. The oracle
+    replays the planted state with the skip rule applied — export,
+    member naming, N-Quads encode/parse, and metadata JSON must all
+    invert exactly for the hash to match."""
+    import tempfile
+
+    from trustgraph_spark.workspace import (
+        export_workspace_bundle,
+        read_workspace_bundle,
+    )
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    base = _docs(spark, sf_dir)
+    config = base.where(d % 10 == 0).select(
+        F.concat(F.lit("ty"), s(d % 3)).alias("type"),
+        F.concat(F.lit("key"), s(d)).alias("key"),
+        F.concat(F.lit('"val '), s(d % 7), F.lit('"')).alias("value"))
+    triples = base.select(
+        F.concat(F.lit("c"), s(d % 2)).alias("collection"),
+        F.lit("").alias("g"),
+        F.concat(F.lit("http://s/"), s(d % 11)).alias("s"),
+        F.concat(F.lit("http://p/"), s(d % 3)).alias("p"),
+        F.when(d % 9 == 0, F.lit('{"s": {}}'))
+        .when(d % 4 == 0, F.concat(F.lit("lit "), s(d % 13)))
+        .otherwise(F.concat(F.lit("http://o/"), s(d % 7))).alias("o"),
+        F.when(d % 9 == 0, "t").when(d % 4 == 0, "l")
+        .otherwise("u").alias("otype"),
+        F.lit("").alias("dtype"),
+        F.when((d % 9 != 0) & (d % 4 == 0) & (d % 13 % 2 == 0), "en")
+        .otherwise("").alias("lang"))
+    lib = base.where(d % 25 == 0).select(
+        F.concat(F.lit("doc"), s(d)).alias("id"),
+        F.lit("2026-01-01T00:00:00").alias("time"),
+        F.lit("text/plain").alias("kind"),
+        F.concat(F.lit("T"), s(d % 5)).alias("title"),
+        F.lit("").alias("comments"),
+        F.array(F.struct(
+            F.lit("http://a").alias("s"), F.lit("http://b").alias("p"),
+            F.concat(F.lit("m"), s(d % 4)).alias("o"))).alias("metadata"),
+        F.array(F.concat(F.lit("t"), s(d % 3))).alias("tags"),
+        F.when(d % 50 != 0, F.concat(F.lit("doc"), s(d - 25)))
+        .alias("parent_id"),
+        F.lit("").alias("document_type"),
+        F.concat(F.lit("body "), s(d)).cast("binary").alias("content"))
+
+    path = tempfile.mktemp(prefix="tgx_rt_", suffix=".tgx")
+    export_workspace_bundle(
+        path, "default", config, triples, lib,
+        config_version=3, exported_at="2026-08-18T00:00:00Z")
+    _, cdf, tdf, ldf = read_workspace_bundle(spark, path)
+
+    c_rows = cdf.select(
+        F.lit("config").alias("part"), F.col("type").alias("a"),
+        F.col("key").alias("b"), F.col("value").alias("c"),
+        F.lit("").alias("d"), F.lit("").alias("e"))
+    t_rows = tdf.select(
+        F.lit("triple").alias("part"), F.col("collection").alias("a"),
+        F.col("s").alias("b"), F.col("p").alias("c"),
+        F.col("o").alias("d"),
+        F.concat_ws("|", "otype", "dtype", "lang").alias("e"))
+    l_rows = ldf.select(
+        F.lit("doc").alias("part"), F.col("id").alias("a"),
+        F.coalesce("parent_id", F.lit("")).alias("b"),
+        F.col("title").alias("c"),
+        F.col("content").cast("string").alias("d"),
+        F.concat_ws(",",
+                    F.transform("metadata", lambda m: m.getField("o")),
+                    "tags").alias("e"))
+    return c_rows.unionByName(t_rows).unionByName(l_rows)
+
+
 def q_kg_core_de_msgpack(spark, sf_dir):
     """Document-embeddings leg of the core exchange
     (save_doc_embeds.py:44-60 / put_de_core.py:18-58 ``("de", ...)``
@@ -2867,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wire_triples_exec": q_wire_triples_exec,
         "wire_embed_exec": q_wire_embed_exec,
         "librarian_uploads": q_librarian_uploads,
+        "tgx_roundtrip": q_tgx_roundtrip,
         "metering_costs": q_metering_costs,
         "explain_rag_emit": q_explain_rag_emit,
         "explain_entities": q_explain_entities,
@@ -3494,6 +3573,29 @@ store AS (
 )
 SELECT req_id, s, p, o, otype, dtype, lang, g
 FROM ranked WHERE rn <= lim
+"""
+
+    sql["tgx_roundtrip"] = """
+WITH docs AS (SELECT doc_id AS d FROM documents)
+SELECT 'config' AS part, 'ty' || (d % 3) AS a, 'key' || d AS b,
+       '"val ' || (d % 7) || '"' AS c, '' AS d, '' AS e
+FROM docs WHERE d % 10 = 0
+UNION ALL
+SELECT 'triple', 'c' || (d % 2), 'http://s/' || (d % 11),
+       'http://p/' || (d % 3),
+       CASE WHEN d % 4 = 0 THEN 'lit ' || (d % 13)
+            ELSE 'http://o/' || (d % 7) END,
+       CASE WHEN d % 4 = 0
+            THEN 'l||' || CASE WHEN (d % 13) % 2 = 0 THEN 'en'
+                               ELSE '' END
+            ELSE 'u||' END
+FROM docs WHERE d % 9 <> 0
+UNION ALL
+SELECT 'doc', 'doc' || d,
+       CASE WHEN d % 50 <> 0 THEN 'doc' || (d - 25) ELSE '' END,
+       'T' || (d % 5), 'body ' || d,
+       'm' || (d % 4) || ',t' || (d % 3)
+FROM docs WHERE d % 25 = 0
 """
 
     sql["librarian_uploads"] = """
