@@ -493,6 +493,40 @@ def main() -> None:
             _els.where("category <> 'Image'"), "size", max_size=40),
     )
 
+
+    # --- extraction hierarchy + wire execution (round-5 session 2) ---
+    from trustgraph_spark.operators.explain import extraction_hierarchy
+    from trustgraph_spark.operators.wire import (
+        decode_triples_requests,
+        execute_triples_requests,
+    )
+
+    add(
+        "Extraction hierarchy: final metadata pass",
+        "The BFS itself runs over two pushdown projections "
+        "(wasDerivedFrom edges and rdf:type rows) with broadcast "
+        "localCheckpointed frontiers; the label/title/format resolution "
+        "shown here is ONE pass over the store, predicate-pushed on the "
+        "five metadata predicates and semi-join-reduced to the "
+        "discovered nodes via BroadcastHashJoin — the reference runs 2 "
+        "store queries per node.",
+        extraction_hierarchy(e, "urn:doc:root", graph=None, max_depth=2),
+    )
+    _reqs = spark.createDataFrame(
+        [("r0", '{"p": {"t": "i", "i": "%s"}, "limit": 5}' % RDF_LABEL),
+         ("r1", '{"g": ""}')],
+        "req_id string, request string")
+    add(
+        "Wire-format batched triples-query execution",
+        "Each bound-term mask present in the batch becomes one "
+        "BroadcastHashJoin of the (bounded, broadcast) request side "
+        "against the store scan — at most 8 store passes per batch "
+        "regardless of batch size, wire JSON decoded by from_json "
+        "inside codegen, per-request limits as one window. No "
+        "CartesianProduct anywhere.",
+        execute_triples_requests(decode_triples_requests(_reqs), e),
+    )
+
     with open("/root/repo/EXPLAIN.md", "w") as f:
         f.write(
             "# EXPLAIN — physical plans of the core operators\n\n"
