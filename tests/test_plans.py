@@ -340,3 +340,46 @@ def test_explain_read_path_is_native(spark):
     # sort-merge at runtime; EXPLAIN.md shows the executed plan chooses
     # BroadcastHashJoin at bench scale)
     assert "Join" in trace_plan
+
+
+def test_extraction_hierarchy_plan(spark, edges_parquet):
+    """The hierarchy BFS must (a) push the wasDerivedFrom / rdf:type
+    predicate filters into the parquet scan, (b) broadcast only the
+    bounded frontier/node sides, and (c) never produce a cartesian —
+    the store side stays the streamed side of every join."""
+    from trustgraph_spark.operators.explain import extraction_hierarchy
+
+    edges = spark.read.parquet(edges_parquet)
+    out = extraction_hierarchy(edges, "urn:doc:root", graph=None,
+                               max_depth=2)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the metadata pass pushes its predicate IN-list into the scan
+    assert "PushedFilters:" in plan
+
+
+def test_wire_triples_store_never_broadcast(spark, edges_parquet):
+    """The corpus-sized store must never be the broadcast side of the
+    wire dispatch — only the bounded decoded request batch is."""
+    import json as _json
+
+    from trustgraph_spark.operators.wire import (
+        decode_triples_requests,
+        execute_triples_requests,
+    )
+
+    edges = spark.read.parquet(edges_parquet)
+    reqs = spark.createDataFrame(
+        [("r0", _json.dumps({"p": {"t": "i", "i": "http://x"}}))],
+        "req_id string, request string")
+    plan = _plan(execute_triples_requests(
+        decode_triples_requests(reqs), edges))
+    import re
+    # every BroadcastExchange subtree builds from the request RDD scan,
+    # never from the parquet store
+    for m in re.finditer(r"BroadcastExchange", plan):
+        tail = plan[m.start():m.start() + 2000]
+        first_scan = re.search(r"Scan (parquet|ExistingRDD)", tail)
+        assert first_scan and first_scan.group(1) == "ExistingRDD", plan
