@@ -243,3 +243,38 @@ def test_wire_embeddings_store_without_collection(spark):
         decode_embeddings_requests(reqs), store).collect()
     assert [(r["entity"], r["score"], r["rank"]) for r in out] == [
         ("b", 1.0, 1)]
+
+
+def test_wire_query_stream_matches_batch(spark, tmp_path):
+    from trustgraph_spark.operators.wire import (
+        decode_triples_requests,
+        encode_triples_responses,
+        execute_triples_requests,
+    )
+    from trustgraph_spark.streaming import start_wire_query_service
+
+    store = _store(spark)
+    req_rows = [
+        ("r0", json.dumps({"s": {"t": "i", "i": "http://t/e/a"}})),
+        ("r1", json.dumps({"g": "urn:g:1"})),
+    ]
+    src = tmp_path / "reqs"
+    src.mkdir()
+    spark.createDataFrame(req_rows, "req_id string, request string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(src / "batch0"))
+    stream = spark.readStream.schema("req_id string, request string") \
+        .parquet(str(src / "batch0"))
+    q = start_wire_query_service(
+        stream, store, str(tmp_path / "out"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = {(r["req_id"], r["triple_json"]) for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    want_df = encode_triples_responses(execute_triples_requests(
+        decode_triples_requests(
+            spark.createDataFrame(req_rows,
+                                  "req_id string, request string")),
+        store))
+    want = {(r["req_id"], r["triple_json"]) for r in want_df.collect()}
+    assert got == want and len(got) >= 4

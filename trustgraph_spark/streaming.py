@@ -268,3 +268,37 @@ def hygiene_stream(docs: DataFrame) -> DataFrame:
         redact_col(F.col("text")).alias("redacted"),
         gopher_pass_col(F.col("text")).alias("gopher_pass"),
     )
+
+
+def start_wire_query_service(
+    request_stream: DataFrame,
+    edges: DataFrame,
+    results_path: str,
+    checkpoint_dir: str,
+):
+    """The gateway's triples-query service as a stream: wire-JSON
+    requests (columns req_id, request) arrive continuously, each
+    micro-batch decodes natively and executes the SAME mask-grouped
+    batch dispatch (operators/wire.py) against the static store, and
+    wire-encoded responses append to the results table. The reference
+    gateway holds one websocket per request (gateway/dispatch); here a
+    request BATCH is the unit and exactly-once comes from foreachBatch
+    + the transactional sink. Stream==batch is pytest-gated."""
+    from .operators.wire import (
+        decode_triples_requests,
+        encode_triples_responses,
+        execute_triples_requests,
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = encode_triples_responses(
+            execute_triples_requests(
+                decode_triples_requests(batch_df), edges))
+        out.write.mode("append").parquet(results_path)
+
+    return (
+        request_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
