@@ -1023,8 +1023,13 @@ def extraction_hierarchy(
     types = t.where(F.col("p") == RDF_TYPE).groupBy(
         F.col("s").alias("child")
     ).agg(F.collect_set("o").alias("_types"))
+    # built once, probed once per BFS level: persist for the duration of
+    # the (eagerly-checkpointed) loop so each level doesn't re-scan the
+    # store — at 100 TB this is the wasDerivedFrom projection, orders of
+    # magnitude smaller than the store itself
     typed_children = derived.join(types, "child", "left").select(
-        "child", "parent", _hier_classify(F.col("_types")).alias("ctype"))
+        "child", "parent", _hier_classify(F.col("_types")).alias("ctype"),
+    ).persist()
 
     root = spark.createDataFrame([(root_uri, 0)], "node_uri string, depth int")
     node_frames = [
@@ -1066,6 +1071,9 @@ def extraction_hierarchy(
             F.col("child").alias("node_uri"), "depth"
         ).localCheckpoint(eager=True)
         seen = seen.unionByName(frontier.select("node_uri"))
+
+    # every level is checkpointed, so nothing downstream re-reads it
+    typed_children.unpersist()
 
     from functools import reduce
     nodes = reduce(DataFrame.unionByName, node_frames)
