@@ -787,3 +787,96 @@ def test_extraction_hierarchy_render(spark):
         '          └── Unknown: urn:misc:1',
     ])
     assert render_extraction_tree(None) == "No data found"
+
+
+# ---------------------------------------------------------------------------
+# Property: hierarchy BFS == pinned-semantics Python replay
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_H_NODE = st.sampled_from(["n0", "n1", "n2", "n3", "n4"])
+_H_TYPE = st.sampled_from(
+    [_H_TG + t for t in ("Document", "Page", "Chunk", "Subgraph")])
+_H_PRIORITY = [(_H_TG + "Document", "document"), (_H_TG + "Page", "page"),
+               (_H_TG + "Chunk", "chunk"), (_H_TG + "Subgraph", "subgraph")]
+
+
+def _h_classify(u, types):
+    for uri, name in _H_PRIORITY:
+        if uri in types.get(u, set()):
+            return name
+    return "unknown"
+
+
+def py_hierarchy(derived, types, labels, contains, root, max_depth=8):
+    """build_hierarchy replay with the repo's documented min-parent /
+    min-depth determinism (show_extraction_provenance.py:175-230)."""
+    rows = [(0, root, None, _h_classify(root, types),
+             min(labels[root]) if labels.get(root) else None)]
+    frontier = {root}
+    seen = {root}
+    for depth in range(1, max_depth + 1):
+        step = {(c, p) for (c, p) in derived
+                if p in frontier and c not in seen}
+        if not step:
+            break
+        for sg, par in sorted({(c, p) for c, p in step
+                               if _h_classify(c, types) == "subgraph"}):
+            for edge in sorted(contains.get(sg, set())):
+                rows.append((depth, edge, par, "edge", None))
+        regs = {}
+        for c, p in step:
+            if _h_classify(c, types) != "subgraph":
+                regs[c] = min(p, regs.get(c, p))
+        for c, p in sorted(regs.items()):
+            rows.append((depth, c, p, _h_classify(c, types),
+                         min(labels[c]) if labels.get(c) else None))
+        frontier = set(regs)
+        seen |= frontier
+    return sorted(rows, key=lambda r: (r[0], r[1], str(r[2])))
+
+
+@given(
+    edges=st.lists(st.tuples(_H_NODE, _H_NODE), min_size=0, max_size=8),
+    typed=st.lists(st.tuples(_H_NODE, _H_TYPE), min_size=0, max_size=6),
+    labeled=st.lists(st.tuples(_H_NODE, st.sampled_from(["L1", "L2"])),
+                     min_size=0, max_size=4),
+    contained=st.lists(st.tuples(_H_NODE, st.sampled_from(["e1", "e2"])),
+                       min_size=0, max_size=4),
+    max_depth=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=10, deadline=None)
+def test_extraction_hierarchy_property(
+        spark, edges, typed, labeled, contained, max_depth):
+    from trustgraph_spark.operators.explain import extraction_hierarchy
+
+    derived = set(edges)
+    types, labels, contains = {}, {}, {}
+    for n, t in typed:
+        types.setdefault(n, set()).add(t)
+    for n, lb in labeled:
+        labels.setdefault(n, set()).add(lb)
+    store_rows = [(c, _H_WDF, p, "u") for c, p in derived]
+    store_rows += [(n, _H_RDFT, t, "u") for n, t in sorted(set(typed))]
+    store_rows += [(n, _H_LBL, lb, "l") for n, lb in sorted(set(labeled))]
+    for n, e in sorted(set(contained)):
+        contains.setdefault(n, set()).add(
+            f"<<http://x/{e} {_H_TG}rel {e}>>")
+        store_rows.append(
+            (n, _H_TG + "contains",
+             _qt_json(f"http://x/{e}", _H_TG + "rel", e, o_iri=False),
+             "t"))
+    df = spark.createDataFrame(
+        [("default", "urn:graph:source", s, p, o, ot, "", "")
+         for s, p, o, ot in store_rows] or [],
+        _SRC_SCHEMA)
+    got = sorted(
+        ((r["depth"], r["node_uri"], r["parent_uri"], r["node_type"],
+          r["label"])
+         for r in extraction_hierarchy(df, "n0",
+                                       max_depth=max_depth).collect()),
+        key=lambda r: (r[0], r[1], str(r[2])))
+    assert got == py_hierarchy(derived, types, labels, contains, "n0",
+                               max_depth)

@@ -113,3 +113,52 @@ def test_remove_documents_cascade(spark):
                   remove_documents_cascade(docs, ids).collect())
     # ONE level of cascade (librarian.py:85-96 loops direct children)
     assert left == ["c", "d"]
+
+
+# ---------------------------------------------------------------------------
+# Property: random chunk splits reassemble exactly; status math holds
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    data=st.binary(min_size=0, max_size=40),
+    chunk_size=st.integers(min_value=1, max_value=9),
+    drop_seed=st.integers(min_value=0, max_value=7),
+)
+@settings(max_examples=10, deadline=None)
+def test_upload_assembly_property(spark, data, chunk_size, drop_seed):
+    import math
+
+    total_size = len(data)
+    total_chunks = math.ceil(total_size / chunk_size) if total_size else 0
+    pieces = [(i, data[i * chunk_size:(i + 1) * chunk_size])
+              for i in range(total_chunks)]
+    kept = [(i, c) for i, c in pieces if (i + drop_seed) % 5 != 0]
+    missing = sorted(i for i, _ in pieces if (i + drop_seed) % 5 == 0)
+    complete = not missing and total_chunks >= 0
+
+    sess = spark.createDataFrame(
+        [("u1", "w1", "d1", '{"id":"d1","kind":"k"}',
+          total_size, chunk_size, total_chunks)],
+        "upload_id string, workspace string, document_id string, "
+        "document_metadata string, total_size long, chunk_size long, "
+        "total_chunks int")
+    chunks = spark.createDataFrame(
+        [("u1", i, bytearray(c)) for i, c in kept] or [],
+        "upload_id string, chunk_index int, content binary")
+
+    st_row = upload_status(sess, chunks).collect()[0]
+    assert st_row["missing"] == missing
+    assert st_row["received"] == sorted(i for i, _ in kept)
+    assert st_row["bytes_received"] == min(
+        len(kept) * chunk_size, total_size)
+    assert st_row["complete"] == complete
+
+    out = assemble_uploads(sess, chunks).collect()[0]
+    if complete:
+        assert bytes(out["content"] or b"") == data
+    else:
+        assert out["content"] is None and out["missing"] == missing

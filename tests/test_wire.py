@@ -278,3 +278,101 @@ def test_wire_query_stream_matches_batch(spark, tmp_path):
         store))
     want = {(r["req_id"], r["triple_json"]) for r in want_df.collect()}
     assert got == want and len(got) >= 4
+
+
+# ---------------------------------------------------------------------------
+# Property: Spark dispatch == pinned-semantics Python replay
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_VOCAB = ["http://t/e/a", "http://t/e/b", "lit x", "lit y"]
+_PRED = ["http://t/p/x", "http://t/p/y"]
+_GRAPHS = ["", "urn:g:1"]
+
+_STORE_ROW = st.tuples(
+    st.sampled_from(["default", "c2"]),
+    st.sampled_from(_GRAPHS),
+    st.sampled_from(_VOCAB[:2]),
+    st.sampled_from(_PRED),
+    st.sampled_from(_VOCAB),
+    st.sampled_from(["u", "l"]),
+)
+
+
+def _term_strategy():
+    iri = st.sampled_from(_VOCAB[:2]).map(lambda v: {"t": "i", "i": v})
+    lit = st.sampled_from(_VOCAB).map(lambda v: {"t": "l", "v": v})
+    blank = st.sampled_from(["", "bn1"]).map(
+        lambda d: {"t": "b", "d": d} if d else {"t": "b"})
+    return st.one_of(iri, lit, blank)
+
+
+_REQ = st.fixed_dictionaries(
+    {},
+    optional={
+        "s": _term_strategy(),
+        "p": st.sampled_from(_PRED).map(lambda v: {"t": "i", "i": v}),
+        "o": _term_strategy(),
+        "g": st.sampled_from(_GRAPHS + ["urn:g:none"]),
+        "limit": st.integers(min_value=1, max_value=4),
+        "collection": st.sampled_from(["default", "c2"]),
+    },
+)
+
+
+def py_term_value(t):
+    """TermTranslator.decode + get_term_value replica
+    (primitives.py:20-48, service.py:57-71)."""
+    if t is None:
+        return None
+    tt = t.get("t", "")
+    if tt == "i":
+        return t.get("i", "")
+    if tt == "l":
+        return t.get("v", "")
+    return t.get("d") or t.get("v") or None
+
+
+def py_execute(store, reqs):
+    """query_triples dispatch replica with the repo's documented
+    filter-then-limit + (g,s,p,o,otype) order divergences."""
+    out = []
+    for rid, req in reqs:
+        s_val = py_term_value(req.get("s"))
+        p_val = py_term_value(req.get("p"))
+        o_val = py_term_value(req.get("o"))
+        g_val = req.get("g")
+        limit = req.get("limit", 10000)
+        coll = req.get("collection", "default")
+        hits = sorted(
+            (g, s, p, o, ot) for (c, g, s, p, o, ot) in store
+            if c == coll
+            and (s_val is None or s == s_val)
+            and (p_val is None or p == p_val)
+            and (o_val is None or o == o_val)
+            and (g_val is None or g == g_val))
+        for g, s, p, o, ot in hits[:limit]:
+            out.append((rid, s, p, o, ot, g))
+    return sorted(out)
+
+
+@given(store=st.lists(_STORE_ROW, min_size=0, max_size=8),
+       reqs=st.lists(_REQ, min_size=1, max_size=5))
+@settings(max_examples=10, deadline=None)
+def test_wire_dispatch_property(spark, store, reqs):
+    # (g,s,p,o,otype)-unique rows: the limit cut is order-deterministic
+    store = sorted({(c, g, s, p, o, ot) for (c, g, s, p, o, ot) in store})
+    named = [(f"r{i}", r) for i, r in enumerate(reqs)]
+    sdf = spark.createDataFrame(
+        [(c, g, s, p, o, ot, "", "") for c, g, s, p, o, ot in store],
+        _STORE_SCHEMA)
+    rdf = spark.createDataFrame(
+        [(rid, json.dumps(r)) for rid, r in named],
+        "req_id string, request string")
+    got = sorted(
+        (r["req_id"], r["s"], r["p"], r["o"], r["otype"], r["g"])
+        for r in execute_triples_requests(
+            decode_triples_requests(rdf), sdf).collect())
+    assert got == py_execute(store, named)
