@@ -2755,6 +2755,34 @@ def q_tgx_roundtrip(spark, sf_dir):
     return c_rows.unionByName(t_rows).unionByName(l_rows)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: a new batch probes the PERSISTED archive band
+    index plus itself (dedup.incremental_lsh_candidates) — archive text
+    is never re-read and archive signatures never recomputed, the
+    daily-increment shape a 100 TB corpus needs. Planted: archive =
+    doc_id%3!=0; batch = doc_id%3==0 with every %6==0 doc carrying its
+    archive neighbor's exact text, guaranteeing archive collisions on
+    every band."""
+    from trustgraph_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_index,
+    )
+
+    d = F.col("doc_id")
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    arch = base.where(d % 3 != 0)
+    donor = base.select((d - 1).alias("doc_id"),
+                        F.col("text").alias("dtext"))
+    batch = base.where(d % 3 == 0).join(donor, "doc_id", "left").select(
+        "doc_id",
+        F.when((d % 6 == 0) & F.col("dtext").isNotNull(), F.col("dtext"))
+        .otherwise(F.col("text")).alias("text"))
+    out = incremental_lsh_candidates(
+        minhash_band_index(arch, n=3, num_hashes=16, bands=4), batch,
+        n=3, num_hashes=16, bands=4)
+    return out.select("new_id", "match_id", "source")
+
+
 def q_kg_core_de_msgpack(spark, sf_dir):
     """Document-embeddings leg of the core exchange
     (save_doc_embeds.py:44-60 / put_de_core.py:18-58 ``("de", ...)``
@@ -2946,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wire_embed_exec": q_wire_embed_exec,
         "librarian_uploads": q_librarian_uploads,
         "tgx_roundtrip": q_tgx_roundtrip,
+        "dedup_incremental": q_dedup_incremental,
         "metering_costs": q_metering_costs,
         "explain_rag_emit": q_explain_rag_emit,
         "explain_entities": q_explain_entities,
@@ -3977,6 +4006,49 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.3
     hash_exprs = ", ".join(
         f"min(md5(shingle || '#{i}'))" for i in range(16)
     )
+    _inc_sh = """
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                                 i -> array_to_string(tk[i:i+2], ' ')))
+             AS shingle
+    FROM {toks}
+  )
+"""
+    sql["dedup_incremental"] = f"""
+WITH newdocs AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % 6 = 0 AND d.text IS NOT NULL THEN d.text
+              ELSE b.text END AS text
+  FROM documents b LEFT JOIN documents d ON d.doc_id = b.doc_id + 1
+  WHERE b.doc_id % 3 = 0
+), arch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+), toks_a AS (SELECT doc_id, {_NORM_TOKS} AS tk FROM arch),
+toks_n AS (SELECT doc_id, {_NORM_TOKS} AS tk FROM newdocs),
+sh_a AS ({_inc_sh.format(toks="toks_a")}),
+sh_n AS ({_inc_sh.format(toks="toks_n")}),
+sig_a AS (SELECT doc_id, [{hash_exprs}] AS sig FROM sh_a GROUP BY doc_id),
+sig_n AS (SELECT doc_id, [{hash_exprs}] AS sig FROM sh_n GROUP BY doc_id),
+banded_a AS (
+  SELECT doc_id, band, band_sig FROM (
+    SELECT doc_id, {band_exprs} FROM sig_a
+  ) UNPIVOT (band_sig FOR band IN (band0, band1, band2, band3))
+),
+banded_n AS (
+  SELECT doc_id, band, band_sig FROM (
+    SELECT doc_id, {band_exprs} FROM sig_n
+  ) UNPIVOT (band_sig FOR band IN (band0, band1, band2, band3))
+)
+SELECT DISTINCT n.doc_id AS new_id, a.doc_id AS match_id,
+       'archive' AS source
+FROM banded_n n JOIN banded_a a USING (band, band_sig)
+UNION ALL
+SELECT DISTINCT x.doc_id, y.doc_id, 'batch'
+FROM banded_n x JOIN banded_n y USING (band, band_sig)
+WHERE x.doc_id < y.doc_id
+"""
+
     sql["dedup_minhash_lsh"] = _SHINGLES_CTE + f"""
 , sig AS (
   SELECT doc_id, [{hash_exprs}] AS sig

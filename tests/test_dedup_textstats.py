@@ -122,3 +122,38 @@ def test_doc_fingerprint_order_insensitive(spark):
     fp = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
     assert fp[1] == fp[2]
     assert fp[1] != fp[3]
+
+
+def test_incremental_lsh_candidates(spark):
+    """Incremental dedup (dedup.incremental_lsh_candidates): a new
+    batch probes the persisted archive band index plus itself; exact
+    replicas collide on every band; labels distinguish the sides; the
+    archive index alone is sufficient — no archive text involved."""
+    from trustgraph_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_index,
+        minhash_lsh_candidates,
+    )
+
+    arch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),   # dup of 1
+         (11, "alpha beta gamma delta epsilon zeta"),   # dup of 1 + of 10
+         (12, "totally different words entirely here")],
+        "doc_id long, text string")
+    idx = minhash_band_index(arch)
+    got = {(r["new_id"], r["match_id"], r["source"]) for r in
+           incremental_lsh_candidates(idx, batch).collect()}
+    assert (10, 1, "archive") in got and (11, 1, "archive") in got
+    assert (10, 11, "batch") in got
+    assert not any(n == 12 or m == 12 for n, m, _ in got)
+    # union-consistency: running plain LSH over archive+batch finds a
+    # superset projection of the same cross pairs
+    full = {(a, b) for r in minhash_lsh_candidates(
+        arch.unionByName(batch)).collect()
+        for a, b in [(r["id_a"], r["id_b"])]}
+    assert all((min(n, m), max(n, m)) in full
+               for n, m, _ in got)

@@ -294,7 +294,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_index(
     documents: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -302,12 +302,14 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: slice the signature into ``bands`` bands
-    of num_hashes/bands rows, bucket-join on (band index, band value) —
-    a pair collides if ANY band matches. Returns distinct (id_a, id_b)."""
+    """The LSH band index (id, band, band_sig): the signature sliced
+    into ``bands`` bands of num_hashes/bands rows. This is the
+    PERSISTED face of the archive for incremental dedup — written once
+    (bucketed on (band, band_sig) at scale) so daily increments probe
+    it with an equi-join and never recompute archive signatures."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, id_col, text_col, n, num_hashes)
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -320,6 +322,21 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_sig"),
     )
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: slice the signature into ``bands`` bands
+    of num_hashes/bands rows, bucket-join on (band index, band value) —
+    a pair collides if ANY band matches. Returns distinct (id_a, id_b)."""
+    banded = minhash_band_index(
+        documents, id_col, text_col, n, num_hashes, bands)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     return (
@@ -328,6 +345,53 @@ def minhash_lsh_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def incremental_lsh_candidates(
+    archive_index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental dedup: a NEW batch against a persisted archive band
+    index (minhash_band_index output) plus within-batch pairs — the
+    daily-increment shape a 100 TB corpus actually needs. The archive
+    side is never re-read as text and never re-hashed: only its
+    (id, band, band_sig) index joins, partition-prunable when bucketed
+    on the band key; the new batch (typically orders of magnitude
+    smaller) is hashed once and probes both itself and the index.
+
+    Returns (new_id, match_id, source) with source 'archive' or
+    'batch'; batch pairs are ordered new_id < match_id. No reference
+    analog — the reference dedupes nothing; brief-mandated
+    training-data-pipeline operator, same family as
+    minhash_lsh_candidates."""
+    new_banded = minhash_band_index(
+        new_docs, id_col, text_col, n, num_hashes, bands)
+    a = new_banded.select(
+        F.col(id_col).alias("new_id"), "band", "band_sig")
+    vs_archive = (
+        a.join(
+            archive_index.select(
+                F.col(id_col).alias("match_id"), "band", "band_sig"),
+            ["band", "band_sig"])
+        .select("new_id", "match_id")
+        .distinct()
+        .withColumn("source", F.lit("archive"))
+    )
+    b = new_banded.select(
+        F.col(id_col).alias("match_id"), "band", "band_sig")
+    within = (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("new_id") < F.col("match_id"))
+        .select("new_id", "match_id")
+        .distinct()
+        .withColumn("source", F.lit("batch"))
+    )
+    return vs_archive.unionByName(within)
 
 
 def simhash(
