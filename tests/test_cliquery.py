@@ -152,3 +152,65 @@ def test_cli_query_graph_roundtrip(spark):
     assert piped[0]["line"] == "http://e/c|http://p/x|http://e/d"
     with pytest.raises(ValueError, match="quoted-triple patterns"):
         cli_query_graph(edges, o="<<a b c>>")
+
+
+# ---------------------------------------------------------------------------
+# StreamingWordWrapper (cli/invoke_agent.py:32-102)
+# ---------------------------------------------------------------------------
+
+def test_word_wrapper_basic_wrap():
+    from trustgraph_spark.cliquery import StreamingWordWrapper
+
+    w = StreamingWordWrapper(width=10, prefix="> ")
+    w.output("aaaa bbbb cccc\ndd")
+    assert w.close() == "> aaaa \n> bbbb cccc\n> dd\n"
+
+
+def test_word_wrapper_newline_flush_skips_width_check():
+    # the reference's newline arm flushes the word buffer WITHOUT a
+    # width check (invoke_agent.py:83-89) — the line may run long
+    from trustgraph_spark.cliquery import StreamingWordWrapper
+
+    w = StreamingWordWrapper(width=8, prefix="> ")
+    w.output("xxxx yyyy\nzz")
+    assert w.close() == "> xxxx yyyy\n> zz\n"
+
+
+def test_word_wrapper_tabs_and_empty():
+    from trustgraph_spark.cliquery import StreamingWordWrapper
+
+    w = StreamingWordWrapper(width=20, prefix="> ")
+    w.output("a\tb")
+    assert w.close() == "> a\tb\n"
+    # zero output still terminates the prefix line (__exit__ checks
+    # column > 0, and the prefix makes it so)
+    w2 = StreamingWordWrapper(width=20, prefix="> ")
+    assert w2.close() == "> \n"
+
+
+def test_word_wrapper_chunk_invariance():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trustgraph_spark.cliquery import StreamingWordWrapper
+
+    text_st = st.text(
+        alphabet=st.sampled_from("ab \t\n"), min_size=0, max_size=60)
+
+    @given(text=text_st, cuts=st.lists(
+        st.integers(min_value=0, max_value=60), max_size=5))
+    @settings(max_examples=200, deadline=None)
+    def check(text, cuts):
+        whole = StreamingWordWrapper(width=9)
+        whole.output(text)
+        expect = whole.close()
+        chunked = StreamingWordWrapper(width=9)
+        pos = 0
+        for c in sorted(cuts):
+            c = min(c, len(text))
+            chunked.output(text[pos:c] if c >= pos else "")
+            pos = max(pos, c)
+        chunked.output(text[pos:])
+        assert chunked.close() == expect
+
+    check()

@@ -257,3 +257,71 @@ def cli_query_graph(
         s_fmt.alias("s_fmt"), p_fmt.alias("p_fmt"), o_fmt.alias("o_fmt"),
         F.concat_ws(sep, s_fmt, p_fmt, o_fmt).alias("line"),
     )
+
+
+class StreamingWordWrapper:
+    """Incremental word-wrap for streamed agent tokens — the
+    tg-invoke-agent Outputter (cli/invoke_agent.py:32-102) with the
+    print stream replaced by an accumulated buffer, byte-for-byte
+    including its quirks: the word buffer flushes on whitespace with a
+    width check that counts word+space, a wrap suppresses the NEXT
+    literal newline (just_wrapped), tabs behave as spaces, and close()
+    flushes the tail word and terminates a non-empty line. Feed it the
+    arbitrary chunk boundaries of a token stream — output is invariant
+    to chunking (pytest property). Driver-side display shaping by
+    design, like every renderer here."""
+
+    def __init__(self, width: int = 75, prefix: str = "> "):
+        self.width = width
+        self.prefix = prefix
+        self._out: list[str] = [prefix]
+        self.column = len(prefix)
+        self.word_buffer = ""
+        self.just_wrapped = False
+        self._closed = False
+
+    def output(self, text: str) -> None:
+        for char in text:
+            if char in (" ", "\t"):
+                if self.word_buffer:
+                    if self.column + len(self.word_buffer) + 1 > self.width:
+                        self._out.append("\n" + self.prefix)
+                        self.column = len(self.prefix)
+                        self.just_wrapped = True
+                    self._out.append(self.word_buffer)
+                    self.column += len(self.word_buffer)
+                    self.word_buffer = ""
+                self._out.append(char)
+                self.column += 1
+                self.just_wrapped = False
+            elif char == "\n":
+                if self.just_wrapped:
+                    self.just_wrapped = False
+                else:
+                    if self.word_buffer:
+                        self._out.append(self.word_buffer)
+                        self.word_buffer = ""
+                    self._out.append("\n" + self.prefix)
+                    self.column = len(self.prefix)
+                    self.just_wrapped = False
+            else:
+                self.word_buffer += char
+                self.just_wrapped = False
+
+    def close(self) -> str:
+        if not self._closed:
+            self._closed = True
+            if self.word_buffer:
+                self._out.append(self.word_buffer)
+                self.column += len(self.word_buffer)
+                self.word_buffer = ""
+            if self.column > 0:
+                self._out.append("\n")
+                self.column = 0
+        return "".join(self._out)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.close()
