@@ -376,3 +376,36 @@ def test_wire_dispatch_property(spark, store, reqs):
         for r in execute_triples_requests(
             decode_triples_requests(rdf), sdf).collect())
     assert got == py_execute(store, named)
+
+
+def test_wire_malformed_requests_flagged_not_scanned(spark):
+    from trustgraph_spark.operators.wire import (
+        decode_embeddings_requests,
+        execute_embeddings_requests,
+    )
+
+    reqs = spark.createDataFrame([
+        ("bad", "{not json"),
+        ("scan", "{}"),  # legal scan-everything request
+        ("ok", json.dumps({"s": {"t": "i", "i": "http://t/e/a"}})),
+    ], "req_id string, request string")
+    dec = {r["req_id"]: r for r in
+           decode_triples_requests(reqs).collect()}
+    assert dec["bad"]["parse_error"] is True
+    assert dec["scan"]["parse_error"] is False
+    out = execute_triples_requests(
+        decode_triples_requests(reqs), _store(spark))
+    ids = {r["req_id"] for r in out.collect()}
+    # the garbage request never becomes a store scan; the legal ones run
+    assert "bad" not in ids and {"scan", "ok"} <= ids
+
+    ereqs = spark.createDataFrame([
+        ("bad", "{oops"),
+        ("novec", json.dumps({"limit": 2})),  # vector is REQUIRED
+        ("ok", json.dumps({"vector": [1.0, 0.0]})),
+    ], "req_id string, request string")
+    store = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "entity string, vector array<double>")
+    eout = {r["req_id"] for r in execute_embeddings_requests(
+        decode_embeddings_requests(ereqs), store).collect()}
+    assert eout == {"ok"}

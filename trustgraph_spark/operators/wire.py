@@ -102,7 +102,15 @@ def decode_triples_requests(
     (translators/triples.py:13-28) into match columns: s_val / p_val /
     o_val (null = unbound position), g (null = all graphs, "" = default
     graph only), limit (default 10000), collection (default "default").
-    Pure from_json + CASE — stays in codegen."""
+    Pure from_json + CASE — stays in codegen.
+
+    Malformed JSON decodes (PERMISSIVE from_json: null fields, never a
+    null struct) to all-null match columns — without a guard that is
+    indistinguishable from a legal scan-everything request, i.e. a
+    silent full store scan per garbage request at 100 TB. Such rows get
+    `parse_error` = true (detected via try_parse_json) and
+    `execute_triples_requests` skips them; callers surface the column
+    (the reference's per-request error response)."""
     r = F.from_json(F.col(json_col), WIRE_REQUEST_SCHEMA)
     return requests.select(
         F.col(id_col),
@@ -112,6 +120,9 @@ def decode_triples_requests(
         r["g"].alias("g_val"),
         F.coalesce(r["limit"], F.lit(10000)).alias("limit"),
         F.coalesce(r["collection"], F.lit("default")).alias("collection"),
+        # from_json is PERMISSIVE (null FIELDS, never a null struct),
+        # so malformed JSON is detected via try_parse_json
+        F.try_parse_json(F.col(json_col)).isNull().alias("parse_error"),
     )
 
 
@@ -126,6 +137,8 @@ def execute_triples_requests(
     `limit` per request in (g, s, p, o, otype) order. Bounded collect:
     ONE distinct over the <=8 possible masks of the request batch, used
     only to prune absent join branches (never the data)."""
+    if "parse_error" in decoded.columns:
+        decoded = decoded.where(~F.col("parse_error"))
     dec = decoded.withColumn(
         "_mask",
         F.concat(
@@ -250,6 +263,11 @@ def decode_embeddings_requests(
         r["vector"].alias("query_vector"),
         F.coalesce(r["limit"], F.lit(10)).alias("limit"),
         F.coalesce(r["collection"], F.lit("default")).alias("collection"),
+        # malformed JSON or a missing vector (the one REQUIRED field,
+        # translators/embeddings_query.py:16 data["vector"]) must not
+        # silently score 0.0 against the whole store
+        (F.try_parse_json(F.col(json_col)).isNull()
+         | r["vector"].isNull()).alias("parse_error"),
     )
 
 
@@ -270,6 +288,8 @@ def execute_embeddings_requests(
     it; otherwise all requests search the whole store."""
     from .embeddings import _cosine_expr
 
+    if "parse_error" in decoded.columns:
+        decoded = decoded.where(~F.col("parse_error"))
     q = F.broadcast(decoded.select(
         "req_id", "query_vector", "limit",
         F.col("collection").alias("_rc")))
