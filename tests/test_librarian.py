@@ -162,3 +162,28 @@ def test_upload_assembly_property(spark, data, chunk_size, drop_seed):
         assert bytes(out["content"] or b"") == data
     else:
         assert out["content"] is None and out["missing"] == missing
+
+
+def test_assemble_uploads_reupload_last_wins(spark):
+    # the reference overwrites the chunk map entry per index
+    # (upload_chunk :383-391): with a seq column, max seq wins;
+    # identical duplicate rows collapse either way
+    sess = spark.createDataFrame(
+        [("u1", "w1", "d1", '{"id":"d1","kind":"k"}', 4, 2, 2)],
+        "upload_id string, workspace string, document_id string, "
+        "document_metadata string, total_size long, chunk_size long, "
+        "total_chunks int")
+    chunks = spark.createDataFrame([
+        ("u1", 0, bytearray(b"XX"), 1),
+        ("u1", 0, bytearray(b"AA"), 2),   # re-upload of chunk 0: wins
+        ("u1", 1, bytearray(b"BB"), 1),
+    ], "upload_id string, chunk_index int, content binary, seq int")
+    out = assemble_uploads(sess, chunks).collect()[0]
+    assert out["complete"] and bytes(out["content"]) == b"AABB"
+    # without seq: exact duplicates collapse
+    dup = spark.createDataFrame([
+        ("u1", 0, bytearray(b"AA")), ("u1", 0, bytearray(b"AA")),
+        ("u1", 1, bytearray(b"BB")),
+    ], "upload_id string, chunk_index int, content binary")
+    out2 = assemble_uploads(sess, dup).collect()[0]
+    assert bytes(out2["content"]) == b"AABB"

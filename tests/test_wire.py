@@ -409,3 +409,17 @@ def test_wire_malformed_requests_flagged_not_scanned(spark):
     eout = {r["req_id"] for r in execute_embeddings_requests(
         decode_embeddings_requests(ereqs), store).collect()}
     assert eout == {"ok"}
+
+
+def test_wire_degenerate_quoted_term_is_unbound(spark):
+    # {"t": "t"} with no tr: triple=None, get_term_value -> None ->
+    # the o position is UNBOUND (serialize_triple :30-31)
+    reqs = spark.createDataFrame(
+        [("r0", json.dumps({"o": {"t": "t"},
+                            "p": {"t": "i", "i": "http://t/p/y"}}))],
+        "req_id string, request string")
+    dec = decode_triples_requests(reqs).collect()[0]
+    assert dec["o_val"] is None and dec["p_val"] == "http://t/p/y"
+    out = execute_triples_requests(
+        decode_triples_requests(reqs), _store(spark)).collect()
+    assert [r["o"] for r in out] == ["http://t/e/c"]

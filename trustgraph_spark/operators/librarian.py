@@ -30,7 +30,7 @@ Frame contracts:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # librarian.py:19 (2 MiB)
@@ -124,7 +124,23 @@ def assemble_uploads(
     (:466-477, time/title/comments default via the JSON parse);
     incomplete sessions surface their missing list instead (the
     service's "Missing chunks:" RequestError, :437-444). One grouped
-    aggregate; the fold is a JVM-side array aggregate, no UDF."""
+    aggregate; the fold is a JVM-side array aggregate, no UDF.
+
+    Re-uploaded chunks: the reference OVERWRITES the session's map
+    entry per chunk_index (upload_chunk :383-391, last wins). When the
+    chunk frame carries a `seq` column the max-seq copy wins per
+    (upload_id, chunk_index); without one, exact duplicate rows are
+    dropped and conflicting same-index contents would otherwise both
+    concatenate — callers replaying an at-least-once transport should
+    supply seq."""
+    if "seq" in chunks.columns:
+        w = Window.partitionBy("upload_id", "chunk_index") \
+            .orderBy(F.desc("seq"))
+        chunks = (chunks.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1).drop("_rn", "seq"))
+    else:
+        chunks = chunks.dropDuplicates(["upload_id", "chunk_index",
+                                        "content"])
     agg = chunks.groupBy("upload_id").agg(
         F.aggregate(
             F.transform(

@@ -82,7 +82,9 @@ def _term_value(t):
     return (
         F.when(t["t"] == "i", F.coalesce(t["i"], F.lit("")))
         .when(t["t"] == "l", F.coalesce(t["v"], F.lit("")))
-        .when(t["t"] == "t",
+        # a degenerate {"t":"t"} with no tr decodes to triple=None and
+        # get_term_value returns None -> UNBOUND (serialize_triple :30-31)
+        .when((t["t"] == "t") & t["tr"].isNotNull(),
               F.to_json(F.struct(
                   _canon_inner(t["tr"]["s"]).alias("s"),
                   _canon_inner(t["tr"]["p"]).alias("p"),
