@@ -4003,8 +4003,16 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.3
         )
         for i in range(4)
     )
+    # the affine-family literals (dedup.minhash_coeffs) embedded verbatim;
+    # base hash x = ('0x' || md5[:15])::BIGINT % P replays Spark's
+    # conv(substr(md5, 1, 15), 16, 10) % P exactly (verified bit-equal)
+    from trustgraph_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
+
+    _mh_x = (f"('0x' || substr(md5(shingle), 1, 15))::BIGINT"
+             f" % {MINHASH_PRIME}")
     hash_exprs = ", ".join(
-        f"min(md5(shingle || '#{i}'))" for i in range(16)
+        f"min(({a}::BIGINT * x + {b}) % {MINHASH_PRIME})"
+        for a, b in minhash_coeffs(16)
     )
     _inc_sh = """
   SELECT DISTINCT doc_id, shingle FROM (
@@ -4028,8 +4036,10 @@ WITH newdocs AS (
 toks_n AS (SELECT doc_id, {_NORM_TOKS} AS tk FROM newdocs),
 sh_a AS ({_inc_sh.format(toks="toks_a")}),
 sh_n AS ({_inc_sh.format(toks="toks_n")}),
-sig_a AS (SELECT doc_id, [{hash_exprs}] AS sig FROM sh_a GROUP BY doc_id),
-sig_n AS (SELECT doc_id, [{hash_exprs}] AS sig FROM sh_n GROUP BY doc_id),
+sig_a AS (SELECT doc_id, [{hash_exprs}] AS sig
+          FROM (SELECT doc_id, {_mh_x} AS x FROM sh_a) GROUP BY doc_id),
+sig_n AS (SELECT doc_id, [{hash_exprs}] AS sig
+          FROM (SELECT doc_id, {_mh_x} AS x FROM sh_n) GROUP BY doc_id),
 banded_a AS (
   SELECT doc_id, band, band_sig FROM (
     SELECT doc_id, {band_exprs} FROM sig_a
@@ -4052,7 +4062,7 @@ WHERE x.doc_id < y.doc_id
     sql["dedup_minhash_lsh"] = _SHINGLES_CTE + f"""
 , sig AS (
   SELECT doc_id, [{hash_exprs}] AS sig
-  FROM sh GROUP BY doc_id
+  FROM (SELECT doc_id, {_mh_x} AS x FROM sh) GROUP BY doc_id
 ), banded AS (
   SELECT doc_id, band, band_sig FROM (
     SELECT doc_id, {band_exprs} FROM sig
@@ -4221,8 +4231,14 @@ WITH toks AS (
 SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums
 """
 
-    mh = ", ".join(f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(4))
-    sql["minhash_sig4"] = _SHINGLES_CTE + f"SELECT doc_id, {mh} FROM sh GROUP BY doc_id"
+    mh = ", ".join(
+        f"min(({a}::BIGINT * x + {b}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(4))
+    )
+    sql["minhash_sig4"] = _SHINGLES_CTE + (
+        f"SELECT doc_id, {mh} "
+        f"FROM (SELECT doc_id, {_mh_x} AS x FROM sh) GROUP BY doc_id"
+    )
 
     sql["revenue_by_nation"] = """
 SELECT n_name,
