@@ -348,7 +348,13 @@ def minhash_band_index(
     into ``bands`` bands of num_hashes/bands rows. This is the
     PERSISTED face of the archive for incremental dedup — written once
     (bucketed on (band, band_sig) at scale) so daily increments probe
-    it with an equi-join and never recompute archive signatures."""
+    it with an equi-join and never recompute archive signatures.
+
+    Index-version note: band_sig values are a function of the hash
+    scheme (since the affine-family rewrite: joined bigint residues,
+    previously joined md5 strings).  An archive index persisted under
+    a different scheme never collides with fresh probes — rebuild the
+    index when the scheme (or n/num_hashes/bands) changes."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, id_col, text_col, n, num_hashes)
     return sig.select(
