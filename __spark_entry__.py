@@ -1936,6 +1936,129 @@ def q_config_resolve(spark, sf_dir):
                                       "value", "seq")
 
 
+def q_iam_authorise(spark, sf_dir):
+    """IAM batch authorisation (iam/service/iam.py:1304-1402 _decide
+    over the OSS role regime, iam.py:58-121): a planted identity
+    matrix — reader / writer / admin / unknown-role / role-less /
+    disabled users across workspaces — evaluated against one check per
+    document, capability and target workspace derived from doc_id so
+    every decision arm executes: capability-not-in-role, assigned-scope
+    workspace mismatch, admin '*' scope, system-level no-target checks,
+    unknown users, disabled users.  The ~120-row role-capability
+    vocabulary is the broadcast dim; the verdict is one native boolean
+    max per check — the gateway hot path as a batch join, zero Python."""
+    from trustgraph_spark.operators.iam import authorise_batch
+
+    n = F.col("doc_id")
+    docs = _docs(spark, sf_dir)
+    users = docs.select(
+        F.concat(F.lit("u"), n.cast("string")).alias("id"),
+        F.concat(F.lit("ws"), (n % 4).cast("string"))
+        .alias("default_workspace"),
+        F.lit("x").alias("username"), F.lit("x").alias("name"),
+        F.lit("").alias("email"), F.lit("").alias("password_hash"),
+        F.when(n % 5 == 0, F.array(F.lit("reader")))
+        .when(n % 5 == 1, F.array(F.lit("writer")))
+        .when(n % 5 == 2, F.array(F.lit("admin")))
+        .when(n % 5 == 3, F.array(F.lit("ghost"), F.lit("reader")))
+        .otherwise(F.array().cast("array<string>")).alias("roles"),
+        (n % 7 != 0).alias("enabled"),
+        F.lit(False).alias("must_change_password"),
+        F.lit("").alias("created"))
+    checks = docs.select(
+        n.cast("long").alias("check_id"),
+        F.when(n % 11 == 0, F.concat(F.lit("missing"), n.cast("string")))
+        .otherwise(F.concat(F.lit("u"), n.cast("string"))).alias("user_id"),
+        F.when(n % 4 == 0, F.lit("triples:read"))
+        .when(n % 4 == 1, F.lit("rows:write"))
+        .when(n % 4 == 2, F.lit("users:admin"))
+        .otherwise(F.lit("no-such-cap")).alias("capability"),
+        F.when(n % 6 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("ws"), (n % 3).cast("string")))
+        .alias("target_workspace"))
+    return authorise_batch(spark, checks, users)
+
+
+def q_iam_resolve_keys(spark, sf_dir):
+    """IAM batch api-key resolution (iam.py:1070-1112): a micro-batch
+    of inbound credentials — per doc a valid planted key, an unknown
+    key, or none — sha2-joined against the planted key/user/workspace
+    dims with the reference's failure-arm precedence: expired beats
+    missing-owner (doc 0 plants both), then disabled owner, then
+    disabled home workspace (ws2), else the resolved identity with
+    sorted roles.  The oracle recomputes the same sha256 join in
+    DuckDB, so the hash parity is part of the check."""
+    from trustgraph_spark.operators.iam import resolve_api_keys_batch
+
+    n = F.col("doc_id")
+    docs = _docs(spark, sf_dir)
+    users = docs.select(
+        F.concat(F.lit("u"), n.cast("string")).alias("id"),
+        F.concat(F.lit("ws"), (n % 3).cast("string"))
+        .alias("default_workspace"),
+        F.lit("x").alias("username"), F.lit("x").alias("name"),
+        F.lit("").alias("email"), F.lit("").alias("password_hash"),
+        F.when(n % 5 == 0, F.array(F.lit("writer"), F.lit("reader")))
+        .when(n % 5 == 1, F.array(F.lit("admin")))
+        .when(n % 5 <= 3, F.array(F.lit("reader")))
+        .otherwise(F.array().cast("array<string>")).alias("roles"),
+        (n % 7 != 0).alias("enabled"),
+        F.lit(False).alias("must_change_password"),
+        F.lit("").alias("created"))
+    keys = docs.where(n % 2 == 0).select(
+        F.sha2(F.concat(F.lit("tg_key"), n.cast("string"))
+               .cast("binary"), 256).alias("key_hash"),
+        F.concat(F.lit("k"), n.cast("string")).alias("id"),
+        F.when(n % 13 == 0, F.concat(F.lit("nouser"), n.cast("string")))
+        .otherwise(F.concat(F.lit("u"), n.cast("string"))).alias("user_id"),
+        F.lit("key").alias("name"), F.lit("tg_key").alias("prefix"),
+        F.when(n % 6 == 0, F.lit(1000).cast("long"))
+        .when(n % 6 == 4, F.lit(4102444800).cast("long"))
+        .otherwise(F.lit(None).cast("long")).alias("expires_epoch"),
+        F.lit("").alias("created"), F.lit("").alias("last_used"))
+    workspaces = spark.range(3).select(
+        F.concat(F.lit("ws"), F.col("id").cast("string")).alias("id"),
+        F.col("id").cast("string").alias("name"),
+        (F.col("id") != 2).alias("enabled"),
+        F.lit("").alias("created"))
+    requests = docs.select(
+        n.cast("long").alias("req_id"),
+        F.when(n % 2 == 0, F.concat(F.lit("tg_key"), n.cast("string")))
+        .when(n % 4 == 1, F.concat(F.lit("tg_missing"), n.cast("string")))
+        .otherwise(F.lit(None).cast("string")).alias("api_key"))
+    return resolve_api_keys_batch(requests, keys, users, workspaces,
+                                  1_700_000_000)
+
+
+def q_bootstrap_state(spark, sf_dir):
+    """Fleet bootstrap-reconciliation view (bootstrap/bootstrapper/
+    service.py:242-295 run_spec flag comparison + :355-400 cadence
+    selection, lifted to fleet scale): each doc is one init-state
+    write for one of 40 deployments — rewrites, stale flags, and
+    tombstones (every 17th) — resolved last-write-wins per
+    (deployment, initialiser) and joined against the broadcast
+    3-spec target list.  Verdict 'skip' when the stored flag matches
+    the target (tombstoned/never-stored mean run, per stored_flag's
+    None semantics), plus the cadence the reference's wake loop would
+    pick per deployment (INIT_RETRY=15 while pending, else
+    STEADY_INTERVAL=300)."""
+    from trustgraph_spark.operators.bootstrap import bootstrap_pending
+
+    n = F.col("doc_id")
+    log = _docs(spark, sf_dir).select(
+        F.concat(F.lit("d"), (n % 40).cast("string")).alias("deployment"),
+        F.when(n % 3 == 0, F.lit("template-seed"))
+        .when(n % 3 == 1, F.lit("workspace-init"))
+        .otherwise(F.lit("default-flow")).alias("name"),
+        F.concat(F.lit("v"), (n % 2 + 1).cast("string")).alias("value"),
+        n.cast("long").alias("seq"),
+        (n % 17 == 0).alias("deleted"))
+    specs = spark.createDataFrame(
+        [("template-seed", "v1"), ("workspace-init", "v2"),
+         ("default-flow", "v1")], "name string, flag string")
+    return bootstrap_pending(log, specs)
+
+
 def q_prompt_render(spark, sf_dir):
     """Prompt templating at corpus scale (template/prompt_manager.py:
     12-215 + the tg-set-prompt config wire shape from cli/set_prompt.py:
@@ -3015,6 +3138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "pack_blocks": q_pack_blocks,
         "span_dedup": q_span_dedup,
+        "iam_authorise": q_iam_authorise,
+        "iam_resolve_keys": q_iam_resolve_keys,
+        "bootstrap_state": q_bootstrap_state,
         # -- driver-r4 green (all 50 rows in CORRECTNESS_r04.json) --
         "onto_match_query": q_onto_match_query,
         "nl2sparql_exec": q_nl2sparql_exec,
@@ -6054,6 +6180,128 @@ SELECT tt.doc_id, coalesce(ka.text, '') AS text,
        coalesce(ka.nk, 0)::BIGINT AS n_tokens_kept,
        (tt.nt - coalesce(ka.nk, 0))::BIGINT AS n_tokens_removed
 FROM tt LEFT JOIN ka USING (doc_id)
+"""
+
+    sql["iam_authorise"] = """
+WITH u AS (
+  SELECT 'u' || doc_id AS uid,
+         'ws' || (doc_id % 4) AS assigned,
+         doc_id % 5 AS rg,
+         (doc_id % 7 <> 0) AS enabled
+  FROM documents
+), c AS (
+  SELECT doc_id AS check_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'missing' || doc_id
+              ELSE 'u' || doc_id END AS uid,
+         doc_id % 4 AS cg,
+         CASE WHEN doc_id % 6 = 0 THEN NULL
+              ELSE 'ws' || (doc_id % 3) END AS target
+  FROM documents
+)
+SELECT c.check_id AS check_id,
+       COALESCE(u.enabled AND (
+             (c.cg = 0 AND ((u.rg IN (0, 1, 3)
+                             AND (c.target IS NULL
+                                  OR c.target = u.assigned))
+                            OR u.rg = 2))
+          OR (c.cg = 1 AND ((u.rg = 1
+                             AND (c.target IS NULL
+                                  OR c.target = u.assigned))
+                            OR u.rg = 2))
+          OR (c.cg = 2 AND u.rg = 2)
+       ), FALSE) AS allow,
+       CAST(60 AS INTEGER) AS ttl
+FROM c LEFT JOIN u ON c.uid = u.uid
+"""
+
+    sql["iam_resolve_keys"] = """
+WITH u AS (
+  SELECT 'u' || doc_id AS uid,
+         'ws' || (doc_id % 3) AS ws,
+         CASE WHEN doc_id % 5 = 0 THEN 'reader,writer'
+              WHEN doc_id % 5 = 1 THEN 'admin'
+              WHEN doc_id % 5 <= 3 THEN 'reader'
+              ELSE '' END AS roles_csv,
+         (doc_id % 7 <> 0) AS enabled
+  FROM documents
+), k AS (
+  SELECT sha256('tg_key' || doc_id) AS key_hash,
+         CASE WHEN doc_id % 13 = 0 THEN 'nouser' || doc_id
+              ELSE 'u' || doc_id END AS owner,
+         CASE WHEN doc_id % 6 = 0 THEN 1000
+              WHEN doc_id % 6 = 4 THEN 4102444800 END AS expires_epoch
+  FROM documents WHERE doc_id % 2 = 0
+), w AS (
+  SELECT 'ws' || i AS wid, (i <> 2) AS enabled
+  FROM (VALUES (0), (1), (2)) t(i)
+), r AS (
+  SELECT doc_id AS req_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'tg_key' || doc_id
+              WHEN doc_id % 4 = 1 THEN 'tg_missing' || doc_id END AS api_key
+  FROM documents
+), j AS (
+  SELECT r.req_id, r.api_key, k.key_hash, k.owner, k.expires_epoch,
+         u.ws, u.roles_csv, u.enabled AS u_enabled,
+         w.enabled AS w_enabled
+  FROM r LEFT JOIN k ON sha256(r.api_key) = k.key_hash
+         LEFT JOIN u ON k.owner = u.uid
+         LEFT JOIN w ON u.ws = w.wid
+), v AS (
+  SELECT *,
+         CASE WHEN api_key IS NULL OR api_key = '' THEN 'no api key'
+              WHEN key_hash IS NULL THEN 'unknown api key'
+              WHEN expires_epoch IS NOT NULL
+                   AND expires_epoch < 1700000000 THEN 'api key expired'
+              WHEN u_enabled IS NULL THEN 'owning user missing'
+              WHEN NOT u_enabled THEN 'owning user disabled'
+              WHEN w_enabled IS NULL OR NOT w_enabled
+                   THEN 'owning workspace disabled'
+              ELSE '' END AS error
+  FROM j
+)
+SELECT req_id, error,
+       CASE WHEN error = '' THEN owner ELSE '' END AS user_id,
+       CASE WHEN error = '' THEN ws ELSE '' END AS default_workspace,
+       CASE WHEN error = '' THEN roles_csv ELSE '' END AS roles_csv
+FROM v
+"""
+
+    sql["bootstrap_state"] = """
+WITH log AS (
+  SELECT 'd' || (doc_id % 40) AS deployment,
+         CASE doc_id % 3 WHEN 0 THEN 'template-seed'
+              WHEN 1 THEN 'workspace-init'
+              ELSE 'default-flow' END AS name,
+         'v' || (doc_id % 2 + 1) AS value,
+         doc_id AS seq,
+         (doc_id % 17 = 0) AS deleted
+  FROM documents
+), cur AS (
+  SELECT deployment, name, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY deployment, name ORDER BY seq DESC) AS rn
+    FROM log)
+  WHERE rn = 1 AND NOT deleted
+), specs(name, flag) AS (
+  VALUES ('template-seed', 'v1'), ('workspace-init', 'v2'),
+         ('default-flow', 'v1')
+), deps AS (
+  SELECT DISTINCT deployment FROM log
+), verd AS (
+  SELECT d.deployment, s.name,
+         CASE WHEN c.value = s.flag THEN 'skip'
+              ELSE 'run' END AS verdict
+  FROM deps d CROSS JOIN specs s
+  LEFT JOIN cur c ON c.deployment = d.deployment AND c.name = s.name
+), cad AS (
+  SELECT deployment,
+         CASE WHEN bool_or(verdict = 'run') THEN 15
+              ELSE 300 END AS sleep_for
+  FROM verd GROUP BY deployment
+)
+SELECT v.deployment, v.name, v.verdict,
+       CAST(c.sleep_for AS INTEGER) AS sleep_for
+FROM verd v JOIN cad c USING (deployment)
 """
 
     sql["pack_blocks"] = """

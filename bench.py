@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     "metering_costs",
     "extraction_hierarchy",
     "wire_triples_exec",
+    "iam_authorise",
+    "iam_resolve_keys",
+    "bootstrap_state",
 ]
 
 
