@@ -527,6 +527,31 @@ def main() -> None:
         execute_triples_requests(decode_triples_requests(_reqs), e),
     )
 
+    from trustgraph_spark.operators.iam import (
+        USERS_SCHEMA,
+        authorise_batch,
+    )
+
+    _users = spark.createDataFrame(
+        [("u1", "default", "x", "x", "", "", ["reader"], True, False, "")],
+        USERS_SCHEMA)
+    _checks = spark.createDataFrame(
+        [(0, "u1", "triples:read", None)],
+        "check_id long, user_id string, capability string, "
+        "target_workspace string")
+    add(
+        "IAM batch authorisation (gateway hot path)",
+        "A micro-batch of authorisation checks joins the broadcast "
+        "~120-row role-capability vocabulary and the broadcast user "
+        "dim; every _decide rule (enabled, capability-in-role, "
+        "workspace scope) is a native boolean, the verdict one "
+        "map-side-combinable max per check. The reference evaluates "
+        "one Cassandra point-read per request; here cost tracks the "
+        "request scan at any traffic volume. No Python, no "
+        "CartesianProduct.",
+        authorise_batch(spark, _checks, _users),
+    )
+
     with open("/root/repo/EXPLAIN.md", "w") as f:
         f.write(
             "# EXPLAIN — physical plans of the core operators\n\n"
