@@ -2037,11 +2037,13 @@ def q_bootstrap_state(spark, sf_dir):
     write for one of 40 deployments — rewrites, stale flags, and
     tombstones (every 17th) — resolved last-write-wins per
     (deployment, initialiser) and joined against the broadcast
-    3-spec target list.  Verdict 'skip' when the stored flag matches
-    the target (tombstoned/never-stored mean run, per stored_flag's
-    None semantics), plus the cadence the reference's wake loop would
-    pick per deployment (INIT_RETRY=15 while pending, else
-    STEADY_INTERVAL=300)."""
+    3-spec target list.  Even writes are stored in the REAL store
+    encoding (store_flag persists json.dumps -> '"v1"'), odd writes
+    raw legacy strings, so both decode arms execute.  Verdict 'skip'
+    when the decoded stored flag matches the target (tombstoned /
+    never-stored mean run, per stored_flag's None semantics), plus
+    the cadence the reference's wake loop would pick per deployment
+    (INIT_RETRY=15 while pending, else STEADY_INTERVAL=300)."""
     from trustgraph_spark.operators.bootstrap import bootstrap_pending
 
     n = F.col("doc_id")
@@ -2050,7 +2052,8 @@ def q_bootstrap_state(spark, sf_dir):
         F.when(n % 3 == 0, F.lit("template-seed"))
         .when(n % 3 == 1, F.lit("workspace-init"))
         .otherwise(F.lit("default-flow")).alias("name"),
-        F.concat(F.lit("v"), (n % 2 + 1).cast("string")).alias("value"),
+        F.when(n % 2 == 0, F.lit('"v1"')).otherwise(F.lit("v2"))
+        .alias("value"),
         n.cast("long").alias("seq"),
         (n % 17 == 0).alias("deleted"))
     specs = spark.createDataFrame(
@@ -6272,12 +6275,16 @@ WITH log AS (
          CASE doc_id % 3 WHEN 0 THEN 'template-seed'
               WHEN 1 THEN 'workspace-init'
               ELSE 'default-flow' END AS name,
-         'v' || (doc_id % 2 + 1) AS value,
+         CASE WHEN doc_id % 2 = 0 THEN '"v1"' ELSE 'v2' END AS value,
          doc_id AS seq,
          (doc_id % 17 = 0) AS deleted
   FROM documents
 ), cur AS (
-  SELECT deployment, name, value FROM (
+  SELECT deployment, name,
+         CASE WHEN json_valid(value)
+              THEN json_extract_string(value, '$')
+              ELSE value END AS value
+  FROM (
     SELECT *, row_number() OVER (
       PARTITION BY deployment, name ORDER BY seq DESC) AS rn
     FROM log)

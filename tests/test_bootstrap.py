@@ -9,6 +9,7 @@ and a Pulsar bus."""
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from trustgraph_spark.operators.bootstrap import (
     GATE_BACKOFF,
@@ -330,6 +331,32 @@ def test_create_workspace_iam_error_raises(spark):
 # ---------------------------------------------------------------------------
 # Fleet reconciliation view (data plane)
 # ---------------------------------------------------------------------------
+
+
+def test_bootstrap_pending_reads_real_store_encoding(spark):
+    # the view must decode what store_flag actually persists
+    # (json.dumps -> '"v1"'): a REAL converged deployment's config log
+    # fed straight in reads all-skip / steady cadence
+    b, config, _, _ = _boot(spark)
+    b.converge()
+    log = (config.log
+           .where((F.col("workspace") == "__system__")
+                  & (F.col("type") == "init-state"))
+           .select(F.lit("prod").alias("deployment"),
+                   F.col("key").alias("name"), "value", "seq", "deleted"))
+    specs = spark.createDataFrame(
+        [(s.name, s.flag) for s in b.specs], "name string, flag string")
+    rows = bootstrap_pending(log, specs).collect()
+    assert {r.verdict for r in rows} == {"skip"}
+    assert {r.sleep_for for r in rows} == {STEADY_INTERVAL}
+    # and a flag bump flips exactly that spec to run / INIT_RETRY
+    specs2 = spark.createDataFrame(
+        [("template-seed", "v2"), ("workspace-init", "v1"),
+         ("default-flow", "v1")], "name string, flag string")
+    got = {r.name: (r.verdict, r.sleep_for)
+           for r in bootstrap_pending(log, specs2).collect()}
+    assert got["template-seed"] == ("run", INIT_RETRY)
+    assert got["workspace-init"] == ("skip", INIT_RETRY)
 
 
 def test_bootstrap_pending_matches_replay(spark):

@@ -338,11 +338,17 @@ def test_create_user_validation_arms():
     _mk_user(svc, username="bob")
     assert svc.handle({"operation": "create-user", "workspace": "default",
                        "user": u})["error"]["type"] == "duplicate"
-    # name defaults to username, email to ""
+    # name defaults to username, email to ""; absent enabled /
+    # must_change_password take the UserInput schema defaults
+    # (True / False) — carol must be able to log in immediately
     r = svc.handle({"operation": "create-user", "workspace": "default",
                     "user": {"username": "carol", "password": "p"}})
     assert r["user"]["name"] == "carol" and r["user"]["email"] == ""
     assert r["user"]["roles"] == []
+    assert r["user"]["enabled"] is True
+    assert r["user"]["must_change_password"] is False
+    assert "jwt" in svc.handle({"operation": "login", "username": "carol",
+                                "password": "p"})
 
 
 def test_update_user_semantics():
@@ -419,10 +425,12 @@ def test_workspace_arms_and_disable_cascade():
                     "workspace_record": {"id": "ws2", "name": "Other",
                                          "enabled": True}})
     assert r["workspace"]["name"] == "Two"
-    # name defaults to id
+    # name defaults to id; absent enabled takes the WorkspaceInput
+    # schema default (True) — not a silently-disabled workspace
     r = svc.handle({"operation": "create-workspace",
-                    "workspace_record": {"id": "ws3", "enabled": True}})
+                    "workspace_record": {"id": "ws3"}})
     assert r["workspace"]["name"] == "ws3"
+    assert r["workspace"]["enabled"] is True
     # disable cascade: users homed there disabled, their keys revoked
     uid = _mk_user(svc, username="w2user", workspace="ws2")
     svc.handle({"operation": "create-api-key",
@@ -543,6 +551,9 @@ def test_authorise_arms():
     assert svc.handle({"operation": "authorise", "user_id": uid,
                        "capability": "triples:read",
                        "parameters_json": '{"workspace": "other"}'}) == deny
+    # '' workspace is falsy -> treated as no-target (system-level), so
+    # an assigned-scope role still allows; the batch face must agree
+    assert ask(uid, "triples:read", {"workspace": ""}) == ok
     # unknown user / disabled user / unknown capability all deny
     assert ask("ghost", "triples:read") == deny
     svc.handle({"operation": "disable-user", "user_id": uid})
@@ -639,12 +650,14 @@ def test_audit_event_categories_and_payloads():
                 "capability": "users:admin"})
     assert svc.audit_events[-1][1]["denial_reason"] == \
         "capability-not-in-role"
-    # login is an authenticate op
+    # login is an authenticate op; success carries identity='' (the
+    # schema default — login responses set only the jwt fields)
     svc.audit_events.clear()
     svc.handle({"operation": "login", "username": "alice",
                 "password": "pw1"})
     assert svc.audit_events[-1][0] == "iam.authenticate"
     assert svc.audit_events[-1][1]["credential_type"] == "login-password"
+    assert svc.audit_events[-1][1]["identity"] == ""
     # non-audited op emits nothing
     svc.audit_events.clear()
     svc.handle({"operation": "list-users"})
@@ -708,7 +721,8 @@ def test_authorise_batch_matches_per_request_evaluator(spark):
     svc, ids = _matrix_service()
     users_df, _, _ = svc.store.to_frames(spark)
     caps = ["triples:read", "rows:write", "users:admin", "no-such-cap"]
-    targets = [None, "default", "ws2", "elsewhere"]
+    # '' exercises the falsy-target agreement between the two faces
+    targets = [None, "", "default", "ws2", "elsewhere"]
     checks, expected = [], {}
     i = 0
     for uid in list(ids.values()) + ["missing-user"]:
@@ -726,7 +740,7 @@ def test_authorise_batch_matches_per_request_evaluator(spark):
     got = {r.check_id: r.allow
            for r in authorise_batch(spark, checks_df, users_df).collect()}
     assert got == expected
-    assert i == len(got) == 8 * 4 * 4
+    assert i == len(got) == 8 * 4 * 5
 
 
 def test_resolve_api_keys_batch_matches_per_request(spark):
@@ -780,6 +794,42 @@ def test_resolve_api_keys_batch_matches_per_request(spark):
             assert single["error"]["message"] == got[rid]["error"]
         else:
             assert got[rid]["error"] == ""
+
+
+def test_cascade_frames_null_safe(spark):
+    from trustgraph_spark.operators.iam import (
+        disable_user_cascade,
+        disable_workspace_cascade,
+    )
+    from trustgraph_spark.operators.iam import (
+        API_KEYS_SCHEMA,
+        USERS_SCHEMA,
+        WORKSPACES_SCHEMA,
+    )
+
+    users = spark.createDataFrame(
+        [("u1", "ws1", "a", "a", "", "", ["reader"], True, False, ""),
+         ("u2", "ws2", "b", "b", "", "", ["reader"], True, False, "")],
+        USERS_SCHEMA)
+    keys = spark.createDataFrame(
+        [("h1", "k1", "u1", "n", "p", None, "", ""),
+         ("h2", "k2", "u2", "n", "p", None, "", ""),
+         ("h3", "k3", None, "n", "p", None, "", "")],  # NULL owner
+        API_KEYS_SCHEMA)
+    ws = spark.createDataFrame(
+        [("ws1", "one", True, ""), ("ws2", "two", True, "")],
+        WORKSPACES_SCHEMA)
+    u2, k2 = disable_user_cascade("u1", users, keys)
+    # only u1's key revoked; the NULL-owner row must survive
+    assert {r.id for r in k2.collect()} == {"k2", "k3"}
+    assert {r.id: r.enabled for r in u2.collect()} == {
+        "u1": False, "u2": True}
+    w3, u3, k3 = disable_workspace_cascade("ws1", ws, users, keys)
+    assert {r.id: r.enabled for r in w3.collect()} == {
+        "ws1": False, "ws2": True}
+    assert {r.id: r.enabled for r in u3.collect()} == {
+        "u1": False, "u2": True}
+    assert {r.id for r in k3.collect()} == {"k2", "k3"}
 
 
 def test_batch_plans_native_and_broadcast(spark):

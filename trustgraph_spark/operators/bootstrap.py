@@ -511,19 +511,25 @@ def bootstrap_pending(init_log: DataFrame, specs: DataFrame) -> DataFrame:
     (name, flag) per deployment, yielding verdict 'skip' when the
     stored flag matches the target and 'run' otherwise (never-stored
     and tombstoned flags both mean run, per stored_flag's None
-    semantics).  Adds the per-deployment cadence the reference's loop
-    would pick: INIT_RETRY while anything is pending, else
-    STEADY_INTERVAL.  One shuffle on the log + one broadcast join at
-    any fleet size."""
+    semantics).  Stored values are DECODED the way ``stored_flag``
+    decodes them: ``store_flag`` persists ``json.dumps(flag)``, so a
+    converged deployment's log holds '"v1"' — json-parse with
+    raw-string fallback (native variant get) before comparing against
+    the spec's plain flag string.  Adds the per-deployment cadence the
+    reference's loop would pick: INIT_RETRY while anything is pending,
+    else STEADY_INTERVAL.  One shuffle on the log + one broadcast join
+    at any fleet size."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("deployment", "name").orderBy(
         F.col("seq").desc())
+    decoded = F.coalesce(
+        F.try_variant_get(F.try_parse_json(F.col("value")), "$", "string"),
+        F.col("value"))
     current = (init_log
                .withColumn("_rn", F.row_number().over(w))
                .where((F.col("_rn") == 1) & ~F.col("deleted"))
-               .select("deployment", "name",
-                       F.col("value").alias("stored")))
+               .select("deployment", "name", decoded.alias("stored")))
     deployments = init_log.select("deployment").distinct()
     wanted = deployments.crossJoin(F.broadcast(specs))
     verdicts = (wanted

@@ -316,10 +316,15 @@ def authorise_batch(spark: SparkSession, checks: DataFrame,
                         "_assigned", "_enabled",
                         F.explode_outer("_roles").alias("role"))
                 .join(defs, ["role", "capability"], "left"))
+    # '' target means absent, matching _decide's falsy extraction of
+    # the workspace from resource/parameters (iam.py:1322-1325) — the
+    # batch and per-request faces must agree on every input
+    no_target = (F.col("target_workspace").isNull()
+                 | (F.col("target_workspace") == ""))
     allow_row = (
         F.coalesce(F.col("_enabled"), F.lit(False))
         & F.col("workspace_scope").isNotNull()
-        & (F.col("target_workspace").isNull()
+        & (no_target
            | (F.col("workspace_scope") == "*")
            | ((F.col("workspace_scope") == "assigned")
               & (F.col("target_workspace") == F.col("_assigned")))))
@@ -394,7 +399,9 @@ def disable_user_cascade(user_id: str, users: DataFrame,
         "enabled",
         F.when(F.col("id") == user_id, F.lit(False))
         .otherwise(F.col("enabled")))
-    keys2 = api_keys.where(F.col("user_id") != user_id)
+    # null-safe: a NULL-owner key row must survive (plain != filters
+    # NULLs out, i.e. silently revokes them)
+    keys2 = api_keys.where(~F.col("user_id").eqNullSafe(F.lit(user_id)))
     return users2, keys2
 
 
@@ -653,7 +660,9 @@ class IamService:
             payload = {
                 "request_id": v.get("request_id"),
                 "credential_type": self._credential_type(op),
-                "identity": (resp.get("resolved_user_id")
+                # schema default: resolved_user_id is '' when unset
+                # (login success sets only jwt fields), never None
+                "identity": ((resp.get("resolved_user_id") or "")
                              if not has_error else "unknown"),
                 "outcome": "failure" if has_error else "success",
                 "client_ip": v.get("client_ip"),
@@ -890,6 +899,11 @@ class IamService:
         if user["username"] in self.store.users_by_username:
             return _err("duplicate", "username already exists")
         user_id = self._uuid()
+        # absent enabled/must_change_password take the UserInput schema
+        # defaults (True / False, schema/services/iam.py:25-26) — storing
+        # the raw absent value would create a silently-disabled user
+        u_enabled = user.get("enabled")
+        u_mcp = user.get("must_change_password")
         self._put_user(
             id=user_id, default_workspace=v["workspace"],
             username=user["username"],
@@ -898,8 +912,8 @@ class IamService:
             password_hash=hash_password(user["password"],
                                         iterations=self._iterations),
             roles=list(user.get("roles") or []),
-            enabled=user.get("enabled"),
-            must_change_password=user.get("must_change_password"),
+            enabled=True if u_enabled is None else u_enabled,
+            must_change_password=False if u_mcp is None else u_mcp,
             created=self._now_iso())
         return {"user": _user_record(self.store.users[user_id])}
 
@@ -1006,9 +1020,12 @@ class IamService:
         if self._on_ws_created:
             self._on_ws_created(rec["id"])
         if rec["id"] not in self.store.workspaces:
+            # absent enabled takes the WorkspaceInput schema default
+            # (True, schema/services/iam.py:46)
+            w_enabled = rec.get("enabled")
             self.store.workspaces[rec["id"]] = {
                 "id": rec["id"], "name": rec.get("name") or rec["id"],
-                "enabled": rec.get("enabled"),
+                "enabled": True if w_enabled is None else w_enabled,
                 "created": self._now_iso(),
             }
         return {"workspace":
