@@ -159,3 +159,69 @@ def test_gopher_plan_stays_native(docs_df):
     plan = Q.gopher_doc_metrics(docs_df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def _py_fold_keys(words, n, with_len=True):
+    """Independent replay of ngram_hash_folds for one n."""
+    import hashlib
+
+    P = Q.NGRAM_PRIME
+
+    def consts(lane):
+        c = int(hashlib.md5(lane.encode()).hexdigest()[:8], 16) \
+            % (P - 2) + 2
+        out, acc = [], 1
+        for _ in range(n):
+            out.append(acc)
+            acc = (acc * c) % P
+        return out
+
+    c1, c2 = consts("ngram-lane1"), consts("ngram-lane2")
+    hx = [hashlib.md5(w.encode()).hexdigest() for w in words]
+    x1 = [int(h[0:15], 16) % P for h in hx]
+    x2 = [int(h[16:31], 16) % P for h in hx]
+    keys, lens = [], []
+    for i in range(max(len(words) - n + 1, 0)):
+        h1 = sum(x1[i + k] * c1[k] for k in range(n)) % P
+        h2 = sum(x2[i + k] * c2[k] for k in range(n)) % P
+        keys.append(h1 * (1 << 31) + h2)
+        lens.append(sum(len(w) for w in words[i:i + n]) + n - 1)
+    return (keys, lens) if with_len else (keys, None)
+
+
+def test_ngram_hash_folds_match_python_replay(spark):
+    """Key/length parity of the shared polynomial fold vs an
+    independent Python replay — incl. unicode words, docs shorter
+    than n, and the multi-n shared chain."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, ["the", "quick", "brown", "fox", "the", "quick"]),
+        (1, ["spam"] * 10),
+        (2, ["café", "naïve", "日本語", "x"]),
+        (3, ["one"]),            # shorter than every n
+        (4, []),                 # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w array<string>")
+    x1, x2, wl = Q.ngram_base_lanes(F.col("w"))
+    lanes = df.select("doc_id", x1.alias("_x1"), x2.alias("_x2"),
+                      wl.alias("_wl"))
+    ns = (2, 3, 4)
+    sel = [F.col("doc_id")]
+    for n, keys, lens in Q.ngram_hash_folds(
+            F.col("_x1"), F.col("_x2"), ns, wl=F.col("_wl")):
+        sel += [keys.alias(f"k{n}"), lens.alias(f"l{n}")]
+    got = {r["doc_id"]: r for r in lanes.select(*sel).collect()}
+    for doc_id, words in rows:
+        for n in ns:
+            ek, el = _py_fold_keys(words, n)
+            assert got[doc_id][f"k{n}"] == ek, (doc_id, n)
+            assert got[doc_id][f"l{n}"] == el, (doc_id, n)
+    # no wl lane -> lens slot is None, keys unchanged
+    [(_, k5, none)] = Q.ngram_hash_folds(
+        F.col("_x1"), F.col("_x2"), (5,))
+    assert none is None
+    got5 = {r["doc_id"]: r["k"]
+            for r in lanes.select("doc_id", k5.alias("k")).collect()}
+    for doc_id, words in rows:
+        assert got5[doc_id] == _py_fold_keys(words, 5, False)[0]

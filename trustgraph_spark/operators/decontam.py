@@ -9,10 +9,14 @@ Semantics (pinned, mirrored by the DuckDB oracle):
 
 * words = lowercased whitespace tokens (same normalization as
   operators/quality.py).
-* grams = the document's distinct space-joined n-grams (default
-  n = 13), carried as md5 hex digests — md5, not xxhash64, so the
-  oracle computes identical keys, and 128 bits makes collisions a
-  non-issue at any corpus size.
+* grams = the document's distinct n-grams (default n = 13), carried
+  as the 62-bit polynomial keys from quality.ngram_hash_folds — gram
+  strings are never built (one md5 per WORD instead of one per gram;
+  ~1.3x faster at sf0.1 and the broadcast eval set carries 8-byte
+  keys instead of 32-char digests).
+  62 bits keeps expected cross-corpus false hits ~2e-5 even at
+  10M x 10M gram sets; the DuckDB oracle groups by the actual gram
+  strings, so any collision would surface as a gate mismatch.
 * a doc is contaminated when ANY of its grams appears in any eval
   text's gram set.
 * outputs per doc: distinct-gram total, overlapping-gram count,
@@ -20,13 +24,14 @@ Semantics (pinned, mirrored by the DuckDB oracle):
   with fewer than n words have zero grams and are clean by
   definition (but still appear in the output).
 
-Scale shape: the eval side is exploded, deduped, and BROADCAST (an
-eval suite is thousands of documents; its 13-gram set is millions of
-rows — comfortably broadcastable, and the broadcast is what makes the
-train side a pure map pass: scan → explode → broadcast-hash lookup →
-partial-agg rollup on doc_id, no corpus-side shuffle of gram rows.
-n-gram construction reuses quality.ngram_array (the zip_with chain,
-not per-gram slicing).
+Scale shape: the eval side is exploded, deduped, and grouped to ONE
+row per gram key (eval-doc ids as a small array) before BROADCAST
+(an eval suite is thousands of documents; its 13-gram set is millions
+of rows — comfortably broadcastable).  The broadcast join is then
+1-to-at-most-1, so the train side is a pure map pass — scan → explode
+→ broadcast-hash lookup → partial-agg rollup on doc_id with plain
+counts, no count_distinct expand and no corpus-side shuffle of gram
+rows.
 """
 
 from __future__ import annotations
@@ -34,12 +39,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from trustgraph_spark.operators.quality import _words, ngram_array
+from trustgraph_spark.operators.quality import (
+    _words,
+    ngram_base_lanes,
+    ngram_hash_folds,
+)
 
 
-def _gram_hashes(text_col, n: int):
-    return F.array_distinct(
-        F.transform(ngram_array(_words(text_col), n), F.md5))
+def _doc_grams(df: DataFrame, id_col: str, out_id: str,
+               text_col: str, n: int, outer: bool) -> DataFrame:
+    """(out_id, gram-key) rows — lanes bound in their own select
+    stage (quality.ngram_base_lanes), distinct per doc, one explode.
+    Always explode_outer (an inner explode would let
+    InferFiltersFromGenerate inline the fold into a pushed-down
+    Filter — see quality.ngram_repetition); ``outer`` controls
+    whether zero-gram docs keep their null row."""
+    x1, x2, _ = ngram_base_lanes(_words(F.col(text_col)))
+    lanes = df.select(F.col(id_col).alias(out_id),
+                      x1.alias("_x1"), x2.alias("_x2"))
+    [(_n, keys, _)] = ngram_hash_folds(
+        F.col("_x1"), F.col("_x2"), (n,))
+    out = lanes.select(F.col(out_id),
+                       F.explode_outer(F.array_distinct(keys)).alias("h"))
+    return out if outer else out.where(F.col("h").isNotNull())
 
 
 def ngram_contamination(documents: DataFrame, eval_docs: DataFrame,
@@ -48,26 +70,27 @@ def ngram_contamination(documents: DataFrame, eval_docs: DataFrame,
                         eval_id_col: str = "eval_id",
                         eval_text_col: str = "text") -> DataFrame:
     """Per-training-doc contamination report against the eval corpus."""
-    doc_grams = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode_outer(_gram_hashes(F.col(text_col), n)).alias("h"))
-    eval_grams = (eval_docs
-                  .select(F.col(eval_id_col).alias("eval_id"),
-                          F.explode(_gram_hashes(F.col(eval_text_col), n))
-                          .alias("eh"))
-                  .dropDuplicates(["eval_id", "eh"]))
+    doc_grams = _doc_grams(documents, id_col, "doc_id", text_col, n,
+                           outer=True)
+    eval_grams = (_doc_grams(eval_docs, eval_id_col, "eval_id",
+                             eval_text_col, n, outer=False)
+                  .withColumnRenamed("h", "eh")
+                  .groupBy("eh")
+                  .agg(F.collect_set("eval_id").alias("eval_ids")))
 
+    # doc grams are distinct per doc (array_distinct) and the eval side
+    # is unique on eh, so the left join never multiplies rows: plain
+    # counts replace the three count_distincts (each of which would
+    # expand the aggregate input 3x).
     joined = doc_grams.join(
         F.broadcast(eval_grams), F.col("h") == F.col("eh"), "left")
     return (joined
             .groupBy("doc_id")
             .agg(
-                F.count_distinct(F.col("h")).cast("long")
-                .alias("n_grams"),
-                F.count_distinct(
-                    F.when(F.col("eh").isNotNull(), F.col("h")))
-                .cast("long").alias("n_overlap"),
-                F.count_distinct(F.col("eval_id")).cast("long")
+                F.count(F.col("h")).cast("long").alias("n_grams"),
+                F.count(F.col("eh")).cast("long").alias("n_overlap"),
+                F.size(F.array_distinct(F.flatten(
+                    F.collect_list("eval_ids")))).cast("long")
                 .alias("n_eval_docs"))
             .select(
                 "doc_id", "n_grams", "n_overlap",

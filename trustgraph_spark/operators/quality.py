@@ -18,10 +18,12 @@ Two operators, two execution shapes, both UDF-free:
   no shuffle: at 100 TB this runs at scan speed.
 
 * :func:`ngram_repetition` — the top-n-gram and duplicated-n-gram
-  character fractions.  N-grams are built natively (``sequence`` +
-  ``slice`` + ``array_join``), then ONE explode feeds a map-side-
-  combinable (doc, n, gram) count whose per-(doc, n) rollup joins back
-  to the per-doc character denominator.  Keys are (doc, gram) so the
+  character fractions.  N-grams travel as 62-bit polynomial hashes +
+  exact char lengths (``ngram_hash_folds`` — one md5 per word, one
+  shared zip_with multiply-add chain for every n; gram strings are
+  never built), then ONE explode feeds a map-side-combinable
+  (doc, n, key) count whose per-(doc, n) rollup joins back to the
+  per-doc character denominator.  Keys are (doc, gram-hash) so the
   shuffle cannot skew onto a hot key even when one document dominates.
 
 Exact formulas (mirrored by the driver oracle; the paper's prose
@@ -176,36 +178,156 @@ def ngram_array(words: Column, n: int) -> Column:
     return F.slice(g, 1, F.greatest(F.size(words) - (n - 1), F.lit(0)))
 
 
-def _ngram_structs(words: Column, n: int) -> Column:
-    return F.transform(
-        ngram_array(words, n),
-        lambda s: F.struct(F.lit(n).alias("n"), s.alias("gram")))
+#: modulus of the n-gram polynomial hash lanes (2^31 - 1 — products of
+#: two residues stay under 2^62, inside int64 with Spark 4.1 ANSI on)
+NGRAM_PRIME = 2147483647
+
+
+def _poly_consts(lane: str, max_n: int) -> list[int]:
+    """c^k mod P for k in [0, max_n), with the lane's base c derived
+    from md5 of a fixed label — deterministic literals, reproducible by
+    any engine."""
+    import hashlib
+
+    c = int(hashlib.md5(lane.encode()).hexdigest()[:8], 16) \
+        % (NGRAM_PRIME - 2) + 2
+    out, acc = [], 1
+    for _ in range(max_n):
+        out.append(acc)
+        acc = (acc * c) % NGRAM_PRIME
+    return out
+
+
+def ngram_base_lanes(words: Column) -> tuple:
+    """Per-word base arrays for the polynomial gram hash: two
+    independent 31-bit lanes from one md5 per word (hex [1:15] and
+    [17:31] of the same digest) plus the word-length array.
+
+    MUST be bound to attributes (``.alias(...)`` in a select stage)
+    before being passed to :func:`ngram_hash_folds` — Catalyst
+    expression trees DUPLICATE on every reference, they never share,
+    so a fold that references an unbound lane k times re-runs the
+    whole md5 transform k times (measured 5x slower end-to-end at
+    sf0.1 for n=13).  CollapseProject keeps the boundary because the
+    lanes are non-cheap and multi-referenced."""
+    p = F.lit(NGRAM_PRIME).cast("long")
+    digests = F.transform(words, F.md5)
+    x1 = F.transform(digests, lambda h: F.conv(
+        F.substring(h, 1, 15), 16, 10).cast("long") % p)
+    x2 = F.transform(digests, lambda h: F.conv(
+        F.substring(h, 17, 15), 16, 10).cast("long") % p)
+    wl = F.transform(words, lambda w: F.length(w).cast("long"))
+    return x1, x2, wl
+
+
+def ngram_hash_folds(x1: Column, x2: Column,
+                     ns: tuple, wl: Column = None) -> list[tuple]:
+    """Per-n n-gram KEYS (62-bit hash) and character LENGTHS without
+    ever materializing gram strings: the bound lane attributes from
+    :func:`ngram_base_lanes` feed one incremental zip_with fold of
+    multiply-adds that grows the polynomial hash from n to n+1 — so
+    all the requested n share a single chain.  Returns
+    [(n, keys, lens), ...] where keys[i] = H1(i)*2^31 + H2(i),
+    H_j(i) = sum_k x_j[i+k]*c_j^k mod P, and lens[i] = the exact
+    character length of the space-joined gram (sum of word lengths +
+    n-1; ``None`` when no ``wl`` lane is passed — callers that only
+    need gram IDENTITY, decontam and span dedup, skip the whole
+    length lane).
+
+    Collisions: two lanes give 62 effective bits; a document of G
+    grams collides internally with probability ~G^2/2^63 (~5e-13 at
+    G=3,000), and a 10M x 10M train-vs-eval key intersection expects
+    ~2e-5 false hits — both far below any measurable effect on the
+    count/fraction outputs these keys feed (the DuckDB oracles group
+    by the actual gram strings, so a collision would surface as a gate
+    hash mismatch)."""
+    with_len = wl is not None
+    max_n = max(ns)
+    p = F.lit(NGRAM_PRIME).cast("long")
+    c1 = _poly_consts("ngram-lane1", max_n)
+    c2 = _poly_consts("ngram-lane2", max_n)
+    size = F.size(x1)
+
+    # PySpark derives HOF arity from the lambda's parameter count, so
+    # constants must be captured via a closure factory, never as
+    # default args (a 3-param lambda breaks zip_with).
+    def _mul_add(cst: int):
+        return lambda a, b: (a + b * F.lit(cst).cast("long")) % p
+
+    g1, g2, gl = x1, x2, wl
+    out = []
+    for k in range(max_n):
+        if k > 0:
+            tail = F.greatest(size - k, F.lit(0))
+            g1 = F.zip_with(g1, F.slice(x1, k + 1, tail), _mul_add(c1[k]))
+            g2 = F.zip_with(g2, F.slice(x2, k + 1, tail), _mul_add(c2[k]))
+            if with_len:
+                gl = F.zip_with(
+                    gl, F.slice(wl, k + 1, tail),
+                    lambda a, b: a + b + 1)
+        n = k + 1
+        if n in ns:
+            cnt = F.greatest(size - k, F.lit(0))
+            keys = F.zip_with(
+                F.slice(g1, 1, cnt), F.slice(g2, 1, cnt),
+                lambda a, b: a * F.lit(1 << 31).cast("long") + b)
+            out.append((n, keys,
+                        F.slice(gl, 1, cnt) if with_len else None))
+    return out
+
+
+def _ngram_structs(x1: Column, x2: Column, wl: Column,
+                   ns: tuple) -> Column:
+    def _mk(n: int):
+        return lambda h, le: F.struct(
+            F.lit(n).alias("n"), h.alias("h"), le.alias("len"))
+
+    return F.concat(*[
+        F.zip_with(keys, lens, _mk(n))
+        for n, keys, lens in ngram_hash_folds(x1, x2, ns, wl=wl)])
 
 
 def ngram_repetition(documents: DataFrame, ns: tuple = (2, 3, 4),
                      id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Top-/duplicated-n-gram character fractions, long format:
-    one row per (doc, n).  One explode -> one (doc, n, gram) count
+    one row per (doc, n).  One explode -> one (doc, n, key) count
     (map-side combinable) -> one (doc, n) rollup joined to the per-doc
-    denominator."""
+    denominator.  Grams travel as 16-byte (hash, len) pairs from
+    ngram_hash_folds, never as strings — the shuffle row shrinks ~4x
+    and the gram build skips all string concatenation.  The base
+    lanes are bound in their own select stage (see ngram_base_lanes:
+    unbound lanes re-evaluate per fold step)."""
     t = F.col(text_col)
     words = _words(t)
-    base = documents.select(
+    x1, x2, wl = ngram_base_lanes(words)
+    lanes = documents.select(
         F.col(id_col).alias("doc_id"),
         F.length(F.array_join(words, " ")).alias("denom"),
-        F.concat(*[_ngram_structs(words, n) for n in ns]).alias("grams"),
+        x1.alias("_x1"), x2.alias("_x2"), wl.alias("_wl"),
+    )
+    base = lanes.select(
+        "doc_id", "denom",
+        _ngram_structs(F.col("_x1"), F.col("_x2"), F.col("_wl"),
+                       ns).alias("grams"),
     )
     # denom rides the grouping keys (functionally dependent on doc_id):
     # saves a second corpus scan + join-back for an extra 8B per
     # shuffle row
+    # explode_OUTER + a post-Generate null filter, never inner explode:
+    # InferFiltersFromGenerate would turn an inner explode into a
+    # size(grams) > 0 filter pushed below the lane projection, which
+    # inlines the whole fold (lanes included) into a per-row Filter
+    # condition — measured 4.5x slower than this shape at sf0.1.
     counts = (base
-              .select("doc_id", "denom", F.explode("grams").alias("g"))
+              .select("doc_id", "denom",
+                      F.explode_outer("grams").alias("g"))
+              .where(F.col("g").isNotNull())
               .groupBy("doc_id", "denom", F.col("g.n").alias("n"),
-                       F.col("g.gram").alias("gram"))
+                       F.col("g.h").alias("h"), F.col("g.len").alias("len"))
               .agg(F.count(F.lit(1)).alias("cnt")))
     rolled = (counts
-              .withColumn("chars", F.col("cnt") * F.length("gram"))
+              .withColumn("chars", F.col("cnt") * F.col("len"))
               .groupBy("doc_id", "denom", "n")
               .agg(F.max("chars").alias("top_chars"),
                    F.sum(F.when(F.col("cnt") > 1, F.col("chars"))

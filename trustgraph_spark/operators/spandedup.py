@@ -11,8 +11,16 @@ Pinned semantics (mirrored by the DuckDB oracle):
 
 * tokens = lowercased whitespace tokens, positions 0-based per doc.
 * an OCCURRENCE is an n-token window (doc, start); occurrences of the
-  same gram (by md5) are duplicated when the corpus-wide count >=
-  ``min_count``.
+  same gram are duplicated when the corpus-wide count >=
+  ``min_count``.  Gram identity travels as the 62-bit polynomial key
+  from quality.ngram_hash_folds — for n=50 the earlier form built a
+  ~300-char gram string through 49 quadratic concat passes and md5'd
+  it, and shuffled 32-char hex keys; the fold is 49 multiply-add
+  passes over longs and shuffles 8-byte keys (wall parity at sf0.1,
+  where the shuffle is tiny; the key-width win is the 100 TB
+  argument).  The DuckDB oracle groups by md5 of the actual gram
+  string; both keyings are injective on any real corpus (62-bit
+  birthday math in ngram_hash_folds), so the verdicts agree.
 * the globally-first occurrence of each duplicated gram — minimum
   (doc_id, start) — is the KEPT copy; every other occurrence marks
   its n covered token positions for removal.
@@ -21,7 +29,7 @@ Pinned semantics (mirrored by the DuckDB oracle):
   suffix-array tool also re-flows around cuts).
 
 Scale shape: gram counting is one map-side-combinable aggregate on
-the md5 key; the duplicated-gram table (count >= 2 only) joins back
+the gram key; the duplicated-gram table (count >= 2 only) joins back
 as the build side; covered positions amplify ONLY duplicated
 occurrences (n rows each — proportional to the duplicated volume,
 which is the thing being removed, not the corpus); the final
@@ -36,7 +44,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from trustgraph_spark.operators.quality import _words, ngram_array
+from trustgraph_spark.operators.quality import (
+    _words,
+    ngram_base_lanes,
+    ngram_hash_folds,
+)
 
 
 def exact_substring_dedup(documents: DataFrame, n: int = 50,
@@ -51,10 +63,18 @@ def exact_substring_dedup(documents: DataFrame, n: int = 50,
     toks = base.select(
         "doc_id", F.posexplode_outer("w").alias("idx", "token"))
 
-    occ = base.select(
-        "doc_id",
-        F.posexplode(F.transform(ngram_array(F.col("w"), n), F.md5))
-        .alias("start", "h"))
+    x1, x2, _ = ngram_base_lanes(F.col("w"))
+    lanes = base.select("doc_id", x1.alias("_x1"), x2.alias("_x2"))
+    [(_, gram_keys, _)] = ngram_hash_folds(
+        F.col("_x1"), F.col("_x2"), (n,))
+    # posexplode_OUTER + null filter: an inner explode lets
+    # InferFiltersFromGenerate push a size()>0 filter below the lane
+    # projection, inlining the 49-step fold into a per-row Filter
+    # (see quality.ngram_repetition).
+    occ = (lanes
+           .select("doc_id",
+                   F.posexplode_outer(gram_keys).alias("start", "h"))
+           .where(F.col("h").isNotNull()))
 
     dup = (occ.groupBy("h")
            .agg(F.count(F.lit(1)).alias("cnt"),
