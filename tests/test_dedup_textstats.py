@@ -157,3 +157,28 @@ def test_incremental_lsh_candidates(spark):
         for a, b in [(r["id_a"], r["id_b"])]}
     assert all((min(n, m), max(n, m)) in full
                for n, m, _ in got)
+
+
+def test_incremental_lsh_rejects_stale_scheme_index(spark):
+    """An archive band index persisted under the pre-affine scheme
+    (joined md5 hex band_sigs) would never match any probe — the
+    default scheme guard turns that silent missed-dedup into a loud
+    ValueError; validate_archive_scheme=False keeps the legacy lazy
+    path."""
+    import pytest
+
+    from trustgraph_spark.operators.dedup import incremental_lsh_candidates
+
+    stale = spark.createDataFrame(
+        [(1, 0, "d41d8cd98f00b204e9800998ecf8427e|"
+                "9e107d9d372bb6826bd81d3542a419d6")],
+        "doc_id long, band int, band_sig string")
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="affine-family scheme"):
+        incremental_lsh_candidates(stale, batch)
+    # opt-out stays lazy and simply matches nothing vs the archive
+    got = incremental_lsh_candidates(
+        stale, batch, validate_archive_scheme=False).collect()
+    assert not any(r["source"] == "archive" for r in got)

@@ -203,9 +203,10 @@ def test_ngram_hash_folds_match_python_replay(spark):
         (4, []),                 # empty
     ]
     df = spark.createDataFrame(rows, "doc_id long, w array<string>")
-    x1, x2, wl = Q.ngram_base_lanes(F.col("w"))
-    lanes = df.select("doc_id", x1.alias("_x1"), x2.alias("_x2"),
-                      wl.alias("_wl"))
+    dg = df.select("doc_id", Q.ngram_digests(F.col("w")).alias("_dg"),
+                   Q.word_length_lane(F.col("w")).alias("_wl"))
+    x1, x2 = Q.ngram_lanes_from_digests(F.col("_dg"))
+    lanes = dg.select("doc_id", x1.alias("_x1"), x2.alias("_x2"), "_wl")
     ns = (2, 3, 4)
     sel = [F.col("doc_id")]
     for n, keys, lens in Q.ngram_hash_folds(

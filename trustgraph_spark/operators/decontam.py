@@ -19,6 +19,10 @@ Semantics (pinned, mirrored by the DuckDB oracle):
   strings, so any collision would surface as a gate mismatch.
 * a doc is contaminated when ANY of its grams appears in any eval
   text's gram set.
+* input contract: one row per doc_id / eval_id.  The rollup counts
+  one pre-deduped gram array per input row (the documented plain-count
+  shape below), so duplicate id rows would inflate n_grams/n_overlap —
+  dedupe upstream, as every pipeline entry point here does.
 * outputs per doc: distinct-gram total, overlapping-gram count,
   overlap fraction, distinct eval docs hit, contaminated flag.  Docs
   with fewer than n words have zero grams and are clean by
@@ -41,21 +45,25 @@ from pyspark.sql import functions as F
 
 from trustgraph_spark.operators.quality import (
     _words,
-    ngram_base_lanes,
+    ngram_digests,
     ngram_hash_folds,
+    ngram_lanes_from_digests,
 )
 
 
 def _doc_grams(df: DataFrame, id_col: str, out_id: str,
                text_col: str, n: int, outer: bool) -> DataFrame:
-    """(out_id, gram-key) rows — lanes bound in their own select
-    stage (quality.ngram_base_lanes), distinct per doc, one explode.
-    Always explode_outer (an inner explode would let
-    InferFiltersFromGenerate inline the fold into a pushed-down
-    Filter — see quality.ngram_repetition); ``outer`` controls
-    whether zero-gram docs keep their null row."""
-    x1, x2, _ = ngram_base_lanes(_words(F.col(text_col)))
-    lanes = df.select(F.col(id_col).alias(out_id),
+    """(out_id, gram-key) rows — digests then lanes bound in their own
+    select stages (quality.ngram_digests: an unbound digest transform
+    runs the md5 pass once per lane), distinct per doc, one explode.
+    Always explode_outer (an inner explode of the bound gram-key
+    attribute would let InferFiltersFromGenerate inline the fold into
+    a pushed-down Filter — see quality.ngram_repetition); ``outer``
+    controls whether zero-gram docs keep their null row."""
+    dg = df.select(F.col(id_col).alias(out_id),
+                   ngram_digests(_words(F.col(text_col))).alias("_dg"))
+    x1, x2 = ngram_lanes_from_digests(F.col("_dg"))
+    lanes = dg.select(F.col(out_id),
                       x1.alias("_x1"), x2.alias("_x2"))
     [(_n, keys, _)] = ngram_hash_folds(
         F.col("_x1"), F.col("_x2"), (n,))
@@ -89,8 +97,14 @@ def ngram_contamination(documents: DataFrame, eval_docs: DataFrame,
             .agg(
                 F.count(F.col("h")).cast("long").alias("n_grams"),
                 F.count(F.col("eh")).cast("long").alias("n_overlap"),
+                # collect_SET, not collect_list: the worst-contamination
+                # doc (one that embeds a whole eval doc) hits thousands
+                # of grams that all carry the SAME eval_ids array —
+                # the set dedups them in the partial aggregate, so the
+                # per-doc buffer is bounded by the number of DISTINCT
+                # eval-doc combinations, not by overlapping-gram count.
                 F.size(F.array_distinct(F.flatten(
-                    F.collect_list("eval_ids")))).cast("long")
+                    F.collect_set("eval_ids")))).cast("long")
                 .alias("n_eval_docs"))
             .select(
                 "doc_id", "n_grams", "n_overlap",

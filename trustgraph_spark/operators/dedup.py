@@ -46,7 +46,16 @@ def shingles(documents: DataFrame, id_col="doc_id", text_col="text", n: int = 3)
     split(regexp_replace(...)) expression re-evaluates it per element
     (no common-subexpression elimination inside higher-order functions),
     i.e. one full regex+split pass per shingle — measured 6.5x slower
-    at sf0.1."""
+    at sf0.1.
+
+    The INNER explode below is deliberate and safe: its child is the
+    computed array expression itself, which InferFiltersFromGenerate
+    skips (the rule only infers size()>0 for cheap/attribute children).
+    The pushed-Filter trap documented in quality.ngram_repetition bites
+    only when the exploded array is first BOUND to an attribute — the
+    alias substitution is what inlines the chain into a per-row Filter
+    (both shapes plan-verified on Spark 4.1).  Do not "fix" this into
+    bind-then-inner-explode."""
     tk = F.col("__tk")
     # guard: Spark sequence(1, 0) counts DOWN; short docs need an empty list
     idx = F.when(
@@ -289,16 +298,15 @@ MINHASH_PRIME = 2147483647
 
 def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic affine coefficients (a_i, b_i), a_i in [1, P-1],
-    b_i in [0, P-1], derived from md5 of fixed labels so both engines
-    (and the DuckDB oracles) embed identical literals."""
-    import hashlib
+    b_i in [0, P-1], derived from md5 of fixed labels (the shared
+    quality.md5_label_int derivation) so both engines (and the DuckDB
+    oracles) embed identical literals."""
+    from trustgraph_spark.operators.quality import md5_label_int
 
     out = []
     for i in range(num_hashes):
-        a = int(hashlib.md5(f"mh-a{i}".encode()).hexdigest()[:8], 16) \
-            % (MINHASH_PRIME - 1) + 1
-        b = int(hashlib.md5(f"mh-b{i}".encode()).hexdigest()[:8], 16) \
-            % MINHASH_PRIME
+        a = md5_label_int(f"mh-a{i}") % (MINHASH_PRIME - 1) + 1
+        b = md5_label_int(f"mh-b{i}") % MINHASH_PRIME
         out.append((a, b))
     return out
 
@@ -408,6 +416,7 @@ def incremental_lsh_candidates(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    validate_archive_scheme: bool = True,
 ) -> DataFrame:
     """Incremental dedup: a NEW batch against a persisted archive band
     index (minhash_band_index output) plus within-batch pairs — the
@@ -421,7 +430,28 @@ def incremental_lsh_candidates(
     'batch'; batch pairs are ordered new_id < match_id. No reference
     analog — the reference dedupes nothing; brief-mandated
     training-data-pipeline operator, same family as
-    minhash_lsh_candidates."""
+    minhash_lsh_candidates.
+
+    ``validate_archive_scheme`` (default on) probes ONE archive row and
+    rejects band_sig values that are not joined decimal residues — an
+    index persisted under the pre-affine scheme (joined md5 hex) would
+    otherwise never match any probe and silently admit every archive
+    duplicate.  The probe is a single bounded head(1) action; pass
+    False to keep the call fully lazy (e.g. inside a stream planner
+    that validated the index at startup)."""
+    if validate_archive_scheme:
+        import re as _re
+
+        probe = archive_index.select("band_sig").head(1)
+        if probe and probe[0][0] is not None and not _re.fullmatch(
+                r"\d+(\|\d+)*", probe[0][0]):
+            raise ValueError(
+                "archive_index band_sig %r is not the affine-family "
+                "scheme (joined decimal residues) — the index was "
+                "persisted under a different hash scheme (or a "
+                "different n/num_hashes/bands); rebuild it with "
+                "minhash_band_index before probing, or a stale index "
+                "would silently match nothing." % (probe[0][0][:40],))
     new_banded = minhash_band_index(
         new_docs, id_col, text_col, n, num_hashes, bands)
     a = new_banded.select(

@@ -183,14 +183,22 @@ def ngram_array(words: Column, n: int) -> Column:
 NGRAM_PRIME = 2147483647
 
 
+def md5_label_int(label: str) -> int:
+    """First 8 hex chars of md5(label) as an int — the shared
+    deterministic-literal derivation for hash-family coefficients
+    (the n-gram lane bases here, the MinHash affine family in
+    operators/dedup.minhash_coeffs): reproducible by any engine and
+    embedded as plain literals in the DuckDB oracles."""
+    import hashlib
+
+    return int(hashlib.md5(label.encode()).hexdigest()[:8], 16)
+
+
 def _poly_consts(lane: str, max_n: int) -> list[int]:
     """c^k mod P for k in [0, max_n), with the lane's base c derived
     from md5 of a fixed label — deterministic literals, reproducible by
     any engine."""
-    import hashlib
-
-    c = int(hashlib.md5(lane.encode()).hexdigest()[:8], 16) \
-        % (NGRAM_PRIME - 2) + 2
+    c = md5_label_int(lane) % (NGRAM_PRIME - 2) + 2
     out, acc = [], 1
     for _ in range(max_n):
         out.append(acc)
@@ -198,33 +206,46 @@ def _poly_consts(lane: str, max_n: int) -> list[int]:
     return out
 
 
-def ngram_base_lanes(words: Column) -> tuple:
-    """Per-word base arrays for the polynomial gram hash: two
-    independent 31-bit lanes from one md5 per word (hex [1:15] and
-    [17:31] of the same digest) plus the word-length array.
+def ngram_digests(words: Column) -> Column:
+    """One md5 hex digest per word — the shared input of BOTH hash
+    lanes.  MUST be bound to an attribute (its own select stage)
+    before :func:`ngram_lanes_from_digests` references it twice:
+    Catalyst expression trees duplicate per reference and
+    higher-order-function bodies are excluded from codegen
+    subexpression elimination, so an unbound digest transform re-runs
+    the md5 pass once per lane (and drags the word-split chain along
+    with it)."""
+    return F.transform(words, F.md5)
 
-    MUST be bound to attributes (``.alias(...)`` in a select stage)
-    before being passed to :func:`ngram_hash_folds` — Catalyst
-    expression trees DUPLICATE on every reference, they never share,
-    so a fold that references an unbound lane k times re-runs the
-    whole md5 transform k times (measured 5x slower end-to-end at
-    sf0.1 for n=13).  CollapseProject keeps the boundary because the
-    lanes are non-cheap and multi-referenced."""
+
+def ngram_lanes_from_digests(digests: Column) -> tuple:
+    """Two independent 31-bit lanes from the BOUND digest attribute
+    (hex [1:15] and [17:31] of the same md5).  The returned lane
+    expressions must themselves be bound to attributes before
+    :func:`ngram_hash_folds` folds over them — the fold references
+    each lane once per step (measured 5x slower end-to-end at sf0.1
+    for n=13 when unbound).  CollapseProject keeps both select-stage
+    boundaries because the digest/lane aliases are non-cheap and
+    multi-referenced."""
     p = F.lit(NGRAM_PRIME).cast("long")
-    digests = F.transform(words, F.md5)
     x1 = F.transform(digests, lambda h: F.conv(
         F.substring(h, 1, 15), 16, 10).cast("long") % p)
     x2 = F.transform(digests, lambda h: F.conv(
         F.substring(h, 17, 15), 16, 10).cast("long") % p)
-    wl = F.transform(words, lambda w: F.length(w).cast("long"))
-    return x1, x2, wl
+    return x1, x2
+
+
+def word_length_lane(words: Column) -> Column:
+    """Per-word character lengths — the optional length lane of
+    :func:`ngram_hash_folds`."""
+    return F.transform(words, lambda w: F.length(w).cast("long"))
 
 
 def ngram_hash_folds(x1: Column, x2: Column,
                      ns: tuple, wl: Column = None) -> list[tuple]:
     """Per-n n-gram KEYS (62-bit hash) and character LENGTHS without
     ever materializing gram strings: the bound lane attributes from
-    :func:`ngram_base_lanes` feed one incremental zip_with fold of
+    :func:`ngram_lanes_from_digests` feed one incremental zip_with fold of
     multiply-adds that grows the polynomial hash from n to n+1 — so
     all the requested n share a single chain.  Returns
     [(n, keys, lens), ...] where keys[i] = H1(i)*2^31 + H2(i),
@@ -295,16 +316,27 @@ def ngram_repetition(documents: DataFrame, ns: tuple = (2, 3, 4),
     (map-side combinable) -> one (doc, n) rollup joined to the per-doc
     denominator.  Grams travel as 16-byte (hash, len) pairs from
     ngram_hash_folds, never as strings — the shuffle row shrinks ~4x
-    and the gram build skips all string concatenation.  The base
-    lanes are bound in their own select stage (see ngram_base_lanes:
-    unbound lanes re-evaluate per fold step)."""
+    and the gram build skips all string concatenation.  Three bound
+    select stages (words -> digests -> lanes): each alias is expensive
+    and referenced more than once downstream, and Catalyst duplicates
+    expression trees per reference (see ngram_digests /
+    ngram_lanes_from_digests), so every bind saves a full re-run of
+    the chain below it — the split pass runs once instead of 4x, the
+    md5 pass once instead of 2x."""
     t = F.col(text_col)
-    words = _words(t)
-    x1, x2, wl = ngram_base_lanes(words)
-    lanes = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(F.array_join(words, " ")).alias("denom"),
-        x1.alias("_x1"), x2.alias("_x2"), wl.alias("_wl"),
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"), _words(t).alias("_w"))
+    w = F.col("_w")
+    dg = toks.select(
+        "doc_id",
+        F.length(F.array_join(w, " ")).alias("denom"),
+        ngram_digests(w).alias("_dg"),
+        word_length_lane(w).alias("_wl"),
+    )
+    x1, x2 = ngram_lanes_from_digests(F.col("_dg"))
+    lanes = dg.select(
+        "doc_id", "denom",
+        x1.alias("_x1"), x2.alias("_x2"), "_wl",
     )
     base = lanes.select(
         "doc_id", "denom",

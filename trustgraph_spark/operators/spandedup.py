@@ -46,8 +46,9 @@ from pyspark.sql import functions as F
 
 from trustgraph_spark.operators.quality import (
     _words,
-    ngram_base_lanes,
+    ngram_digests,
     ngram_hash_folds,
+    ngram_lanes_from_digests,
 )
 
 
@@ -63,8 +64,11 @@ def exact_substring_dedup(documents: DataFrame, n: int = 50,
     toks = base.select(
         "doc_id", F.posexplode_outer("w").alias("idx", "token"))
 
-    x1, x2, _ = ngram_base_lanes(F.col("w"))
-    lanes = base.select("doc_id", x1.alias("_x1"), x2.alias("_x2"))
+    # digests bound in their own stage: unbound, the md5 transform
+    # would re-run once per lane (quality.ngram_digests)
+    dg = base.select("doc_id", ngram_digests(F.col("w")).alias("_dg"))
+    x1, x2 = ngram_lanes_from_digests(F.col("_dg"))
+    lanes = dg.select("doc_id", x1.alias("_x1"), x2.alias("_x2"))
     [(_, gram_keys, _)] = ngram_hash_folds(
         F.col("_x1"), F.col("_x2"), (n,))
     # posexplode_OUTER + null filter: an inner explode lets
