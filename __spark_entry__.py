@@ -2588,6 +2588,21 @@ def q_edge_prov_trace(spark, sf_dir):
     )
 
 
+def q_corpus_shards(spark, sf_dir):
+    """Seeded deterministic corpus shuffle + sharding
+    (operators/mixing.shuffle_shards — the training-export stage after
+    selection/mixing/packing; brief-mandated family extension, no
+    reference analog): order_key = md5(seed:doc_id), shard_id =
+    first-8-hex % 16, then the per-shard manifest (doc/char totals +
+    arg-min first doc).  Zero shuffles for the assignment; one
+    map-side-combinable aggregate for the manifest; the oracle replays
+    the exact md5 assignment."""
+    from trustgraph_spark.operators.mixing import shard_stats, shuffle_shards
+
+    sh = shuffle_shards(_docs(spark, sf_dir), n_shards=16, seed="r5")
+    return shard_stats(sh).orderBy("shard_id")
+
+
 def q_extraction_hierarchy(spark, sf_dir):
     """Document -> Pages -> Chunks -> Edges extraction-hierarchy reader
     (cli/show_extraction_provenance.py:175-230 build_hierarchy): one BFS
@@ -3095,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds of green driver history rotate to the back.
     return {
         # -- round-5 additions (driver window: first 50) --
+        "corpus_shards": q_corpus_shards,
         "extraction_hierarchy": q_extraction_hierarchy,
         "wire_triples_exec": q_wire_triples_exec,
         "wire_embed_exec": q_wire_embed_exec,
@@ -3269,6 +3285,27 @@ WITH toks AS (
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["corpus_shards"] = """
+WITH s AS (
+  SELECT doc_id, text,
+         md5('r5:' || CAST(doc_id AS VARCHAR)) AS order_key
+  FROM documents
+), a AS (
+  SELECT doc_id, text, order_key,
+         CAST(('0x' || substr(order_key, 1, 8))::UBIGINT % 16 AS INT)
+           AS shard_id
+  FROM s
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       min(order_key) AS first_key,
+       arg_min(doc_id, order_key) AS first_doc
+FROM a
+GROUP BY shard_id
+ORDER BY shard_id
+"""
 
     cent_rows = ",\n    ".join(
         "({}, [{}]::DOUBLE[])".format(

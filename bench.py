@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "line_dedup_clean",
     "sample_to_mix",
+    "corpus_shards",
     "decontam_13gram",
     "dedup_resolve",
     "lm_quality",

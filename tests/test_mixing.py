@@ -111,3 +111,79 @@ def test_mix_plan_no_corpus_shuffle(spark, corpus):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# seeded shuffle + sharding
+# ---------------------------------------------------------------------------
+
+
+def py_shard(doc_id, seed, n_shards):
+    h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
+    return h, int(h[:8], 16) % n_shards
+
+
+def test_shuffle_shards_matches_hash_replay(spark, corpus):
+    from trustgraph_spark.operators.mixing import shuffle_shards
+
+    df, rows = corpus
+    out = {r["doc_id"]: (r["order_key"], r["shard_id"])
+           for r in shuffle_shards(df, n_shards=16, seed="r5").collect()}
+    assert len(out) == len(rows)
+    for i, _, _ in rows:
+        assert out[i] == py_shard(i, "r5", 16)
+
+
+def test_shuffle_is_seeded_permutation(spark, corpus):
+    from trustgraph_spark.operators.mixing import shuffle_shards
+
+    df, rows = corpus
+    a = shuffle_shards(df, n_shards=8, seed="a")
+    b = shuffle_shards(df, n_shards=8, seed="b")
+    order_a = [r["doc_id"] for r in
+               a.orderBy("shard_id", "order_key").collect()]
+    order_b = [r["doc_id"] for r in
+               b.orderBy("shard_id", "order_key").collect()]
+    # permutations of the same set, different under different seeds,
+    # and not the ingest order
+    assert sorted(order_a) == sorted(order_b) == [r[0] for r in rows]
+    assert order_a != order_b
+    assert order_a != [r[0] for r in rows]
+    # same seed reproduces exactly
+    again = [r["doc_id"] for r in
+             shuffle_shards(df, n_shards=8, seed="a")
+             .orderBy("shard_id", "order_key").collect()]
+    assert again == order_a
+
+
+def test_shard_stats_and_balance(spark, corpus):
+    from trustgraph_spark.operators.mixing import shard_stats, shuffle_shards
+
+    df, rows = corpus
+    stats = {r["shard_id"]: r.asDict()
+             for r in shard_stats(shuffle_shards(df, 16, seed="r5"))
+             .collect()}
+    # every shard populated at 300 docs / 16 shards; totals conserved
+    assert set(stats) == set(range(16))
+    assert sum(s["n_docs"] for s in stats.values()) == len(rows)
+    assert sum(s["n_chars"] for s in stats.values()) == sum(
+        len(t.strip()) for _, t, _ in rows)
+    # first_doc is the arg-min of order_key within the shard
+    per_shard = {}
+    for i, _, _ in rows:
+        key, sid = py_shard(i, "r5", 16)
+        if sid not in per_shard or key < per_shard[sid][0]:
+            per_shard[sid] = (key, i)
+    for sid, (key, i) in per_shard.items():
+        assert stats[sid]["first_key"] == key
+        assert stats[sid]["first_doc"] == i
+
+
+def test_shard_layout_single_exchange(spark, corpus):
+    from trustgraph_spark.operators.mixing import shard_layout, shuffle_shards
+
+    df, _ = corpus
+    plan = shard_layout(shuffle_shards(df, 16, seed="r5"), 16) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()  # never a global sort

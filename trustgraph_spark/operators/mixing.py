@@ -120,3 +120,62 @@ def sample_to_mix(documents: DataFrame, targets: dict[str, float],
                     F.explode(F.sequence(F.lit(1), F.col("n_copies")))
                     .alias("epoch"),
                     F.round("rate", 6).alias("rate")))
+
+
+# ---------------------------------------------------------------------------
+# Seeded corpus shuffle + sharding (the export stage after selection /
+# mixing / packing: training loaders consume a reproducible pseudo-random
+# permutation in fixed-size shards).  Brief-mandated family extension —
+# no reference analog, same determinism contract as sample_to_mix above.
+# ---------------------------------------------------------------------------
+
+
+def shuffle_shards(documents: DataFrame, n_shards: int = 1024,
+                   seed: str = "s0", id_col: str = "doc_id") -> DataFrame:
+    """Assign every document a seeded shuffle ``order_key`` and a
+    ``shard_id``; reading shards in (shard_id, order_key) order is one
+    fixed global permutation of the corpus.
+
+    The 100 TB shape: a literal global ``ORDER BY random()`` is a total
+    sort — range-exchange plus sampling over the whole corpus, and not
+    reproducible across reruns or cluster sizes.  A training shuffle only
+    needs (a) a deterministic permutation and (b) bounded shard sizes,
+    so both come from one md5 per doc: ``order_key = md5(seed:doc_id)``
+    (the permutation — uniform, seed-keyed, partitioning-independent),
+    ``shard_id = first-8-hex-digits % n_shards`` (uniform balance, no
+    sampling pass).  This function is a narrow projection — ZERO
+    shuffles; :func:`shard_layout` adds the single hash exchange that
+    physically clusters shards for the writer.  md5 (not xxhash64) so
+    the DuckDB oracle replays the exact assignment.
+    """
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    return (documents
+            .withColumn("order_key", h)
+            .withColumn(
+                "shard_id",
+                (F.conv(F.substring(F.col("order_key"), 1, 8), 16, 10)
+                 .cast("long") % n_shards).cast("int")))
+
+
+def shard_layout(sharded: DataFrame, n_shards: int) -> DataFrame:
+    """Physically cluster the assignment for export: ONE hash exchange on
+    shard_id with an in-partition sort on (shard_id, order_key) — a
+    writer then emits row-order-stable shard files (partitionBy or
+    per-task files), never a global sort."""
+    return (sharded.repartition(n_shards, "shard_id")
+            .sortWithinPartitions("shard_id", "order_key"))
+
+
+def shard_stats(sharded: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-shard manifest: doc/char totals plus the first (order_key,
+    doc) of each shard — the loader's integrity check that a re-export
+    reproduced the same permutation.  One map-side-combinable
+    aggregate."""
+    return (sharded.groupBy("shard_id")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.length(F.col(text_col))).cast("long")
+                 .alias("n_chars"),
+                 F.min("order_key").alias("first_key"),
+                 F.min_by(F.col(id_col), F.col("order_key"))
+                 .alias("first_doc")))
