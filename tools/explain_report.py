@@ -368,6 +368,18 @@ def main() -> None:
         sample_to_mix(docs, {"src0": 0.5, "src1": 0.5}),
     )
 
+    from trustgraph_spark.operators.mixing import shard_layout, shuffle_shards
+
+    add(
+        "Seeded corpus shuffle + sharding (corpus_shards)",
+        "The permutation (order_key = md5(seed:doc_id)) and the shard "
+        "assignment (hex-prefix mod n) are a narrow projection; the "
+        "writer layout is ONE hash Exchange on shard_id with an "
+        "in-partition sort — no rangepartitioning (a global ORDER BY "
+        "random() would range-exchange and sample the whole corpus).",
+        shard_layout(shuffle_shards(docs, 16, seed="r5"), 16),
+    )
+
     add(
         "Eval-set decontamination (decontam_13gram)",
         "The eval 13-gram set is deduped and broadcast; the training side "
