@@ -14,7 +14,9 @@ Usage (local sandbox):
         [--dsir-target tgt.parquet --dsir-keep 1000]   # DSIR selection
 
 Writes <output>/cleaned, <output>/packed, <output>/report as parquet
-and prints a one-line JSON summary.
+(plus <output>/sharded + <output>/shard_manifest with --shards N: the
+seeded export permutation, one directory per shard) and prints a
+one-line JSON summary.
 """
 
 from __future__ import annotations
@@ -46,6 +48,10 @@ def main() -> None:
     ap.add_argument("--dsir-target", default="",
                     help="(doc_id, text) parquet: enables DSIR selection")
     ap.add_argument("--dsir-keep", type=int, default=0)
+    ap.add_argument("--shards", type=int, default=0,
+                    help="write <output>/sharded: seeded export "
+                         "permutation of the cleaned corpus in N shards")
+    ap.add_argument("--shard-seed", default="s0")
     args = ap.parse_args()
     # DSIR needs both halves: the target corpus defines the
     # distribution, the keep count sizes the selection.  Half a pair
@@ -83,6 +89,19 @@ def main() -> None:
     for name in ("cleaned", "packed", "report"):
         out[name].write.mode("overwrite").parquet(
             f"{args.output}/{name}")
+    if args.shards > 0:
+        # export permutation: order_key/shard_id are one md5 projection,
+        # the layout is a single hash exchange, partitionBy emits one
+        # directory per shard (mixing.shuffle_shards docstring)
+        from trustgraph_spark.operators.mixing import (
+            shard_layout, shard_stats, shuffle_shards)
+        sharded = shuffle_shards(
+            out["cleaned"], n_shards=args.shards, seed=args.shard_seed)
+        (shard_layout(sharded, args.shards)
+         .write.mode("overwrite").partitionBy("shard_id")
+         .parquet(f"{args.output}/sharded"))
+        shard_stats(sharded).write.mode("overwrite").parquet(
+            f"{args.output}/shard_manifest")
     wall = round(time.monotonic() - t0, 2)
 
     report = {r["stage"]: r["n_docs"]
