@@ -92,11 +92,20 @@ def main() -> None:
     if args.shards > 0:
         # export permutation: order_key/shard_id are one md5 projection,
         # the layout is a single hash exchange, partitionBy emits one
-        # directory per shard (mixing.shuffle_shards docstring)
+        # directory per shard (mixing.shuffle_shards docstring).
+        # Read back the just-written cleaned parquet — out["cleaned"]'s
+        # lineage (LM-score fit + joins) would otherwise re-execute for
+        # the sharded write and again for the manifest.
         from trustgraph_spark.operators.mixing import (
             shard_layout, shard_stats, shuffle_shards)
+        cleaned = spark.read.parquet(f"{args.output}/cleaned")
+        # a mixed corpus has one row per (doc_id, epoch): the epoch must
+        # join the shuffle key or repeats share an order_key
+        key_cols = (["doc_id", "epoch"] if "epoch" in cleaned.columns
+                    else None)
         sharded = shuffle_shards(
-            out["cleaned"], n_shards=args.shards, seed=args.shard_seed)
+            cleaned, n_shards=args.shards, seed=args.shard_seed,
+            key_cols=key_cols)
         (shard_layout(sharded, args.shards)
          .write.mode("overwrite").partitionBy("shard_id")
          .parquet(f"{args.output}/sharded"))

@@ -187,3 +187,31 @@ def test_shard_layout_single_exchange(spark, corpus):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" not in plan.lower()  # never a global sort
+
+
+def test_shuffle_null_id_propagates(spark):
+    from trustgraph_spark.operators.mixing import shuffle_shards
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, "c")],
+        "doc_id long, text string")
+    rows = {r["text"]: (r["order_key"], r["shard_id"])
+            for r in shuffle_shards(df, 8, seed="r5").collect()}
+    # non-null id hashes; NULL ids yield NULL key/shard (never a silent
+    # shared md5('r5') bucket), matching the SQL || oracle
+    assert rows["a"] == py_shard(1, "r5", 8)
+    assert rows["b"] == (None, None) and rows["c"] == (None, None)
+
+
+def test_shuffle_epoch_key_separates_repeats(spark):
+    from trustgraph_spark.operators.mixing import shuffle_shards
+
+    df = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "x"), (2, 1, "y")],
+        "doc_id long, epoch int, text string")
+    out = shuffle_shards(df, 8, seed="r5",
+                         key_cols=["doc_id", "epoch"]).collect()
+    keys = {(r["doc_id"], r["epoch"]): r["order_key"] for r in out}
+    assert len(set(keys.values())) == 3  # epoch copies get distinct keys
+    h, sid = py_shard("1:2", "r5", 8)   # md5('r5:1:2') replay
+    assert keys[(1, 2)] == h

@@ -131,7 +131,8 @@ def sample_to_mix(documents: DataFrame, targets: dict[str, float],
 
 
 def shuffle_shards(documents: DataFrame, n_shards: int = 1024,
-                   seed: str = "s0", id_col: str = "doc_id") -> DataFrame:
+                   seed: str = "s0", id_col: str = "doc_id",
+                   key_cols: list | None = None) -> DataFrame:
     """Assign every document a seeded shuffle ``order_key`` and a
     ``shard_id``; reading shards in (shard_id, order_key) order is one
     fixed global permutation of the corpus.
@@ -147,8 +148,21 @@ def shuffle_shards(documents: DataFrame, n_shards: int = 1024,
     shuffles; :func:`shard_layout` adds the single hash exchange that
     physically clusters shards for the writer.  md5 (not xxhash64) so
     the DuckDB oracle replays the exact assignment.
+
+    ``key_cols`` (default ``[id_col]``) must uniquely identify a row:
+    a mixed corpus carries epoch-repeat copies of each doc, so pass
+    ``["doc_id", "epoch"]`` there — otherwise all copies of a doc share
+    one order_key (repeats land back-to-back in the export stream and
+    the sort tie-order among them is nondeterministic).  A NULL in any
+    key column propagates to a NULL order_key/shard_id (``F.concat``
+    semantics — identical to the SQL ``||`` oracle and loud downstream)
+    rather than silently hashing a partial key.
     """
-    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    cols = list(key_cols) if key_cols else [id_col]
+    parts = [F.lit(seed)]
+    for c in cols:
+        parts.extend([F.lit(":"), F.col(c).cast("string")])
+    h = F.md5(F.concat(*parts))
     return (documents
             .withColumn("order_key", h)
             .withColumn(

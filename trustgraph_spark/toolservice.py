@@ -137,7 +137,14 @@ def load_tools_config(config: dict,
     Each Tool's ``implementation`` is a partial over the matching impl
     class below, needing only ``context`` at invoke time — the same
     functools.partial shape the reference builds.  Unknown tool types and
-    invalid group/state fields raise with the reference's messages."""
+    invalid group/state fields raise with the reference's messages.
+
+    Deliberate divergence: the reference wraps the whole reload in
+    try/except and logs "Configuration reload failed", keeping the old
+    catalog live (a service-survival behavior); this kernel RAISES so a
+    caller (and the tests) see exactly which config entry is broken —
+    callers wanting the reference's keep-old-catalog behavior catch at
+    the reload site."""
     tool_services = load_tool_services(config)
 
     tools: Dict[str, Tool] = {}
