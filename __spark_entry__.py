@@ -26,12 +26,36 @@ RDF_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
 CO_URI = TG + "co_occurs_with"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan widening (optimization guide §2.5, input
+    skew).  The test fixtures are ONE parquet file with ONE row group,
+    so the scan is a single task and every expression above the first
+    exchange — the md5/n-gram folds, the mapInPandas seams, the masked
+    store passes — runs on one core no matter how many the session has
+    (measured: the whole hygiene family scaled ~linearly with SF
+    instead of flat, 2.8s -> 22.7s for ngram_repetition at sf0.1 ->
+    sf1.0 on local[32]).  Round-robin repartition to the session
+    parallelism; the shuffle moves a few MB once.  Conditional on the
+    scan actually being narrower than the session: a real multi-file
+    corpus (the 100 TB case) already scans wide and must NOT pay a
+    pointless full-corpus shuffle, so this is a no-op there."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -286,7 +310,7 @@ def q_language_id(spark, sf_dir):
 def q_ann_cosine_topk(spark, sf_dir):
     from trustgraph_spark.operators.embeddings import cosine_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
     )
@@ -969,7 +993,7 @@ def q_emb_near_dup(spark, sf_dir):
     from trustgraph_spark.planted import planted_near_dup_embeddings
 
     emb = planted_near_dup_embeddings(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _emb(spark, sf_dir)
     )
     out = embedding_near_dup_pairs(emb, threshold=0.95, n_planes=8, dim=64)
     # ids only: one planted pair's cosine sits exactly on a rounding
@@ -1217,7 +1241,7 @@ def q_graphql_rows(spark, sf_dir):
 def _rag_chunk_tables(spark, sf_dir):
     """Chunk store (vectors from the embeddings table) + chunk texts (the
     documents table) under a shared chunk_id namespace."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     store = emb.select(
         F.lit("default").alias("collection"),
         F.concat(F.lit("c"), F.col("vec_id").cast("string")).alias("chunk_id"),
@@ -1243,7 +1267,7 @@ def _rag_concept_queries(spark, sf_dir):
     """5 queries x 2 pre-embedded concepts each (vectors = embeddings rows
     0..9; concept extraction is the LLM boundary) plus a query text for
     the sparse path."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     cv = emb.where(F.col("vec_id") < 10).select(
         F.concat(F.lit("q"), (F.col("vec_id") / 2).cast("int").cast("string")).alias(
             "query_id"
@@ -1427,7 +1451,7 @@ def q_react_tool_trace(spark, sf_dir):
 
     return react_tool_trace(
         _docs(spark, sf_dir),
-        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        _spread(spark.read.parquet(f"{sf_dir}/orders.parquet")),
     )
 
 
@@ -1444,7 +1468,7 @@ def q_react_prov_triples(spark, sf_dir):
 
     trace = react_tool_trace(
         _docs(spark, sf_dir),
-        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        _spread(spark.read.parquet(f"{sf_dir}/orders.parquet")),
     )
     return agent_prov_triples(trace, timestamp="2026-01-01T00:00:00Z")
 
@@ -2301,7 +2325,7 @@ def q_semdedup_keep(spark, sf_dir):
     from trustgraph_spark.planted import planted_near_dup_embeddings
 
     emb = planted_near_dup_embeddings(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+        _emb(spark, sf_dir))
     return semdedup(emb, _semdedup_centroids(), eps=0.95, keep="far")
 
 
@@ -2757,7 +2781,7 @@ def q_wire_embed_exec(spark, sf_dir):
         execute_embeddings_requests,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     v = F.col("vec_id")
     reqs = emb.where(v < 8).select(
         F.concat(F.lit("e"), v.cast("string")).alias("req_id"),
