@@ -2703,7 +2703,11 @@ def q_extraction_hierarchy(spark, sf_dir):
         t(page, rdfs_label, F.lit("WRONG"), "l"),
     ).alias("tr")), g="urn:graph:retrieval")
 
-    store = root.unionByName(per_doc).unionByName(noise)
+    # the reader scans the store 4x (derived/types/meta/contains
+    # projections); materialize the planted store once per run instead
+    # of re-running the emit explode chain per scan (the real operator
+    # input is a parquet store where each scan is a pushdown read)
+    store = root.unionByName(per_doc).unionByName(noise).localCheckpoint()
     return extraction_hierarchy(store, "urn:doc:root")
 
 

@@ -39,7 +39,17 @@ def exact_dedup_groups(
 
 def shingles(documents: DataFrame, id_col="doc_id", text_col="text", n: int = 3) -> DataFrame:
     """Token n-gram shingles per document: split -> sliding window via
-    sequence/slice -> explode. Pure column expressions.
+    a zip_with concat chain -> explode. Pure column expressions.
+
+    The window is built as quality.ngram_array builds grams — one
+    element-wise zip_with concat pass per extra token over shifted
+    slices — instead of the earlier per-index ``slice + array_join``
+    transform: that shape pays ~30µs/gram in Spark's interpreted
+    higher-order-function path (it allocates a fresh n-element array
+    per gram), measured 11x slower in quality.ngram_array and ~3x on
+    this operator's shingle stage at sf1.0.  Trailing zip_with
+    null-pads concat to null and are sliced off; docs shorter than n
+    tokens slice to an empty array (never a descending sequence).
 
     The tokenization is materialized as its own projection BEFORE the
     sliding-window transform: a lambda body referencing the outer
@@ -57,11 +67,13 @@ def shingles(documents: DataFrame, id_col="doc_id", text_col="text", n: int = 3)
     (both shapes plan-verified on Spark 4.1).  Do not "fix" this into
     bind-then-inner-explode."""
     tk = F.col("__tk")
-    # guard: Spark sequence(1, 0) counts DOWN; short docs need an empty list
-    idx = F.when(
-        F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(tk, i, n), " "))
+    g = tk
+    for k in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(tk, k + 1, F.greatest(F.size(tk) - k, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b))
+    sh = F.slice(g, 1, F.greatest(F.size(tk) - (n - 1), F.lit(0)))
     return documents.select(
         F.col(id_col),
         F.split(normalize_text_col(F.col(text_col)), " ").alias("__tk"),
@@ -262,6 +274,13 @@ def ngram_jaccard_pairs_prefix(
         counters["candidate_pairs"] = cand.count()
 
     sets = docs_arr.select(F.col(id_col), "sh_sorted", "sz")
+    # inter is nd_guard-pinned: without it, predicate pushdown folds the
+    # jaccard filter into the verify JOIN CONDITION with array_intersect
+    # inlined — 3 intersect evaluations per candidate pair instead of 1
+    # (plan-confirmed; ~2x the verify stage at sf1.0, where candidates
+    # run to ~25M pairs at threshold 0.3)
+    from trustgraph_spark.operators.catalyst import nd_guard
+
     verified = (
         cand.join(
             sets.select(
@@ -279,7 +298,8 @@ def ngram_jaccard_pairs_prefix(
             ),
             "id_b",
         )
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("inter",
+                    nd_guard(F.size(F.array_intersect("sh_a", "sh_b"))))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
@@ -515,17 +535,47 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: bucket by
     hyperplane signature then exact cosine within buckets — the blocked
-    self-join never goes all-pairs."""
-    from .embeddings import _cosine_expr, lsh_signature_col, random_hyperplanes
+    self-join never goes all-pairs.
+
+    The vector NORM is computed once per vector before the self-join and
+    carried through it, so each candidate pair pays only the dot-product
+    fold instead of three (dot + both norms re-folded per pair — the
+    pair side is quadratic in bucket occupancy, the vector side linear;
+    measured ~2x on the pair stage at sf1.0).  ``dot/(na*nb)`` with the
+    identical per-vector fold is bit-for-bit the cosine _cosine_expr
+    computes."""
+    from .embeddings import lsh_signature_col, random_hyperplanes
 
     planes = random_hyperplanes(dim, n_planes)
-    v = embeddings.withColumn("bucket", lsh_signature_col(F.col(vec_col), planes))
-    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket")
-    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket")
+    vec_d = F.col(vec_col).cast("array<double>")
+    v = embeddings.select(
+        F.col(id_col),
+        vec_d.alias("_vd"),
+        lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
+        F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda s, x: s + x * x))
+        .alias("_norm"),
+    )
+    a = v.select(F.col(id_col).alias("id_a"), F.col("_vd").alias("vec_a"),
+                 F.col("_norm").alias("_na"), "bucket")
+    b = v.select(F.col(id_col).alias("id_b"), F.col("_vd").alias("vec_b"),
+                 F.col("_norm").alias("_nb"), "bucket")
+    from trustgraph_spark.operators.catalyst import nd_guard
+
+    dot = F.aggregate(
+        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
+        F.lit(0.0), lambda s, x: s + x)
+    # nd_guard: the threshold filter would otherwise push into the
+    # bucket join's condition with the dot fold inlined (one extra
+    # evaluation per candidate pair — see catalyst.nd_guard)
     return (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", _cosine_expr(F.col("vec_a"), F.col("vec_b")))
+        .withColumn(
+            "cos",
+            nd_guard(
+                F.when((F.col("_na") > 0) & (F.col("_nb") > 0),
+                       dot / (F.col("_na") * F.col("_nb")))
+                .otherwise(F.lit(0.0))))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

@@ -54,6 +54,15 @@ def get_spark(
         # Broadcast dimension tables (labels, vocab, mapping) aggressively;
         # at 100 TB the fact side never broadcasts, the dims always should.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Allow shuffled hash join when the per-partition build side fits
+        # (optimization guide §3.1/§9): joins of a large candidate/fact
+        # side against a mid-size keyed side otherwise flap between
+        # broadcast and sort-merge as size estimates cross the broadcast
+        # threshold, and the sort-merge arm pays two large sorts the
+        # hash join skips.  The AQE threshold lets a planned sort-merge
+        # downgrade to hash per-partition at runtime.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
     )
     # Local-mode shuffle goes through spark.local.dir; all N "executor"
     # threads share ONE host disk, which serializes shuffle IO and destroys
