@@ -51,7 +51,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # NOT spread: the events queries shuffle on session/window keys
+    # immediately with only cheap projections above the exchange, so the
+    # widening shuffle is pure overhead (measured +1.3s at sf1.0 across
+    # the two events queries, no compute to parallelize)
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
