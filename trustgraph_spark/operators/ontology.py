@@ -375,9 +375,9 @@ def key_terms_col(col):
     non-stop (the reference applies no length filter to bigram halves —
     reproduced).  Returns array<string> in the reference's order
     (singles first, then bigrams)."""
-    words = F.filter(
-        F.split(F.lower(col), r"\W+"), lambda w: w != ""
-    )
+    # maximal \w+ runs == split on \W+ minus empties; regexp_extract_all
+    # skips String.split's slow class-regex path (see docrag._terms)
+    words = F.regexp_extract_all(F.lower(col), F.lit(r"\w+"), 0)
     stop = F.array(*[F.lit(w) for w in NLTK_EN_STOPWORDS])
     singles = F.filter(
         words, lambda w: ~F.array_contains(stop, w) & (F.length(w) > 2)
