@@ -688,7 +688,10 @@ def q_agent_triples(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     chunks = planted_def_chunks(docs).unionByName(planted_rel_chunks(docs))
-    ex = extract_agent(chunks, AgentExtractor(planted_agent_jsonl))
+    # checkpoint: the def and rel triple branches both read the
+    # extraction output — unmaterialized, the mapInPandas seam would run
+    # twice (2 MapInPandas nodes in the plan, measured 2x the seam cost)
+    ex = extract_agent(chunks, AgentExtractor(planted_agent_jsonl)).localCheckpoint()
     return agent_extractions_to_triples(ex).select("s", "p", "o", "otype")
 
 
@@ -1435,7 +1438,11 @@ def q_onto_extract_convert(spark, sf_dir):
     chunks = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("chunk_id"), "text"
     )
-    parsed = extract_ontology_objects(chunks, planted_onto_responses)
+    # checkpoint: the converter derives entity/relationship/attribute
+    # frames from the parse output — unmaterialized, the parser seam
+    # would run once per frame (4 MapInPandas nodes, plan-audited)
+    parsed = extract_ontology_objects(
+        chunks, planted_onto_responses).localCheckpoint()
     return convert_extraction_triples(parsed, _onto_ex_elements(spark), "kb")
 
 
@@ -1470,10 +1477,13 @@ def q_react_prov_triples(spark, sf_dir):
     conclusion from the last iteration."""
     from trustgraph_spark.agent import agent_prov_triples, react_tool_trace
 
+    # checkpoint: the provenance emitter derives several triple families
+    # from the trace — unmaterialized, the session-replay seam would run
+    # once per family (3 MapInPandas nodes, plan-audited)
     trace = react_tool_trace(
         _docs(spark, sf_dir),
         _spread(spark.read.parquet(f"{sf_dir}/orders.parquet")),
-    )
+    ).localCheckpoint()
     return agent_prov_triples(trace, timestamp="2026-01-01T00:00:00Z")
 
 

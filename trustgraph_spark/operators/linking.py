@@ -190,9 +190,18 @@ def trigram_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 def match_edges(
     pairs: DataFrame, threshold: float = 0.9
 ) -> DataFrame:
-    """Score candidate pairs; keep those at/above threshold as link edges."""
+    """Score candidate pairs; keep those at/above threshold as link edges.
+
+    The scoring UDF is applied asNondeterministic (optimization guide
+    §4.4): the threshold filter otherwise pushes below the scoring
+    projection and the optimizer duplicates the UDF — two
+    ArrowEvalPython nodes, every candidate pair scored twice
+    (plan-confirmed on Spark 4.1).  Values are unchanged; the marker
+    only pins evaluation to one site."""
     scored = pairs.withColumn(
-        "score", trigram_jaccard_udf(F.col("norm_a"), F.col("norm_b"))
+        "score",
+        trigram_jaccard_udf.asNondeterministic()(
+            F.col("norm_a"), F.col("norm_b")),
     )
     return scored.where(F.col("score") >= threshold).select(
         F.col("uri_a").alias("src"), F.col("uri_b").alias("dst"), "score"

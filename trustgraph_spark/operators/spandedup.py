@@ -109,8 +109,12 @@ def exact_substring_dedup(documents: DataFrame, n: int = 50,
                             lambda s: s["token"]),
                         " ").alias("text"),
                     F.count("token").cast("long").alias("n_tokens_kept")))
-    totals = toks.groupBy("doc_id").agg(
-        F.count("token").cast("long").alias("n_total"))
+    # per-doc token totals come straight off the word array — the
+    # earlier totals-side explode + groupBy re-counted what size()
+    # already knows, a full extra pass over the token stream
+    totals = base.select(
+        "doc_id",
+        F.coalesce(F.size("w"), F.lit(0)).cast("long").alias("n_total"))
     # fully-scrubbed docs have no surviving rows — restore them from
     # the totals side with empty text
     return (totals.join(kept_agg, "doc_id", "left")

@@ -49,8 +49,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # local mode = driver-only: the heap carries all executor state.
         # Undersizing it GC-stalls wide stages (measured: 8g at 32 cores on
-        # a 1M-turn run degraded scaling efficiency from 0.79 to ~0.45)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # a 1M-turn run degraded scaling efficiency from 0.79 to ~0.45, and
+        # 24g GC-walled the 3M-turn scaling run — BENCH/BASELINE.md).  48g
+        # default in this 128 GiB sandbox; on a cluster this is ordinary
+        # per-executor memory sizing and the env var overrides.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         # Broadcast dimension tables (labels, vocab, mapping) aggressively;
         # at 100 TB the fact side never broadcasts, the dims always should.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
