@@ -72,24 +72,31 @@ def extract_agent(chunks: DataFrame, agent: AgentExtractor) -> DataFrame:
             base = pdf[["chunk_id", "root_id", "collection"]].copy()
             base["obj"] = agent.extract_combined(pdf["text"])
             ex = base.explode("obj").dropna(subset=["obj"])
-            rows = []
-            for _, r in ex.iterrows():
-                o = r["obj"]
-                t = o.get("type")
-                if t == "definition":
-                    rows.append(
-                        [r["chunk_id"], r["root_id"], r["collection"], "def",
-                         o.get("entity"), o.get("definition"),
-                         None, None, None, None]
-                    )
-                elif t == "relationship":
-                    rows.append(
-                        [r["chunk_id"], r["root_id"], r["collection"], "rel",
-                         None, None,
-                         o.get("subject"), o.get("predicate"), o.get("object"),
-                         bool(o.get("object-entity", True))]
-                    )
-            yield pd.DataFrame(rows, columns=cols)
+            # vectorized column unpack (no per-row iterrows loop): split
+            # by the type discriminator, pull fields with .str.get
+            types = ex["obj"].str.get("type")
+            d = ex[types == "definition"].copy()
+            d["kind"] = "def"
+            d["entity"] = d["obj"].str.get("entity")
+            d["definition"] = d["obj"].str.get("definition")
+            d["subject"] = None
+            d["predicate"] = None
+            d["object"] = None
+            d["object_entity"] = None
+            r = ex[types == "relationship"].copy()
+            r["kind"] = "rel"
+            r["entity"] = None
+            r["definition"] = None
+            r["subject"] = r["obj"].str.get("subject")
+            r["predicate"] = r["obj"].str.get("predicate")
+            r["object"] = r["obj"].str.get("object")
+            r["object_entity"] = r["obj"].map(
+                lambda o: bool(o.get("object-entity", True)))
+            parts = [x[cols] for x in (d, r) if len(x)]
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+            else:
+                yield pd.DataFrame(columns=cols)
 
     return chunks.select("chunk_id", "root_id", "collection", "text").mapInPandas(
         gen, schema=_ALL_OUT_SCHEMA
