@@ -3144,7 +3144,43 @@ def q_metering_costs(spark, sf_dir):
         F.round(F.col("cost_usd") * 1e6).cast("long").alias("cost_micro"))
 
 
+def _release_stale_blocks(spark: SparkSession) -> None:
+    """Unpersist every persisted RDD before building the next query.
+
+    Several queries (and the operators they call) localCheckpoint
+    bounded intermediates — the sanctioned within-run materializations.
+    Spark never frees those blocks until the session ends, so a long
+    multi-query session (the bench runs 61 queries x 2, the correctness
+    gate 124) accumulates gigabytes of dead blocks and the later
+    queries pay the GC pressure: the same query measured 2-3x slower
+    late in a sweep than isolated.  Every consumer of this registry
+    constructs one query, evaluates it, then moves on (bench.py's
+    per-run loop, tools/check_oracles.py, the driver's gate), so blocks
+    from PRIOR constructions are unreachable garbage by the time the
+    next construction starts.  Never call mid-query: unpersisting a
+    live localCheckpoint is unrecoverable (lineage is truncated)."""
+    try:
+        it = (spark.sparkContext._jsc.getPersistentRDDs()
+              .entrySet().iterator())
+        while it.hasNext():
+            it.next().getValue().unpersist(False)
+    except Exception:
+        pass  # best-effort hygiene; never fail a query over cleanup
+
+
+def _with_cleanup(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _release_stale_blocks(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _with_cleanup(fn) for name, fn in _registry().items()}
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering matters: the driver's CORRECTNESS snapshot covers the
         # FIRST 50 registry entries.  Window invariant (r5 verdict): new
