@@ -503,7 +503,11 @@ def write_core_file(records: DataFrame, path: str) -> int:
             .when(F.col("kind") == "ge", 1)
             .when(F.col("kind") == "lm", 2).otherwise(3),
             "id", "collection", "batch",
-        ).collect()
+        ).select("record").toLocalIterator()
+    # toLocalIterator streams one partition at a time (the sort's range
+    # partitioning makes partition order = global order), so the driver
+    # holds one partition of records, not the whole set (guide §5); the
+    # trailing select drops the sort keys from the driver transfer.
     n = 0
     with open(path, "wb") as f:
         for r in rows:
